@@ -1,0 +1,83 @@
+"""Engine configuration + fixed Arrow schemas.
+
+The reference fixes its schemas with Alembic migrations
+(/root/reference/alembic/versions/0001_initial_schema.py ...); ours are
+explicit ``pyarrow.Schema`` constants validated on read (SURVEY.md §1.4) —
+schemas are contracts, never inferred.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+# Input table shape — BASELINE.json input_hint.
+TRANSCRIPTS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+# Doc store: transcripts + assigned dense doc_id (doc_len lives in its own
+# small (doc_id, doc_len) artifact produced by the tokenize stream).
+DOCS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("doc_id", pa.int64()),
+])
+
+# Exploded posting triples (intermediate, streaming).
+POSTINGS_TRIPLES_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("doc_id", pa.int64()),
+    ("tf", pa.int32()),
+])
+
+# Final segment rows: real posting lists (SURVEY.md §1.4 / north rule).
+SEGMENT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("idf", pa.float64()),
+    ("doc_ids_enc", pa.binary()),      # delta + varbyte
+    ("tfs_enc", pa.binary()),          # varbyte
+    ("block_last_doc", pa.list_(pa.int64())),
+    ("block_max_tf", pa.list_(pa.int64())),
+])
+
+TERM_STATS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("idf", pa.float64()),
+])
+
+# Pinned "now" so freshness scores are deterministic (SURVEY.md §2.2 M7).
+BUILD_NOW_ISO = "2026-03-01T00:00:00+00:00"
+
+
+@dataclass
+class EngineConfig:
+    """One dataclass of knobs (SURVEY.md §2.10)."""
+
+    index_dir: str = "/tmp/search_engine_ray/index"
+    num_partitions: int = 32          # hash(term) shuffle fan-out
+    salt: int = 1                     # >1 = two-phase salted groupby for skew
+    block_size: int = 128             # postings per block-max block
+    k1: float = 1.2
+    b: float = 0.75
+    scoring: str = "reference"        # "reference" (tf*idf*fw) | "bm25"
+    tokenize_batch_size: int = 2048
+    tokenize_concurrency: int | None = None   # None -> Ray decides
+    build_now: str = BUILD_NOW_ISO
+    # conv_id -> base-offset broadcast cap; beyond this the dense-id assigner
+    # must switch to the distributed join path (stages/doc_ids.py docstring).
+    max_broadcast_convs: int = 5_000_000

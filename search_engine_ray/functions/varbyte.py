@@ -1,0 +1,114 @@
+"""Delta + varbyte posting-list compression, numpy-vectorized.
+
+The reference stores postings as exploded B-tree-indexed rows with no
+compression (SURVEY.md §1.3); real posting lists with delta + varbyte encoding
+and block-max metadata are new design mandated by the north rule.
+
+Format (classic VByte): each integer is little-endian base-128; every byte
+carries 7 payload bits, the high bit is set on all bytes except the last of a
+value.  Doc-id lists are delta-encoded (first value absolute) before VByte.
+
+Both encode and decode avoid per-integer Python loops: they loop over *byte
+positions* (<= 10 iterations) with numpy masks, so cost is O(total_bytes) in
+C-land.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """VByte-encode a non-negative int array -> bytes."""
+    vals = np.asarray(values, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = vals.copy()
+    # bit length via successive shifts (max 64 bits -> 10 iterations of 7)
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = vals >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)          # exclusive end offset per value
+    starts = ends - nbytes
+    # fill byte position k of every value that has > k bytes
+    max_len = int(nbytes.max())
+    for k in range(max_len):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        byte = ((vals[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        # continuation bit on all but the last byte of each value
+        cont = (nbytes[mask] - 1 > k)
+        out[idx] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Decode VByte bytes -> uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)                 # index of last byte per value
+    n = len(ends)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    out = np.zeros(n, dtype=np.uint64)
+    max_len = int(lengths.max())
+    payload = (raw & 0x7F).astype(np.uint64)
+    for k in range(max_len):
+        mask = lengths > k
+        out[mask] |= payload[starts[mask] + k] << np.uint64(7 * k)
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int array -> gaps (first value absolute)."""
+    v = np.asarray(sorted_vals, dtype=np.uint64)
+    if len(v) == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64)
+    return np.cumsum(g, dtype=np.uint64)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(sorted doc_ids, aligned tfs) -> (delta+vbyte docs, vbyte tfs)."""
+    return vb_encode(delta_encode(doc_ids)), vb_encode(tfs)
+
+
+def decode_postings(doc_buf: bytes, tf_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return delta_decode(vb_decode(doc_buf)), vb_decode(tf_buf)
+
+
+BLOCK_SIZE = 128
+
+
+def block_max_meta(doc_ids: np.ndarray, tfs: np.ndarray,
+                   block_size: int = BLOCK_SIZE) -> tuple[list[int], list[int]]:
+    """Per-block (last_doc_id, max_tf) metadata for block-max WAND pruning.
+    max_tf upper-bounds any monotone per-posting score within the block."""
+    n = len(doc_ids)
+    if n == 0:
+        return [], []
+    last_docs: list[int] = []
+    max_tfs: list[int] = []
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        last_docs.append(int(doc_ids[e - 1]))
+        max_tfs.append(int(tfs[s:e].max()))
+    return last_docs, max_tfs

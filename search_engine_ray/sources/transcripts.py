@@ -1,0 +1,193 @@
+"""Transcript sources.
+
+Two deterministic ways to obtain the BASELINE.json input-shaped table
+(conv_id, turn_idx, role, text, tool, ts):
+
+1. ``generate_transcripts`` — the FIXTURES.md F1 synthetic generator
+   (seed=42): Zipf vocabulary with hot head terms, stopwords, morphological
+   variants, digits/unicode/edge rows, ~2% exact duplicates, ~1% near
+   duplicates, and reference markers (URLs + ``see conv-XXXXXX#k``) for the
+   graph stage.  Used by pytest and by standalone index builds.
+
+2. ``transcripts_from_documents`` — a deterministic, SQL-mirrorable mapping of
+   the driver's ``documents`` testdata table into transcript shape, so driver
+   correctness checks can run the same derivation in DuckDB
+   (``TRANSCRIPTS_FROM_DOCUMENTS_SQL``).  doc_id is dense 0..N-1 in that
+   table, which makes (conv_id, turn_idx) contiguous by construction.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import TRANSCRIPTS_SCHEMA
+
+TURNS_PER_CONV = 8
+_EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+ROLES = ("user", "assistant", "system", "tool")
+TOOLS = ("bash", "search", "edit", "", "")
+
+# DuckDB mirror of transcripts_from_documents(); oracle_sql() builds on it.
+TRANSCRIPTS_FROM_DOCUMENTS_SQL = """
+SELECT
+  'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS conv_id,
+  CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+  CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                  WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+  text,
+  CASE doc_id % 5 WHEN 0 THEN 'bash' WHEN 1 THEN 'search'
+                  WHEN 2 THEN 'edit' ELSE '' END AS tool,
+  TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+  doc_id
+FROM documents
+"""
+
+
+def _docs_batch_to_transcripts(batch: pa.Table) -> pa.Table:
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    conv_num = doc_id // TURNS_PER_CONV
+    conv_id = pa.array([f"conv-{c:06d}" for c in conv_num], pa.string())
+    turn_idx = pa.array((doc_id % TURNS_PER_CONV).astype(np.int32))
+    role = pa.array([ROLES[d % 4] for d in doc_id], pa.string())
+    tool = pa.array([TOOLS[d % 5] for d in doc_id], pa.string())
+    base_us = int(_EPOCH.timestamp()) * 1_000_000
+    ts = pa.array(base_us + doc_id * 60_000_000).cast(pa.timestamp("us"))
+    return pa.table({
+        "conv_id": conv_id,
+        "turn_idx": turn_idx,
+        "role": role,
+        "text": batch.column("text"),
+        "tool": tool,
+        "ts": ts,
+    })
+
+
+def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """documents.parquet -> transcript-shaped Dataset (column-pruned read)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(_docs_batch_to_transcripts, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic generator (FIXTURES.md F1)
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SAMPLE = ("the", "and", "of", "to", "in", "is", "that", "for")
+_MORPH_VARIANTS = ("running", "runs", "run", "indexes", "indexing", "indexed",
+                   "connection", "connections", "connected")
+_ODDBALLS = ("error404", "v2", "a", "x", "café", "日本語", "foo_bar", "x1")
+
+
+def _zipf_vocab(size: int) -> list[str]:
+    return [f"word{i:04d}" for i in range(size)]
+
+
+def generate_transcripts(num_convs: int = 200, *, seed: int = 42,
+                         vocab_size: int = 5000,
+                         mean_turns: int = 10) -> pa.Table:
+    """Deterministic synthetic transcript table (one row per turn)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_zipf_vocab(vocab_size))
+    # Zipf s~1.1 over ranks
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[int] = []
+
+    base_us = int(_EPOCH.timestamp()) * 1_000_000
+    all_rows: list[tuple[str, int]] = []   # (conv_id, turn_idx) for references
+
+    for c in range(num_convs):
+        conv = f"conv-{c:06d}"
+        n_turns = int(rng.integers(1, mean_turns * 2))
+        for t in range(n_turns):
+            n_words = int(rng.integers(3, 40))
+            words = list(rng.choice(vocab, size=n_words, p=probs))
+            # sprinkle stopwords + morphological variants
+            for _ in range(int(rng.integers(0, 4))):
+                words.insert(int(rng.integers(0, len(words) + 1)),
+                             _STOPWORD_SAMPLE[int(rng.integers(0, len(_STOPWORD_SAMPLE)))])
+            if rng.random() < 0.3:
+                words.append(_MORPH_VARIANTS[int(rng.integers(0, len(_MORPH_VARIANTS)))])
+            if rng.random() < 0.1:
+                words.append(_ODDBALLS[int(rng.integers(0, len(_ODDBALLS)))])
+            # reference markers (~10% of turns)
+            r = rng.random()
+            if r < 0.05:
+                tgt_conv = int(rng.integers(0, int(num_convs * 1.1)))  # some dangling
+                tgt_turn = int(rng.integers(0, mean_turns * 2))
+                words.append(f"see conv-{tgt_conv:06d}#{tgt_turn}")
+            elif r < 0.10:
+                words.append("https://Example.com//a//b?utm_source=x&q=1#frag")
+            text = " ".join(words)
+            conv_ids.append(conv)
+            turn_idxs.append(t)
+            roles.append(ROLES[int(rng.integers(0, 4))])
+            texts.append(text)
+            tools.append(TOOLS[int(rng.integers(0, 5))])
+            tss.append(base_us + (c * 1000 + t) * 60_000_000)
+            all_rows.append((conv, t))
+
+    n = len(texts)
+    # edge rows: empty / whitespace / stopword-only / very long
+    edge_positions = rng.choice(n, size=min(8, n), replace=False)
+    edge_texts = ["", "   ", "the and of to", "longword " * 3000]
+    for i, pos in enumerate(edge_positions):
+        texts[pos] = edge_texts[i % len(edge_texts)]
+
+    # exact duplicates (~2%): copy text into a row of a different conversation
+    n_dup = max(1, n // 50)
+    src_idx = rng.choice(n, size=n_dup, replace=False)
+    dst_idx = rng.choice(n, size=n_dup, replace=False)
+    for s, d in zip(src_idx, dst_idx):
+        if conv_ids[s] != conv_ids[d]:
+            texts[d] = texts[s]
+    # near duplicates (~1%): twin with one word changed
+    n_near = max(1, n // 100)
+    src_idx = rng.choice(n, size=n_near, replace=False)
+    dst_idx = rng.choice(n, size=n_near, replace=False)
+    for s, d in zip(src_idx, dst_idx):
+        if conv_ids[s] != conv_ids[d] and texts[s]:
+            w = texts[s].split()
+            if w:
+                w[int(rng.integers(0, len(w)))] = "mutated"
+                texts[d] = " ".join(w)
+
+    table = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+    })
+    assert table.schema.equals(TRANSCRIPTS_SCHEMA)
+    return table
+
+
+def write_transcripts(table: pa.Table, path: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+    return path
+
+
+def read_transcripts(path: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(path)
+    return ds

@@ -1,0 +1,127 @@
+"""Deterministic dense doc_id assignment.
+
+The reference keys documents by BIGSERIAL id assigned at insert time
+(/root/reference/alembic/versions/0001_initial_schema.py:31-51); ours must be
+reproducible across runs and independent of Ray block layout (SURVEY.md §1.4,
+hard part #2).  Scheme:
+
+  doc_id = conv_base_offset[conv_id] + turn_idx
+
+where conv_base_offset is the exclusive prefix sum of per-conversation turn
+counts in lexicographic conv_id order.  This relies on the contractual
+invariant that turn_idx is 0-based contiguous per conversation (FIXTURES.md
+F4.2), which this stage VALIDATES during the same aggregation pass.
+
+Properties: dense 0..N-1; doc_id ascending == (conv_id, turn_idx) ascending,
+so tie-breaking by doc_id is identical to tie-breaking by the natural doc key
+(the reference's ``url ASC``); stable under any parallelism.
+
+Scale notes: the wide step is a conv_id groupby over a two-column projection
+with in-batch pre-aggregation (turns/conv partial counts), so the shuffle
+moves one row per (batch, conv) — not per turn.  The conv -> offset map is
+broadcast via ``ray.put`` once and read by every task.  Beyond
+``cfg.max_broadcast_convs`` conversations the map no longer fits a broadcast;
+the scale path is a hash join of the offsets Dataset against the input on
+conv_id (same math, no driver state) — not needed at sandbox scale but the
+cutover is guarded explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+
+def _conv_partials(batch: pa.Table) -> pa.Table:
+    conv = batch.column("conv_id").to_pylist()
+    turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+    counts: dict[str, list[int]] = {}
+    for c, t in zip(conv, turn):
+        e = counts.get(c)
+        if e is None:
+            counts[c] = [1, int(t), int(t)]
+        else:
+            e[0] += 1
+            if t < e[1]:
+                e[1] = int(t)
+            if t > e[2]:
+                e[2] = int(t)
+    return pa.table({
+        "conv_id": pa.array(list(counts.keys()), pa.string()),
+        "cnt": pa.array([v[0] for v in counts.values()], pa.int64()),
+        "min_t": pa.array([v[1] for v in counts.values()], pa.int64()),
+        "max_t": pa.array([v[2] for v in counts.values()], pa.int64()),
+    })
+
+
+def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
+                 ) -> tuple[dict[str, int], int]:
+    """conv_id -> exclusive base offset, plus total turn count N.
+
+    Validates turn contiguity (min==0, max==cnt-1) for every conversation."""
+    partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        _conv_partials, batch_format="pyarrow")
+    agg = partials.groupby("conv_id").aggregate(
+        Sum("cnt"), Min("min_t"), Max("max_t"))
+    rows = agg.take_all()
+    if len(rows) > max_broadcast_convs:
+        raise NotImplementedError(
+            f"{len(rows)} conversations exceeds the broadcast cap "
+            f"({max_broadcast_convs}); use the distributed-join id assigner "
+            "(see module docstring scale notes)")
+    rows.sort(key=lambda r: r["conv_id"])
+    offsets: dict[str, int] = {}
+    base = 0
+    for r in rows:
+        cnt, mn, mx = int(r["sum(cnt)"]), int(r["min(min_t)"]), int(r["max(max_t)"])
+        if mn != 0 or mx != cnt - 1:
+            raise ValueError(
+                f"conv {r['conv_id']!r}: turn_idx not contiguous from 0 "
+                f"(count={cnt}, min={mn}, max={mx}) — stable-turn-ordering "
+                "invariant violated")
+        offsets[r["conv_id"]] = base
+        base += cnt
+    return offsets, base
+
+
+class _AddDocId:
+    """Actor-pool batch fn: doc_id = offsets[conv_id] + turn_idx.
+
+    The offsets dict is fetched from the object store once per actor
+    (``ray.get`` of a ``ray.put`` handle in __init__), never re-shipped per
+    batch."""
+
+    def __init__(self, offsets_ref):
+        self._offsets = ray.get(offsets_ref) if isinstance(
+            offsets_ref, ray.ObjectRef) else offsets_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        off = self._offsets
+        doc_id = np.fromiter((off[c] for c in conv), dtype=np.int64,
+                             count=len(conv)) + turn.astype(np.int64)
+        return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
+
+
+def assign_doc_ids(ds: "ray.data.Dataset", *,
+                   max_broadcast_convs: int = 5_000_000,
+                   concurrency: int | None = None
+                   ) -> tuple["ray.data.Dataset", int]:
+    """Append a deterministic dense ``doc_id`` column; returns (ds, N)."""
+    offsets, n = conv_offsets(ds, max_broadcast_convs=max_broadcast_convs)
+    ref = ray.put(offsets)
+    # elastic (1, k) pool: a fixed-size pool equal to the CPU count reserves
+    # every core and starves downstream task operators (observed deadlock);
+    # the executor can always make progress with one actor
+    out = ds.map_batches(
+        _AddDocId,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency or 8),
+    )
+    return out, n

