@@ -63,6 +63,20 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         save_manifest(index_dir, manifest)
     n = int(manifest["doc_total"])
 
+    if n == 0:
+        # empty corpus: publish empty-but-valid artifacts (doc_total defaults
+        # to 1 like bm25_stats.py:13) and skip the wide steps
+        import pyarrow.parquet as pq
+        from ..config import DOCS_SCHEMA
+        os.makedirs(docs_dir, exist_ok=True)
+        pq.write_table(DOCS_SCHEMA.empty_table(),
+                       os.path.join(docs_dir, "part-empty.parquet"))
+        stats = {"doc_total": 1, "total_tokens": 0, "avgdl": 0.0}
+        write_stats(index_dir, stats)
+        save_manifest(index_dir, manifest)
+        return {"index_dir": index_dir, "doc_total": 0, "stats": stats,
+                "manifest": manifest}
+
     # 2) tokenize -> shared triples artifact (one tokenize pass total)
     if not (resume and manifest.get("triples_fingerprint") == fp):
         docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", "text"])

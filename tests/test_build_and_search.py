@@ -1,0 +1,162 @@
+"""Engine-vs-oracle rank identity + build invariants (SURVEY.md §5.1-5.5)."""
+
+import glob
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from oracle.oracle import OracleIndex
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.pipelines.build import build_index
+from search_engine_ray.state.query_engine import QueryEngine
+
+# Reference query set (FIXTURES.md F2 coverage classes)
+QUERY_SET = [
+    ("word0000", 20, 0),                 # hot head term
+    ("word4321", 20, 0),                 # rare term
+    ("word0001 word0002 word0003", 20, 0),   # multi-term partial coverage
+    ("the and of to", 20, 0),            # all stopwords -> empty
+    ("running", 20, 0),                  # stemmed form matches
+    ("indexes indexing", 20, 0),
+    ("Word0001, WORD0002!", 20, 0),      # mixed case + punctuation
+    ("word0001", 1, 0),                  # limit 1
+    ("word0001", 100, 0),                # limit 100
+    ("word0001 word0005", 20, 10),       # nonzero offset
+    ("word0000", 20, 100000),            # offset beyond results
+    ("error404 v2", 20, 0),              # alphanumerics
+    ("mutated", 20, 0),                  # near-dup marker word
+    ("café 日本語", 20, 0),              # non-ASCII -> empty
+]
+
+
+def _rows_key(rows):
+    return [(r["url"], r["score"], r["token_score"], r["matched_terms"])
+            for r in rows]
+
+
+def test_rank_identity_vs_oracle(built_index, oracle_index):
+    cfg, _ = built_index
+    qe = QueryEngine(cfg.index_dir)
+    for q, limit, offset in QUERY_SET:
+        a = qe.search(q, limit=limit, offset=offset)
+        b = oracle_index.search(q, limit=limit, offset=offset)
+        assert _rows_key(a) == _rows_key(b), f"query {q!r}"
+
+
+def test_bm25_mode_rank_identity(built_index, tiny_transcripts):
+    cfg, _ = built_index
+    qe = QueryEngine(cfg.index_dir, scoring="bm25")
+    oi = OracleIndex(tiny_transcripts, scoring="bm25")
+    for q in ("word0000", "word0001 word0002", "running indexes"):
+        a = qe.search(q, limit=20)
+        b = oi.search(q, limit=20)
+        assert _rows_key(a) == _rows_key(b), f"bm25 query {q!r}"
+
+
+def test_corpus_stats_match_oracle(built_index, oracle_index):
+    _, info = built_index
+    assert info["doc_total"] == oracle_index.doc_total
+    assert info["stats"]["avgdl"] == pytest.approx(oracle_index.avgdl)
+    assert info["stats"]["total_tokens"] == sum(oracle_index.doc_len)
+
+
+def test_term_stats_match_oracle(built_index, oracle_index):
+    cfg, _ = built_index
+    qe = QueryEngine(cfg.index_dir, load_docs=False)
+    assert set(qe._dict.keys()) == set(oracle_index.postings.keys())
+    for term in list(oracle_index.postings.keys()):
+        df, cf, idf = qe.term_stats(term)
+        assert df == oracle_index.df[term]
+        assert cf == oracle_index.cf[term]
+        assert idf == oracle_index.idf[term]
+
+
+def test_per_turn_text_equality_invariant(built_index, tiny_transcripts):
+    """BASELINE.json per-row invariant: doc-store text == source text
+    byte-for-byte for every (conv_id, turn_idx)."""
+    cfg, _ = built_index
+    docs = pq.read_table(os.path.join(cfg.index_dir, "docs"),
+                         columns=["conv_id", "turn_idx", "text"])
+    stored = {(c, t): x for c, t, x in zip(
+        docs.column("conv_id").to_pylist(),
+        docs.column("turn_idx").to_pylist(),
+        docs.column("text").to_pylist())}
+    src = tiny_transcripts
+    assert len(stored) == src.num_rows
+    for c, t, x in zip(src.column("conv_id").to_pylist(),
+                       src.column("turn_idx").to_pylist(),
+                       src.column("text").to_pylist()):
+        assert stored[(c, t)] == x
+
+
+def _segments_digest(index_dir):
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(os.path.join(index_dir, "segments", "*.parquet"))):
+        h.update(os.path.basename(f).encode())
+        h.update(repr(pq.read_table(f).to_pydict()).encode())
+    return h.hexdigest()
+
+
+def test_parallelism_independence(tiny_transcripts, tmp_path):
+    """Different block layouts must produce byte-identical segments."""
+    digests = []
+    for i, parts in enumerate((2, 7)):
+        cfg = EngineConfig(index_dir=str(tmp_path / f"idx{i}"), num_partitions=8)
+        ds = ray.data.from_arrow(tiny_transcripts).repartition(parts)
+        build_index(ds, cfg, source_desc="par")
+        digests.append(_segments_digest(cfg.index_dir))
+    assert digests[0] == digests[1]
+
+
+def test_salted_equals_unsalted(tiny_transcripts, tmp_path, built_index):
+    cfg_ref, _ = built_index
+    cfg = EngineConfig(index_dir=str(tmp_path / "salted"), num_partitions=8,
+                       salt=4)
+    ds = ray.data.from_arrow(tiny_transcripts).repartition(4)
+    build_index(ds, cfg, source_desc="tiny")
+    assert _segments_digest(cfg.index_dir) == _segments_digest(cfg_ref.index_dir)
+
+
+def test_resume_equals_clean(tiny_transcripts, tmp_path, built_index):
+    """Kill/resume (SURVEY.md §5.5): drop segments + manifest entries, rebuild,
+    byte-identical artifacts."""
+    from search_engine_ray.stages.postings import load_manifest, save_manifest
+
+    cfg_ref, _ = built_index
+    cfg = EngineConfig(index_dir=str(tmp_path / "resume"), num_partitions=8)
+    ds = ray.data.from_arrow(tiny_transcripts).repartition(4)
+    build_index(ds, cfg, source_desc="tiny")
+
+    man = load_manifest(cfg.index_dir)
+    dropped = 0
+    for p in list(man["entries"])[:3]:
+        e = man["entries"].pop(p)
+        os.remove(os.path.join(cfg.index_dir, "segments", e["file"]))
+        dropped += 1
+    assert dropped == 3
+    save_manifest(cfg.index_dir, man)
+
+    build_index(ds, cfg, source_desc="tiny", resume=True)
+    assert _segments_digest(cfg.index_dir) == _segments_digest(cfg_ref.index_dir)
+
+
+def test_empty_corpus(tmp_path):
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "tool": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+    })
+    cfg = EngineConfig(index_dir=str(tmp_path / "empty"), num_partitions=2)
+    info = build_index(ray.data.from_arrow(empty), cfg, source_desc="empty")
+    assert info["doc_total"] == 0
+    assert info["stats"]["doc_total"] == 1   # bm25_stats.py:13 default
+    qe = QueryEngine(cfg.index_dir, load_docs=False)
+    assert qe.candidates("anything", limit=10, offset=0)[0] == []
