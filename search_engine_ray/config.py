@@ -77,6 +77,8 @@ class EngineConfig:
     scoring: str = "reference"        # "reference" (tf*idf*fw) | "bm25"
     tokenize_batch_size: int = 2048
     tokenize_concurrency: int | None = None   # None -> Ray decides
+    do_stem: bool = True              # False = unstemmed index (SQL-checkable)
+    drop_stopwords: bool = True
     build_now: str = BUILD_NOW_ISO
     # conv_id -> base-offset broadcast cap; beyond this the dense-id assigner
     # must switch to the distributed join path (stages/doc_ids.py docstring).

@@ -36,7 +36,9 @@ from ..stages.tokenize import tokenize_docs
 
 
 def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
-    key = f"{source_desc}|stem=1|stop=1|P={cfg.num_partitions}|block={cfg.block_size}"
+    key = (f"{source_desc}|stem={int(cfg.do_stem)}|"
+           f"stop={int(cfg.drop_stopwords)}|P={cfg.num_partitions}|"
+           f"block={cfg.block_size}")
     return f"{hash64(key):016x}"
 
 
@@ -82,7 +84,8 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", "text"])
         combined = tokenize_docs(
             docs_ds, batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency)
+            concurrency=cfg.tokenize_concurrency,
+            do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
         shutil.rmtree(triples_dir, ignore_errors=True)
         combined.write_parquet(triples_dir)
         manifest["triples_fingerprint"] = fp

@@ -1,0 +1,453 @@
+"""Driver-checkable pipelines over the testdata tables.
+
+Each function here backs one ``queries()`` entry in ``__ray_entry__.py`` and
+(where ANSI-SQL can express the semantics) has a DuckDB mirror in
+``oracle_sql()``.  Column names and rounding match the SQL exactly — the
+driver's compare is an order-insensitive value hash over name-sorted columns.
+
+Float discipline: sums that DuckDB would accumulate in a different order are
+either integerized (money -> cents BIGINT) or rounded to 6 decimals on BOTH
+sides; expressions that are single IEEE operations on identical inputs
+(quality, freshness) compare exactly without rounding.
+
+The transcript-shaped input is derived deterministically from the driver's
+``documents`` table (sources/transcripts.py) so DuckDB can re-derive it; by
+construction the engine's dense doc_id equals ``documents.doc_id``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..config import EngineConfig
+from ..functions.hashing import hash64
+from ..sources.transcripts import transcripts_from_documents
+from ..state.query_engine import QueryEngine
+from .build import build_index
+
+_CACHE_ROOT = "/tmp/search_engine_ray/entry"
+_engines: dict[tuple, QueryEngine] = {}
+
+
+def _round_col(t: pa.Table, col: str, ndigits: int = 6) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t.column(col), ndigits=ndigits))
+
+
+def get_engine(sf_dir: str, *, stem: bool) -> QueryEngine:
+    """Build (once per process per mode) an index over the documents-derived
+    transcripts and return a loaded QueryEngine."""
+    key = (os.path.abspath(sf_dir), stem)
+    if key in _engines:
+        return _engines[key]
+    tag = f"{hash64(key[0]):08x}-{'stem' if stem else 'plain'}"
+    cfg = EngineConfig(index_dir=os.path.join(_CACHE_ROOT, tag),
+                       num_partitions=16, do_stem=stem)
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, cfg, source_desc=f"{sf_dir}:{stem}", resume=True)
+    eng = QueryEngine(cfg.index_dir)
+    _engines[key] = eng
+    return eng
+
+
+def _docs_with_ids(sf_dir: str) -> "ray.data.Dataset":
+    """Transcript docs + deterministic doc_id (== documents.doc_id by
+    construction of the derivation)."""
+    from ..stages.doc_ids import assign_doc_ids
+    ds, _ = assign_doc_ids(transcripts_from_documents(sf_dir))
+    return ds
+
+
+# -- index statistics -------------------------------------------------------
+
+def corpus_stats(sf_dir: str) -> pa.Table:
+    eng = get_engine(sf_dir, stem=False)
+    from ..stages.stats import read_stats
+    st = read_stats(eng.index_dir)
+    return pa.table({
+        "doc_total": pa.array([st["doc_total"]], pa.int64()),
+        "total_tokens": pa.array([st["total_tokens"]], pa.int64()),
+        "avgdl": pa.array([round(st["avgdl"], 6)], pa.float64()),
+    })
+
+
+def term_stats(sf_dir: str) -> pa.Table:
+    eng = get_engine(sf_dir, stem=False)
+    terms = sorted(eng._dict)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array([eng._dict[t][0] for t in terms], pa.int64()),
+        "cf": pa.array([eng._dict[t][1] for t in terms], pa.int64()),
+        "idf": pa.array([round(eng._dict[t][2], 6) for t in terms],
+                        pa.float64()),
+    })
+
+
+STAGE1_TERMS = ("merge", "sort", "window")
+
+
+def search_stage1(sf_dir: str) -> pa.Table:
+    """Reference stage-1 scoring (tf*idf*field_weight, SEARCH_SQL semantics)
+    for a fixed unstemmed term set; all matching docs (no limit — the compare
+    is order-insensitive and sf0.01 is far below MAX_CANDIDATES)."""
+    eng = get_engine(sf_dir, stem=False)
+    rows = eng.score_terms(list(STAGE1_TERMS))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "token_score": pa.array([round(r[1], 6) for r in rows], pa.float64()),
+        "matched_terms": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def search_reference(sf_dir: str) -> pa.Table:
+    """Flagship stemmed two-stage search (reference scoring + intent re-rank)
+    over a fixed query set; engine-vs-oracle identity is pytest-verified, the
+    driver records rows/schema."""
+    eng = get_engine(sf_dir, stem=True)
+    out = []
+    for qid, q in enumerate(("merge sort", "window batch stream",
+                             "customer filter", "vector join")):
+        for rank, r in enumerate(eng.search(q, limit=20), start=1):
+            out.append((qid, rank, r["conv_id"], r["turn_idx"],
+                        round(r["score"], 6), r["matched_terms"]))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int64()),
+        "rank": pa.array([r[1] for r in out], pa.int64()),
+        "conv_id": pa.array([r[2] for r in out], pa.string()),
+        "turn_idx": pa.array([r[3] for r in out], pa.int32()),
+        "score": pa.array([r[4] for r in out], pa.float64()),
+        "matched_terms": pa.array([r[5] for r in out], pa.int64()),
+    })
+
+
+def search_bm25(sf_dir: str) -> pa.Table:
+    """Native BM25(k1=1.2, b=0.75) top-k for the same query set."""
+    eng_ref = get_engine(sf_dir, stem=True)
+    qe = QueryEngine(eng_ref.index_dir, scoring="bm25")
+    out = []
+    for qid, q in enumerate(("merge sort", "window batch stream",
+                             "customer filter", "vector join")):
+        cands = qe.candidates(q, limit=20, offset=0)
+        if cands is None:
+            continue
+        for rank, (doc_id, score, mt) in enumerate(cands[0][:20], start=1):
+            out.append((qid, rank, doc_id, round(score, 6), mt))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int64()),
+        "rank": pa.array([r[1] for r in out], pa.int64()),
+        "doc_id": pa.array([r[2] for r in out], pa.int64()),
+        "score": pa.array([r[3] for r in out], pa.float64()),
+        "matched_terms": pa.array([r[4] for r in out], pa.int64()),
+    })
+
+
+# -- spellcheck -------------------------------------------------------------
+
+def word_counts(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.spellcheck import word_counts as wc
+    return wc(_docs_with_ids(sf_dir))
+
+
+def doc_frequencies(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.spellcheck import doc_frequencies as dfq
+    return dfq(_docs_with_ids(sf_dir))
+
+
+def spellcheck_dictionary(sf_dir: str) -> pa.Table:
+    from ..stages.spellcheck import build_dictionary
+    t = build_dictionary(_docs_with_ids(sf_dir))
+    return _round_col(t, "popularity_score")
+
+
+# -- dedup ------------------------------------------------------------------
+
+def dedup_exact_groups(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.dedup import exact_dedup_groups
+    return exact_dedup_groups(_docs_with_ids(sf_dir))
+
+
+def dedup_exact_survivors(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.dedup import exact_dedup_survivors
+    return exact_dedup_survivors(_docs_with_ids(sf_dir))
+
+
+def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.dedup import fingerprints
+    return fingerprints(_docs_with_ids(sf_dir))
+
+
+def minhash_near_dups(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import minhash_near_dups as mnd
+    t = mnd(_docs_with_ids(sf_dir), threshold=0.8).take_all()
+    t.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in t], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in t], pa.int64()),
+        "jaccard": pa.array([round(r["jaccard"], 6) for r in t], pa.float64()),
+    })
+
+
+def simhash_near_pairs(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.dedup import simhash_near_pairs as snp
+    return snp(_docs_with_ids(sf_dir))
+
+
+# -- text stats -------------------------------------------------------------
+
+def text_stats(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.textstats import text_stats as ts
+    return ts(_docs_with_ids(sf_dir)).map_batches(
+        lambda b: b.drop_columns(["punct_ratio"]), batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.textstats import lang_id as li
+    return li(_docs_with_ids(sf_dir))
+
+
+def freshness(sf_dir: str) -> "ray.data.Dataset":
+    from ..config import BUILD_NOW_ISO
+    from ..stages.textstats import freshness as fr
+    return fr(_docs_with_ids(sf_dir), build_now=BUILD_NOW_ISO)
+
+
+def rolling_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.textstats import rolling_fingerprints as rf
+    return rf(_docs_with_ids(sf_dir))
+
+
+# -- graph ------------------------------------------------------------------
+
+def _synthetic_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic SQL-mirrorable reference graph over documents: every doc
+    with doc_id % 3 == 0 links to (doc_id * 7 + 13) % N."""
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = ids[ids % 3 == 0]
+        dst = (src * 7 + 13) % n
+        return pa.table({"src_doc_id": pa.array(src, pa.int64()),
+                         "dst_doc_id": pa.array(dst, pa.int64())})
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def graph_inlinks(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.graph import inlink_counts
+    return inlink_counts(_synthetic_edges(sf_dir))
+
+
+def graph_pagerank(sf_dir: str) -> pa.Table:
+    from ..stages.graph import pagerank
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    n = docs.count()
+    pr = pagerank(_synthetic_edges(sf_dir), n)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "pagerank": pa.array(np.round(pr, 9), pa.float64()),
+    })
+
+
+# -- relational / events ----------------------------------------------------
+
+def events_window(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour window per event_type: count + exact cents sum."""
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        hour = pc.floor_temporal(ts, unit="hour")
+        # floor(x*100 + 0.5): same single IEEE expression as the SQL mirror
+        # (pc.round is half-even, DuckDB round is half-away — avoid both)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch.column("value"), 100), 0.5)), pa.int64())
+        return pa.table({"window_start": hour,
+                         "event_type": batch.column("event_type"),
+                         "value_cents": cents})
+    agg = ev.map_batches(prep, batch_format="pyarrow").groupby(
+        ["window_start", "event_type"]).aggregate(Count(), Sum("value_cents"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "window_start": b.column("window_start"),
+            "event_type": b.column("event_type"),
+            "n_events": b.column("count()"),
+            "sum_value_cents": b.column("sum(value_cents)"),
+        }), batch_format="pyarrow")
+
+
+def sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Gap-based sessionization (30-min gap) per user via groupby.map_groups."""
+    GAP_US = 30 * 60 * 1_000_000
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        user = group.column("user_id")[0].as_py()
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > GAP_US
+        sess = np.cumsum(new_session)
+        starts, counts, sums = [], [], []
+        for s in range(1, sess[-1] + 1) if len(ts) else []:
+            m = sess == s
+            starts.append(int(ts[m][0]))
+            counts.append(int(m.sum()))
+            sums.append(int(np.floor(vals[m] * 100 + 0.5).astype(np.int64).sum()))
+        return pa.table({
+            "user_id": pa.array([user] * len(starts), pa.int64()),
+            "session_start": pa.array(starts, pa.int64()).cast(
+                pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value_cents": pa.array(sums, pa.int64()),
+        })
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def join_orders_customers(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast hash join (small side via ray.put) + groupby aggregate."""
+    import ray as _ray
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_mktsegment"])
+    seg_map: dict[int, str] = {}
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        seg_map.update(zip(b.column("c_custkey").to_pylist(),
+                           b.column("c_mktsegment").to_pylist()))
+    ref = _ray.put(seg_map)
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+
+    class JoinAgg:
+        def __init__(self, ref):
+            self._map = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pylist()
+            price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            cents = np.floor(price * 100 + 0.5).astype(np.int64)
+            agg: dict[str, list[int]] = {}
+            for k, c in zip(keys, cents.tolist()):
+                seg = self._map.get(k)
+                if seg is None:
+                    continue
+                e = agg.setdefault(seg, [0, 0])
+                e[0] += 1
+                e[1] += c
+            return pa.table({
+                "mktsegment": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "cents": pa.array([v[1] for v in agg.values()], pa.int64()),
+            })
+
+    partial = orders.map_batches(JoinAgg, fn_constructor_args=(ref,),
+                                 batch_format="pyarrow", concurrency=(1, 8))
+    final = partial.groupby("mktsegment").aggregate(Sum("n"), Sum("cents"))
+    return final.map_batches(
+        lambda b: pa.table({
+            "mktsegment": b.column("mktsegment"),
+            "n_orders": b.column("sum(n)"),
+            "total_cents": b.column("sum(cents)"),
+        }), batch_format="pyarrow")
+
+
+def topk_orders(sf_dir: str) -> "ray.data.Dataset":
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_cents": pc.cast(pc.floor(pc.add(pc.multiply(
+                batch.column("o_totalprice"), 100), 0.5)), pa.int64()),
+        })
+    return orders.map_batches(cents, batch_format="pyarrow").sort(
+        ["total_cents", "o_orderkey"], descending=[True, False]).limit(50)
+
+
+# -- embeddings -------------------------------------------------------------
+
+ANN_QUERY_IDS = (0, 1)
+ANN_K = 10
+
+
+def _query_vecs(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    by_id = {v: e for v, e in zip(t.column("vec_id").to_pylist(),
+                                  t.column("embedding").to_pylist())}
+    return np.asarray([by_id[q] for q in ANN_QUERY_IDS], dtype=np.float64)
+
+
+def ann_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-k; over-fetch then deterministic re-rank on (rounded
+    cosine DESC, vec_id ASC) so the DuckDB mirror agrees at ulp boundaries."""
+    from ..stages.ann import brute_force_topk
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = brute_force_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
+                         k=ANN_K + 10)
+    rows = sorted(zip(t.column("query_id").to_pylist(),
+                      t.column("vec_id").to_pylist(),
+                      t.column("cosine").to_pylist()),
+                  key=lambda r: (r[0], -round(r[2], 6), r[1]))
+    out_q, out_v, out_c, out_r = [], [], [], []
+    last_q, rank = None, 0
+    for q, v, c in rows:
+        rank = rank + 1 if q == last_q else 1
+        last_q = q
+        if rank > ANN_K:
+            continue
+        out_q.append(q)
+        out_v.append(v)
+        out_c.append(round(c, 6))
+        out_r.append(rank)
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "cosine": pa.array(out_c, pa.float64()),
+        "rank": pa.array(out_r, pa.int64()),
+    })
+
+
+def ann_lsh_topk(sf_dir: str) -> pa.Table:
+    from ..stages.ann import lsh_topk
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = lsh_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir), k=ANN_K)
+    return _round_col(t, "cosine")
+
+
+def embedding_near_dups(sf_dir: str) -> pa.Table:
+    from ..stages.ann import cosine_near_dup_pairs
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = cosine_near_dup_pairs(emb, threshold=0.98).take_all()
+    rows.sort(key=lambda r: (r["vec_a"], r["vec_b"]))
+    return pa.table({
+        "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),
+        "vec_b": pa.array([r["vec_b"] for r in rows], pa.int64()),
+        "cosine": pa.array([round(r["cosine"], 6) for r in rows],
+                           pa.float64()),
+    })
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+def media_features(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.multimodal import featurize_media, synth_media_table
+    import pyarrow.parquet as pq
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    media = ray.data.from_arrow(synth_media_table(ids[:200]))
+    return featurize_media(media).map_batches(
+        lambda b: b.drop_columns(["feature"]), batch_format="pyarrow")

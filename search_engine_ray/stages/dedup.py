@@ -1,0 +1,276 @@
+"""Deduplication stages (SURVEY.md §2.7 + north-rule additions).
+
+The reference only computes SimHash fingerprints
+(/root/reference/app/batch/duplicate_detection.py:45-69) and relies on URL
+upserts for exact dedup (D2).  Here, as first-class engine operators:
+
+  * fingerprints      — SimHash64 per turn (reference D1 semantics)
+  * exact_dedup       — content-hash groupby, keep first by doc key
+  * minhash_lsh_pairs — MinHash + banded LSH candidate generation, verified
+                        by true token-set Jaccard
+  * ngram_jaccard_pairs — character-n-gram Jaccard over LSH candidates
+  * simhash_near_pairs — Hamming-close SimHash pairs via 4-band exact-match
+                        blocking (a 64-bit fingerprint with <=3 differing bits
+                        has at least one identical 16-bit band)
+
+Partitioning: the shuffle key is always the bucket/hash (SURVEY.md §4 "dedup
+-> content_hash"); pair verification happens inside the bucket group, so no
+all-pairs stage ever materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..functions.hashing import hash64, hash64_column, splitmix64_array
+from ..functions.simhash import simhash_text
+
+
+# -- fingerprints (reference D1) -------------------------------------------
+
+def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    fps = [simhash_text(t) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(fps, pa.int64()),
+    })
+
+
+def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, fingerprint) — SimHash64 over whitespace-split text, signed
+    BIGINT wrap (duplicate_detection.py:63,:11-14)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _fingerprint_batch, batch_format="pyarrow")
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def _content_hash_batch(batch: pa.Table) -> pa.Table:
+    h = hash64_column(batch.column("text").to_pylist())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "content_hash": pa.array(h.astype(np.int64)),
+    })
+
+
+def exact_dedup_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """groupby(content_hash) -> (canonical_doc_id=min doc_id, dup_count).
+
+    Keep-first semantics: doc_id order == (conv_id, turn_idx) order, so min
+    doc_id IS the first turn by natural key."""
+    hashed = docs.select_columns(["doc_id", "text"]).map_batches(
+        _content_hash_batch, batch_format="pyarrow")
+    agg = hashed.groupby("content_hash").aggregate(Min("doc_id"), Count())
+    return agg.map_batches(
+        lambda b: pa.table({
+            "canonical_doc_id": b.column("min(doc_id)"),
+            "dup_count": b.column("count()"),
+        }),
+        batch_format="pyarrow")
+
+
+def exact_dedup_survivors(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Surviving doc_ids (one per distinct text)."""
+    return exact_dedup_groups(docs).map_batches(
+        lambda b: pa.table({"doc_id": b.column("canonical_doc_id")}),
+        batch_format="pyarrow")
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+NUM_PERMS = 64
+NUM_BANDS = 8          # 8 bands x 8 rows
+
+
+def _token_set(text: str) -> list[str]:
+    return list({w for w in (text or "").lower().split() if w})
+
+
+class _MinHashBatch:
+    """Emit (band, band_key, doc_id) LSH bucket rows per doc.
+
+    MinHash via one base blake2b hash per token + NUM_PERMS splitmix64
+    re-mixes (vectorized) — standard one-hash + k-mix construction."""
+
+    def __init__(self, num_perms: int = NUM_PERMS, num_bands: int = NUM_BANDS):
+        self._perms = num_perms
+        self._bands = num_bands
+        self._rows = num_perms // num_bands
+        self._seeds = np.arange(1, num_perms + 1, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15)
+
+    def signature(self, tokens: list[str]) -> np.ndarray | None:
+        if not tokens:
+            return None
+        base = hash64_column(tokens)                       # (n,)
+        with np.errstate(over="ignore"):
+            mixed = splitmix64_array(base[:, None] ^ self._seeds[None, :])
+        return mixed.min(axis=0)                           # (num_perms,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        bands: list[int] = []
+        keys: list[int] = []
+        docs: list[int] = []
+        r = self._rows
+        for text, doc_id in zip(texts, doc_ids):
+            sig = self.signature(_token_set(text))
+            if sig is None:
+                continue
+            for b in range(self._bands):
+                band_bytes = sig[b * r:(b + 1) * r].tobytes()
+                bands.append(b)
+                keys.append(hash64(band_bytes) & 0x7FFFFFFFFFFFFFFF)
+                docs.append(doc_id)
+        return pa.table({
+            "band": pa.array(bands, pa.int32()),
+            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        })
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    a: list[int] = []
+    b: list[int] = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table({"doc_a": pa.array(a, pa.int64()),
+                     "doc_b": pa.array(b, pa.int64())})
+
+
+def minhash_candidate_pairs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """LSH candidate pairs (doc_a < doc_b), deduplicated across bands."""
+    buckets = docs.select_columns(["doc_id", "text"]).map_batches(
+        _MinHashBatch, batch_format="pyarrow", concurrency=(1, 8))
+    pairs = buckets.groupby(["band", "band_key"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count()).drop_columns(
+        ["count()"])
+
+
+class _JaccardVerify:
+    """Verify candidate pairs with true token-set Jaccard; text fetched from a
+    broadcast doc-id -> text map (ray.put once, read per actor)."""
+
+    def __init__(self, texts_ref, threshold: float, mode: str = "token"):
+        import ray as _ray
+        self._texts = _ray.get(texts_ref) if isinstance(
+            texts_ref, ray.ObjectRef) else texts_ref
+        self._threshold = threshold
+        self._mode = mode
+
+    def _features(self, text: str) -> set:
+        if self._mode == "ngram":
+            t = (text or "").lower()
+            return {t[i:i + 3] for i in range(max(len(t) - 2, 0))} or {t}
+        return set((text or "").lower().split())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        oa, ob, js = [], [], []
+        for da, db in zip(a_ids, b_ids):
+            fa = self._features(self._texts.get(da, ""))
+            fb = self._features(self._texts.get(db, ""))
+            if not fa and not fb:
+                continue
+            j = len(fa & fb) / len(fa | fb) if (fa | fb) else 0.0
+            if j >= self._threshold:
+                oa.append(da)
+                ob.append(db)
+                js.append(j)
+        return pa.table({
+            "doc_a": pa.array(oa, pa.int64()),
+            "doc_b": pa.array(ob, pa.int64()),
+            "jaccard": pa.array(js, pa.float64()),
+        })
+
+
+def _texts_map(docs: "ray.data.Dataset") -> dict[int, str]:
+    out: dict[int, str] = {}
+    for batch in docs.select_columns(["doc_id", "text"]).iter_batches(
+            batch_format="pyarrow"):
+        out.update(zip(batch.column("doc_id").to_pylist(),
+                       batch.column("text").to_pylist()))
+    return out
+
+
+def minhash_near_dups(docs: "ray.data.Dataset", *, threshold: float = 0.8,
+                      mode: str = "token") -> "ray.data.Dataset":
+    """MinHash LSH candidates -> Jaccard-verified near-dup pairs.
+
+    The doc text map is broadcast for verification; at scale this becomes a
+    doc-store lookup per candidate partition instead of a full broadcast
+    (candidates are rare, so the fetch is a k-row read)."""
+    import ray as _ray
+    pairs = minhash_candidate_pairs(docs)
+    texts_ref = _ray.put(_texts_map(docs))
+    return pairs.map_batches(
+        _JaccardVerify,
+        fn_constructor_args=(texts_ref, threshold, mode),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+def ngram_jaccard_near_dups(docs: "ray.data.Dataset", *,
+                            threshold: float = 0.8) -> "ray.data.Dataset":
+    """Character-3-gram Jaccard over MinHash candidates."""
+    return minhash_near_dups(docs, threshold=threshold, mode="ngram")
+
+
+# -- SimHash near-dup pairs -------------------------------------------------
+
+def simhash_near_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3
+                       ) -> "ray.data.Dataset":
+    """Hamming-<=k SimHash pairs via 4x16-bit band blocking (pigeonhole: <=3
+    differing bits leave at least one band identical)."""
+    fps = fingerprints(docs)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        f = batch.column("fingerprint").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        bands, keys, docs_, fvals = [], [], [], []
+        for b in range(4):
+            part = ((f >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            bands.extend([b] * len(ids))
+            keys.extend(part.tolist())
+            docs_.extend(ids.tolist())
+            fvals.extend(f.astype(np.int64).tolist())
+        return pa.table({
+            "band": pa.array(bands, pa.int32()),
+            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(docs_, pa.int64()),
+            "fingerprint": pa.array(fvals, pa.int64()),
+        })
+
+    def band_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(group.column("doc_id").to_pylist(),
+                              group.column("fingerprint").to_pylist())))
+        a, b, h = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming and rows[i][0] != rows[j][0]:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    h.append(d)
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64()),
+                         "hamming": pa.array(h, pa.int64())})
+
+    pairs = fps.map_batches(explode_bands, batch_format="pyarrow").groupby(
+        ["band", "band_key"]).map_groups(band_pairs, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming")).map_batches(
+        lambda t: pa.table({
+            "doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
+            "hamming": t.column("min(hamming)")}),
+        batch_format="pyarrow")

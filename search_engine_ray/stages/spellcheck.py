@@ -1,0 +1,173 @@
+"""Spellcheck dictionary build + suggestion engine (SURVEY.md §2.4 A4/A5,
+§2.5 J4).
+
+Reference pipeline (/root/reference/app/batch/spellcheck_dictionary.py):
+``[a-z]{2,32}`` regex word counts over the corpus (SQL LATERAL
+regexp_matches, :125-147) merged with external frequency lists, popularity =
+4*log1p(df) + 2*log1p(tf) + 3*log1p(ext) (engine.py:103-108), filtered to
+alpha words of 2-32 chars with any nonzero count, sorted desc, top-120k meta
+artifact (:280-297).
+
+Ours: map_batches regex explode with in-batch partial counts ->
+groupby(word).sum() (the A4 shuffle), vectorized scoring, Dataset
+sort + limit for the top-N artifact.  The suggestion lookup replaces pg_trgm
+candidate generation (J4) with length-banded buckets + OSA verification — the
+acceptance contract (engine.py:110-162) is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.osa import (LexiconEntry, apply_case, choose_correction,
+                             normalize_word, osa_distance, popularity_score)
+
+WORD_RE = re.compile(r"[a-z]{2,32}")
+
+
+def word_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(word, total_frequency) over the corpus — A4 semantics
+    (spellcheck_dictionary.py:125-147: [a-z]{2,32} over lowered text,
+    occurrence counts)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(WORD_RE.findall((t or "").lower()))
+        return pa.table({
+            "word": pa.array(list(counts.keys()), pa.string()),
+            "freq": pa.array(list(counts.values()), pa.int64()),
+        })
+    agg = docs.select_columns(["text"]).map_batches(
+        explode, batch_format="pyarrow").groupby("word").aggregate(Sum("freq"))
+    return agg.map_batches(
+        lambda b: pa.table({"word": b.column("word"),
+                            "total_frequency": b.column("sum(freq)")}),
+        batch_format="pyarrow")
+
+
+def doc_frequencies(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(word, doc_frequency) — distinct docs containing each word."""
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update(set(WORD_RE.findall((t or "").lower())))
+        return pa.table({
+            "word": pa.array(list(counts.keys()), pa.string()),
+            "freq": pa.array(list(counts.values()), pa.int64()),
+        })
+    agg = docs.select_columns(["text"]).map_batches(
+        explode, batch_format="pyarrow").groupby("word").aggregate(Sum("freq"))
+    return agg.map_batches(
+        lambda b: pa.table({"word": b.column("word"),
+                            "doc_frequency": b.column("sum(freq)")}),
+        batch_format="pyarrow")
+
+
+def build_dictionary(docs: "ray.data.Dataset",
+                     external_frequency: dict[str, int] | None = None,
+                     *, top_n: int = 120_000) -> pa.Table:
+    """Full dictionary: outer-merge of doc_freq / total_freq / external
+    (A5), popularity-scored, filtered, sorted desc, top-N.
+
+    Note: the reference's run() feeds doc_frequency as an EMPTY counter (its
+    _collect_word_stats returns doc_frequency untouched,
+    spellcheck_dictionary.py:157-171) — we compute real doc frequencies, the
+    strictly more useful behavior, and the popularity formula is unchanged."""
+    ext = external_frequency or {}
+    tf = word_counts(docs)
+    df = doc_frequencies(docs)
+
+    # outer merge via union + groupby (D3 pattern)
+    tagged_tf = tf.map_batches(
+        lambda b: pa.table({"word": b.column("word"),
+                            "tf": b.column("total_frequency"),
+                            "df": pa.array([0] * len(b), pa.int64())}),
+        batch_format="pyarrow")
+    tagged_df = df.map_batches(
+        lambda b: pa.table({"word": b.column("word"),
+                            "tf": pa.array([0] * len(b), pa.int64()),
+                            "df": b.column("doc_frequency")}),
+        batch_format="pyarrow")
+    merged = tagged_tf.union(tagged_df).groupby("word").aggregate(
+        Sum("tf"), Sum("df"))
+
+    rows = merged.take_all()
+    words = {r["word"]: (int(r["sum(df)"]), int(r["sum(tf)"])) for r in rows}
+    all_words = set(words) | set(ext)
+
+    out = []
+    for word in all_words:
+        if len(word) < 2 or len(word) > 32 or not word.isalpha():
+            continue
+        d, t = words.get(word, (0, 0))
+        e = int(ext.get(word, 0))
+        if d == 0 and t == 0 and e == 0:
+            continue
+        out.append((word, d, t, e, popularity_score(d, t, e)))
+    out.sort(key=lambda r: r[4], reverse=True)
+    out = out[:top_n]
+    return pa.table({
+        "word": pa.array([r[0] for r in out], pa.string()),
+        "doc_frequency": pa.array([r[1] for r in out], pa.int64()),
+        "total_frequency": pa.array([r[2] for r in out], pa.int64()),
+        "external_frequency": pa.array([r[3] for r in out], pa.int64()),
+        "popularity_score": pa.array([r[4] for r in out], pa.float64()),
+    })
+
+
+class SpellcheckLexicon:
+    """Query-side lexicon actor state: length-banded buckets + OSA scan
+    (replaces pg_trgm lookup J4; final acceptance is the reference's
+    choose_correction contract either way)."""
+
+    MAX_CANDIDATES = 120    # per word, like app/api/main.py:69
+
+    def __init__(self, dictionary: pa.Table):
+        self._entries: dict[str, LexiconEntry] = {}
+        self._by_len: dict[int, list[LexiconEntry]] = {}
+        for w, d, t, e, p in zip(
+                dictionary.column("word").to_pylist(),
+                dictionary.column("doc_frequency").to_pylist(),
+                dictionary.column("total_frequency").to_pylist(),
+                dictionary.column("external_frequency").to_pylist(),
+                dictionary.column("popularity_score").to_pylist()):
+            entry = LexiconEntry(w, int(d), int(t), int(e), float(p))
+            self._entries[w] = entry
+            self._by_len.setdefault(len(w), []).append(entry)
+        # popularity-desc order within each band => truncation keeps the most
+        # popular candidates, mirroring the trgm query's ORDER BY popularity
+        for band in self._by_len.values():
+            band.sort(key=lambda x: (-x.popularity_score, x.word))
+
+    def candidates(self, word: str) -> list[LexiconEntry]:
+        n = len(word)
+        out: list[LexiconEntry] = []
+        for l in range(max(2, n - 2), n + 3):       # length band ±2
+            out.extend(self._by_len.get(l, ()))
+        out.sort(key=lambda x: (-x.popularity_score, x.word))
+        return out[:self.MAX_CANDIDATES]
+
+    def correct_word(self, word: str) -> str | None:
+        norm = normalize_word(word)
+        if not norm:
+            return None
+        known = self._entries.get(norm)
+        return choose_correction(word=norm, known=known,
+                                 candidates=self.candidates(norm))
+
+    def correct_text(self, text: str) -> str:
+        """Case-preserving whole-text correction (app/api/main.py:97-197
+        behavior at the word level)."""
+        def repl(m: re.Match) -> str:
+            orig = m.group(0)
+            corr = self.correct_word(orig)
+            return apply_case(orig, corr) if corr else orig
+        return re.sub(r"[A-Za-z]{2,32}", repl, text or "")

@@ -1,0 +1,162 @@
+"""Per-document text analysis stages (SURVEY.md §2.2 M5-M8 + north-rule
+training-data additions): validation, token counts, quality, freshness,
+language ID heuristic, rolling-hash fingerprints.
+
+All vectorized or single-regex-pass per row inside ``map_batches``; each
+function is also mirrored by an ANSI-SQL oracle in ``__ray_entry__`` where
+expressible.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.hashing import hash64
+from ..functions.text import STOPWORDS, TOKEN_RE, quality_score
+
+WORD_RE = re.compile(r"[a-z]{2,32}")
+
+# Tiny language-ID marker sets (deterministic heuristic; a distinct-marker
+# count per language, highest count wins, ties -> lexicographic language id,
+# 0 markers -> 'unk').  SQL-mirrorable (IN-list membership).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with", "for"),
+    "es": ("el", "la", "los", "las", "es", "una", "para"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour"),
+}
+
+
+def text_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, word_count, token_count, char_count, stopword_count,
+    punct_ratio, quality) per doc.
+
+    word_count = whitespace split (reference word_count,
+    /root/reference/app/crawler/worker.py:222); token_count = reference token
+    regex matches (pre-stopword); quality = reference compute_quality with 0
+    outbound links (worker.py:146-152)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        wc, tc, cc, sw, pr, q = [], [], [], [], [], []
+        for t in texts:
+            t = t or ""
+            words = t.split()
+            toks = TOKEN_RE.findall(t.lower())
+            n_stop = sum(1 for x in toks if x in STOPWORDS)
+            n_alnum = sum(ch.isalnum() or ch.isspace() for ch in t)
+            wc.append(len(words))
+            tc.append(len(toks))
+            cc.append(len(t))
+            sw.append(n_stop)
+            pr.append((len(t) - n_alnum) / len(t) if t else 0.0)
+            q.append(quality_score(len(words), 0))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "word_count": pa.array(wc, pa.int64()),
+            "token_count": pa.array(tc, pa.int64()),
+            "char_count": pa.array(cc, pa.int64()),
+            "stopword_count": pa.array(sw, pa.int64()),
+            "punct_ratio": pa.array(pr, pa.float64()),
+            "quality": pa.array(q, pa.float64()),
+        })
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def freshness(docs: "ray.data.Dataset", *, build_now: str) -> "ray.data.Dataset":
+    """(doc_id, age_days, freshness) against the pinned build timestamp
+    (/root/reference/app/crawler/worker.py:154-159 semantics, vectorized)."""
+    now = _dt.datetime.fromisoformat(build_now)
+    now_us = int(now.timestamp()) * 1_000_000
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age_days = (now_us - ts) // (86_400 * 1_000_000)
+        fresh = np.maximum(0.0, 1.0 - np.minimum(365, age_days) / 365.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "age_days": pa.array(age_days, pa.int64()),
+            "freshness": pa.array(fresh, pa.float64()),
+        })
+    return docs.select_columns(["doc_id", "ts"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, lang) — distinct-marker-count heuristic over whitespace
+    tokens; deterministic and SQL-mirrorable."""
+    langs = sorted(LANG_MARKERS)
+    marker_sets = {l: frozenset(LANG_MARKERS[l]) for l in langs}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            toks = set((t or "").lower().split())
+            best_lang, best_n = "unk", 0
+            for l in langs:                      # lexicographic tie-break
+                n = len(toks & marker_sets[l])
+                if n > best_n:
+                    best_lang, best_n = l, n
+            out.append(best_lang)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": pa.array(out, pa.string())})
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def validate_turns(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Validation filter (reference M5, worker.py:306-309 analogue): keep
+    turns with non-whitespace text; counterpart drop-count is derivable as
+    N - count(valid)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.utf8_length(pc.utf8_trim_whitespace(
+                pc.fill_null(batch.column("text"), ""))), 0)
+        return batch.filter(keep)
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprints(docs: "ray.data.Dataset", *, window: int = 8
+                         ) -> "ray.data.Dataset":
+    """(doc_id, fp_count, fp_min) — polynomial rolling hash over token
+    windows (document fingerprinting for containment detection); fp_min is
+    the winnowing-style minimum selected fingerprint."""
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_out, min_out = [], []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if len(toks) < window:
+                n_out.append(0)
+                min_out.append(0)
+                continue
+            h = [hash64(x) % MOD for x in toks]
+            power = pow(BASE, window - 1, MOD)
+            cur = 0
+            fps = []
+            for i, v in enumerate(h):
+                cur = (cur * BASE + v) % MOD
+                if i >= window:
+                    cur = (cur - h[i - window] * power * BASE) % MOD
+                if i >= window - 1:
+                    fps.append(cur)
+            n_out.append(len(fps))
+            min_out.append(min(fps) if fps else 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp_count": pa.array(n_out, pa.int64()),
+            "fp_min": pa.array(min_out, pa.int64()),
+        })
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

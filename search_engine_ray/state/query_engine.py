@@ -110,6 +110,14 @@ class QueryEngine:
             return None
         return rec[0], rec[1], rec[2]
 
+    def score_terms(self, terms: list[str], *, candidate_limit: int | None = None
+                    ) -> list[tuple[int, float, int]]:
+        """Accumulate stage-1 scores for an explicit term list (no query
+        tokenization); ordered (score DESC, doc_id ASC).  Used by
+        SQL-mirrored driver pipelines."""
+        return self._accumulate(sorted(set(terms)),
+                                candidate_limit or self.doc_total)
+
     def candidates(self, q: str, *, limit: int = 20, offset: int = 0
                    ) -> tuple[list[tuple[int, float, int]], dict] | None:
         """Stage-1 candidate generation.  Returns ([(doc_id, token_score,
@@ -118,11 +126,16 @@ class QueryEngine:
         ctx = search_context(q, limit, offset)
         if ctx is None:
             return None
+        return (self._accumulate(sorted(set(ctx["query_terms"])),
+                                 ctx["candidate_limit"]), ctx)
+
+    def _accumulate(self, sorted_terms: list[str], cl: int
+                    ) -> list[tuple[int, float, int]]:
         scores = np.zeros(self.doc_total, dtype=np.float64)
         matched = np.zeros(self.doc_total, dtype=np.int32)
         # sorted term order => deterministic float accumulation (oracle pins
         # the same order)
-        for term in sorted(set(ctx["query_terms"])):
+        for term in sorted_terms:
             rec = self.postings(term)
             if rec is None:
                 continue
@@ -138,20 +151,18 @@ class QueryEngine:
 
         nz = np.flatnonzero(matched)
         if len(nz) == 0:
-            return [], ctx
+            return []
         s = scores[nz]
-        cl = ctx["candidate_limit"]
         if len(nz) > cl:
-            # partial top-cl first, then exact tie-broken order
-            part = np.argpartition(-s, cl - 1)[:cl * 2 if cl * 2 < len(nz) else len(nz)]
-            # keep enough to resolve ties at the boundary: take all with
-            # score >= the cl-th score
+            # pre-prune with a partial selection, keeping every score tied
+            # with the cl-th so the exact (score, doc_id) sort below breaks
+            # boundary ties deterministically
             kth = np.partition(-s, cl - 1)[cl - 1]
-            keep = np.flatnonzero(-s <= kth + 0.0)  # scores >= kth score
+            keep = np.flatnonzero(-s <= kth)
             nz, s = nz[keep], s[keep]
         order = np.lexsort((nz, -s))[:cl]
-        return ([(int(nz[i]), float(s[i]), int(matched[nz[i]]))
-                 for i in order], ctx)
+        return [(int(nz[i]), float(s[i]), int(matched[nz[i]]))
+                for i in order]
 
     # -- stage 2 -----------------------------------------------------------
 
