@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Default mode: one fresh Ray session (num_cpus=$RAY_GRAFT_CPUS, default 32)
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1); prints ONE JSON line:
+
+  {"metric": ..., "value": <headline build sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": N, "turns_per_sec": X, "query_p50_ms": X}
+
+--scaling: runs the identical build twice in FRESH subprocesses
+(num_cpus=8 then 32 by default) on the same input — the sandbox stand-in for
+the north rule's N vs 4N node criterion — and prints one JSON line with both
+throughputs and efficiency = (tp_hi / tp_lo) / (cpus_hi / cpus_lo).
+
+The corpus is the deterministic synthetic transcript table (seed=42), sized
+from the sf in the dir name (sf * 6M turns -> sf0.1 = 600k), generated once
+and cached as Parquet under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/search_engine_ray/bench"
+
+QUERY_SET = [
+    "word0000", "word0001 word0002", "running indexes", "word0100 word0500",
+    "word0003 word0050 word0200", "the and of", "word4000", "word0007",
+    "connection running", "word0010 word0011 word0012",
+] * 5   # 50 timed queries
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_corpus(sf: float) -> tuple[str, int]:
+    num_turns = max(2000, int(sf * 6_000_000))
+    path = os.path.join(CACHE, f"transcripts-{num_turns}-seed42.parquet")
+    if not os.path.exists(path):
+        from search_engine_ray.sources.transcripts import (
+            generate_bench_transcripts, write_transcripts)
+        write_transcripts(generate_bench_transcripts(num_turns), path)
+    return path, num_turns
+
+
+def run_once(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.state.query_engine import QueryEngine
+
+    sf = _sf_from_dir(sf_dir)
+    corpus_path, num_turns = _bench_corpus(sf)
+    index_dir = os.path.join(CACHE, f"idx-{num_turns}-{num_cpus}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = EngineConfig(index_dir=index_dir, num_partitions=32,
+                       tokenize_concurrency=num_cpus)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    ds = ray.data.read_parquet(corpus_path)
+    build_index(ds, cfg, source_desc=f"bench-{num_turns}")
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+
+    t0 = time.time()
+    qe = QueryEngine(index_dir)
+    queries["engine_load"] = round(time.time() - t0, 3)
+
+    lat = []
+    for q in QUERY_SET:
+        t0 = time.time()
+        qe.search(q, limit=20)
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50_ms = lat[len(lat) // 2] * 1000
+    queries["query_set"] = round(sum(lat), 3)
+
+    # secondary pipelines over the driver testdata tables
+    from search_engine_ray.pipelines import queries as Q
+    for name, fn in (("dedup_exact", Q.dedup_exact_groups),
+                     ("ann_topk", Q.ann_topk),
+                     ("events_window", Q.events_window)):
+        t0 = time.time()
+        r = fn(sf_dir)
+        if hasattr(r, "materialize"):
+            r.materialize()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "index-build wall sec (turns/sec + BM25 p50 in fields)",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": num_turns,
+        "turns_per_sec": round(num_turns / build_sec, 1),
+        "query_p50_ms": round(p50_ms, 2),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    # warm the corpus cache so generation isn't timed in either child
+    _bench_corpus(_sf_from_dir(sf_dir))
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--child"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tp_lo = results[lo]["turns_per_sec"]
+    tp_hi = results[hi]["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (throughput ratio / resource ratio)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"build_cpus{lo}": results[lo]["queries"]["index_build"],
+                    f"build_cpus{hi}": results[hi]["queries"]["index_build"]},
+        "sf": results[hi]["sf"],
+        "num_cpus": hi,
+        "turns": results[hi]["turns"],
+        "turns_per_sec_lo": tp_lo,
+        "turns_per_sec_hi": tp_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_once(NUM_CPUS, SF_DIR)))

@@ -182,6 +182,44 @@ def generate_transcripts(num_convs: int = 200, *, seed: int = 42,
     return table
 
 
+def generate_bench_transcripts(num_turns: int, *, seed: int = 42,
+                               vocab_size: int = 5000,
+                               turns_per_conv: int = 10) -> pa.Table:
+    """Vectorized deterministic generator for benchmark-scale corpora
+    (hundreds of thousands of turns): Zipf word soup + stopword sprinkle,
+    fixed turns/conv so id assignment and contiguity hold by construction."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_zipf_vocab(vocab_size) + list(_STOPWORD_SAMPLE)
+                     + list(_MORPH_VARIANTS))
+    n_vocab = len(vocab)
+    ranks = np.arange(1, n_vocab + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+
+    n_words = rng.integers(5, 40, size=num_turns)
+    ends = np.cumsum(n_words)
+    starts = ends - n_words
+    flat = vocab[rng.choice(n_vocab, size=int(ends[-1]), p=probs)]
+    texts = [" ".join(flat[a:b]) for a, b in zip(starts, ends)]
+
+    num_convs = (num_turns + turns_per_conv - 1) // turns_per_conv
+    conv_names = [f"conv-{c:06d}" for c in range(num_convs)]
+    conv_col = [conv_names[i // turns_per_conv] for i in range(num_turns)]
+    turn_col = np.arange(num_turns, dtype=np.int64) % turns_per_conv
+    base_us = int(_EPOCH.timestamp()) * 1_000_000
+    table = pa.table({
+        "conv_id": pa.array(conv_col, pa.string()),
+        "turn_idx": pa.array(turn_col.astype(np.int32)),
+        "role": pa.array([ROLES[i % 4] for i in range(num_turns)], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array([TOOLS[i % 5] for i in range(num_turns)], pa.string()),
+        "ts": pa.array(base_us + np.arange(num_turns, dtype=np.int64)
+                       * 60_000_000).cast(pa.timestamp("us")),
+    })
+    assert table.schema.equals(TRANSCRIPTS_SCHEMA)
+    return table
+
+
 def write_transcripts(table: pa.Table, path: str) -> str:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(table, path)
