@@ -35,8 +35,12 @@ from ..stages.stats import corpus_stats, doclens, write_stats
 from ..stages.tokenize import tokenize_docs
 
 
+# bump when artifact layout changes so resume never reads a stale layout
+_LAYOUT_VERSION = 2
+
+
 def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
-    key = (f"{source_desc}|stem={int(cfg.do_stem)}|"
+    key = (f"v{_LAYOUT_VERSION}|{source_desc}|stem={int(cfg.do_stem)}|"
            f"stop={int(cfg.drop_stopwords)}|P={cfg.num_partitions}|"
            f"block={cfg.block_size}")
     return f"{hash64(key):016x}"
@@ -59,7 +63,9 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         with_ids, n = assign_doc_ids(
             transcripts, max_broadcast_convs=cfg.max_broadcast_convs)
         shutil.rmtree(docs_dir, ignore_errors=True)
-        with_ids.write_parquet(docs_dir)
+        # small row groups: downstream column-pruned reads split into
+        # parallel fragments even when a write task emits one big file
+        with_ids.write_parquet(docs_dir, row_group_size=16384)
         manifest["docs_fingerprint"] = fp
         manifest["doc_total"] = n
         save_manifest(index_dir, manifest)
@@ -87,15 +93,17 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             concurrency=cfg.tokenize_concurrency,
             do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
         shutil.rmtree(triples_dir, ignore_errors=True)
-        combined.write_parquet(triples_dir)
+        # hive-partition by kind: doclen (kind=1) and triple (kind=0) reads
+        # prune whole directories instead of row-filtering everything
+        combined.write_parquet(triples_dir, partition_cols=["kind"],
+                               row_group_size=65536)
         manifest["triples_fingerprint"] = fp
         save_manifest(index_dir, manifest)
 
-    # 3) doclens + corpus stats (filter pushdown on kind)
+    # 3) doclens + corpus stats (kind=1 hive directory read — path pruning)
     dl_ds = ray.data.read_parquet(
-        triples_dir, columns=["kind", "doc_id", "tf"],
-        filter=pads.field("kind") == 1,
-    ).drop_columns(["kind"]).map_batches(
+        os.path.join(triples_dir, "kind=1"), columns=["doc_id", "tf"],
+    ).map_batches(
         lambda b: b.rename_columns(["doc_id", "doc_len"]),
         batch_format="pyarrow")
     shutil.rmtree(doclens_dir, ignore_errors=True)
@@ -109,9 +117,10 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     stats["doc_total"] = n if n > 0 else 1
     write_stats(index_dir, stats)
 
-    # 4) segments (resumable wide step)
+    # 4) segments (resumable wide step); kind=0 directory = posting triples
     triples = ray.data.read_parquet(
-        triples_dir, filter=pads.field("kind") == 0)
+        os.path.join(triples_dir, "kind=0"),
+        columns=["term", "doc_id", "tf"])
     seg_manifest = build_segments(
         triples, index_dir=index_dir, doc_total=n,
         num_partitions=cfg.num_partitions, salt=cfg.salt,

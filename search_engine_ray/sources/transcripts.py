@@ -220,9 +220,12 @@ def generate_bench_transcripts(num_turns: int, *, seed: int = 42,
     return table
 
 
-def write_transcripts(table: pa.Table, path: str) -> str:
+def write_transcripts(table: pa.Table, path: str, *,
+                      row_group_size: int = 16384) -> str:
+    """Small row groups so Ray's parquet reader can split a single file into
+    parallel read fragments (one giant row group serializes the whole read)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)
     return path
 
 

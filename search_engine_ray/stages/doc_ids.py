@@ -37,24 +37,13 @@ from ray.data.aggregate import Max, Min, Sum
 
 
 def _conv_partials(batch: pa.Table) -> pa.Table:
-    conv = batch.column("conv_id").to_pylist()
-    turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
-    counts: dict[str, list[int]] = {}
-    for c, t in zip(conv, turn):
-        e = counts.get(c)
-        if e is None:
-            counts[c] = [1, int(t), int(t)]
-        else:
-            e[0] += 1
-            if t < e[1]:
-                e[1] = int(t)
-            if t > e[2]:
-                e[2] = int(t)
+    agg = pa.TableGroupBy(batch, "conv_id").aggregate([
+        ("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")])
     return pa.table({
-        "conv_id": pa.array(list(counts.keys()), pa.string()),
-        "cnt": pa.array([v[0] for v in counts.values()], pa.int64()),
-        "min_t": pa.array([v[1] for v in counts.values()], pa.int64()),
-        "max_t": pa.array([v[2] for v in counts.values()], pa.int64()),
+        "conv_id": agg.column("conv_id"),
+        "cnt": agg.column("turn_idx_count").cast(pa.int64()),
+        "min_t": agg.column("turn_idx_min").cast(pa.int64()),
+        "max_t": agg.column("turn_idx_max").cast(pa.int64()),
     })
 
 
@@ -100,11 +89,15 @@ class _AddDocId:
             offsets_ref, ray.ObjectRef) else offsets_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pylist()
-        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        # dictionary-encode: one dict lookup per DISTINCT conv in the batch,
+        # then a vectorized gather for the per-row offsets
+        conv_col = batch.column("conv_id").combine_chunks().dictionary_encode()
+        uniques = conv_col.dictionary.to_pylist()
         off = self._offsets
-        doc_id = np.fromiter((off[c] for c in conv), dtype=np.int64,
-                             count=len(conv)) + turn.astype(np.int64)
+        base = np.asarray([off[c] for c in uniques], dtype=np.int64)
+        idx = conv_col.indices.to_numpy(zero_copy_only=False)
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+        doc_id = base[idx] + turn.astype(np.int64)
         return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
 
 

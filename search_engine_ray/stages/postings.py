@@ -48,22 +48,6 @@ RUN_SCHEMA = pa.schema([
 ])
 
 
-def _add_part_salt(num_partitions: int, salt: int, skip_parts: frozenset[int]):
-    def fn(batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_pylist()
-        part = (hash64_column(terms) % np.uint64(num_partitions)).astype(np.int32)
-        if skip_parts:
-            keep = ~np.isin(part, np.fromiter(skip_parts, dtype=np.int32))
-            batch = batch.filter(pa.array(keep))
-            part = part[keep]
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        salt_col = (doc_ids % salt).astype(np.int32) if salt > 1 else \
-            np.zeros(len(part), dtype=np.int32)
-        return (batch.append_column("part", pa.array(part))
-                     .append_column("salt", pa.array(salt_col)))
-    return fn
-
-
 def _term_slices(sorted_terms: list[str]):
     """Yield (term, start, end) over a term-sorted list."""
     n = len(sorted_terms)
@@ -77,42 +61,110 @@ def _term_slices(sorted_terms: list[str]):
         i = j
 
 
-def _encode_runs(group: pa.Table) -> pa.Table:
-    """Phase A reducer: triples of one (part, salt) group -> encoded runs."""
-    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+class _RunCombiner:
+    """Pre-shuffle combiner (map_batches, no groupby): encode each batch's
+    triples into per-term sorted runs.  This is the two-phase aggregation of
+    SURVEY.md §4 — the shuffle then moves compact (term, run) rows (varbyte
+    blobs, ~1-2 B/posting) instead of exploded 20+ B triples, an order of
+    magnitude less exchange volume, and head-term skew is bounded by
+    runs-per-batch rather than df.
+
+    Runs need no doc-disjointness guarantee for the merge: each (term,
+    doc_id) pair exists exactly once globally, so concat + sort in the
+    reducer reconstructs the posting list regardless of how batches split."""
+
+    def __init__(self, num_partitions: int, salt: int,
+                 skip_parts: frozenset[int]):
+        self._parts = num_partitions
+        self._salt = salt
+        self._skip = skip_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        terms = batch.column("term").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tfs = batch.column("tf").to_numpy(zero_copy_only=False)
+
+        out_terms: list[str] = []
+        dfs: list[int] = []
+        cfs: list[int] = []
+        doc_bufs: list[bytes] = []
+        tf_bufs: list[bytes] = []
+        salts: list[int] = []
+        for term, s, e in _term_slices(terms):
+            d, t = doc_ids[s:e], tfs[s:e]
+            doc_buf, tf_buf = encode_postings(d, t)
+            out_terms.append(term)
+            dfs.append(e - s)
+            cfs.append(int(t.sum()))
+            doc_bufs.append(doc_buf)
+            tf_bufs.append(tf_buf)
+            # runs of the same term spread across reducers when salted
+            salts.append(int(d[0]) % self._salt if self._salt > 1 else 0)
+
+        part = (hash64_column(out_terms) % np.uint64(self._parts)).astype(
+            np.int32)
+        table = pa.table({
+            "part": pa.array(part),
+            "term": pa.array(out_terms, pa.string()),
+            "salt": pa.array(salts, pa.int32()),
+            "df": pa.array(dfs, pa.int64()),
+            "cf": pa.array(cfs, pa.int64()),
+            "doc_ids_enc": pa.array(doc_bufs, pa.binary()),
+            "tfs_enc": pa.array(tf_bufs, pa.binary()),
+        })
+        if self._skip:
+            keep = ~np.isin(part, np.fromiter(self._skip, dtype=np.int32))
+            table = table.filter(pa.array(keep))
+        return table
+
+
+def _merge_runs(doc_bufs: list[bytes], tf_bufs: list[bytes]
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Concat + sort a term's runs ((term, doc) pairs are globally unique)."""
+    if len(doc_bufs) == 1:
+        return decode_postings(doc_bufs[0], tf_bufs[0])
+    ds = [decode_postings(db, tb) for db, tb in zip(doc_bufs, tf_bufs)]
+    d = np.concatenate([x[0] for x in ds])
+    t = np.concatenate([x[1] for x in ds])
+    order = np.argsort(d, kind="stable")
+    return d[order], t[order]
+
+
+def _merge_partial(group: pa.Table) -> pa.Table:
+    """Salted intermediate reducer: merge a (part, salt) group's runs per
+    term into one run each (keeps RUN_SCHEMA shape for the final merge)."""
+    group = group.sort_by([("term", "ascending")])
     terms = group.column("term").to_pylist()
-    doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    tfs = group.column("tf").to_numpy(zero_copy_only=False)
+    dfs = group.column("df").to_numpy(zero_copy_only=False)
+    cfs = group.column("cf").to_numpy(zero_copy_only=False)
+    doc_bufs = group.column("doc_ids_enc").to_pylist()
+    tf_bufs = group.column("tfs_enc").to_pylist()
     part = int(group.column("part")[0].as_py()) if len(group) else 0
     salt = int(group.column("salt")[0].as_py()) if len(group) else 0
 
-    out_terms: list[str] = []
-    dfs: list[int] = []
-    cfs: list[int] = []
-    doc_bufs: list[bytes] = []
-    tf_bufs: list[bytes] = []
+    o_terms, o_df, o_cf, o_docs, o_tfs = [], [], [], [], []
     for term, s, e in _term_slices(terms):
-        d, t = doc_ids[s:e], tfs[s:e]
+        d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
         doc_buf, tf_buf = encode_postings(d, t)
-        out_terms.append(term)
-        dfs.append(e - s)
-        cfs.append(int(t.sum()))
-        doc_bufs.append(doc_buf)
-        tf_bufs.append(tf_buf)
-
+        o_terms.append(term)
+        o_df.append(int(dfs[s:e].sum()))
+        o_cf.append(int(cfs[s:e].sum()))
+        o_docs.append(doc_buf)
+        o_tfs.append(tf_buf)
     return pa.table({
-        "part": pa.array([part] * len(out_terms), pa.int32()),
-        "term": pa.array(out_terms, pa.string()),
-        "salt": pa.array([salt] * len(out_terms), pa.int32()),
-        "df": pa.array(dfs, pa.int64()),
-        "cf": pa.array(cfs, pa.int64()),
-        "doc_ids_enc": pa.array(doc_bufs, pa.binary()),
-        "tfs_enc": pa.array(tf_bufs, pa.binary()),
+        "part": pa.array([part] * len(o_terms), pa.int32()),
+        "term": pa.array(o_terms, pa.string()),
+        "salt": pa.array([salt] * len(o_terms), pa.int32()),
+        "df": pa.array(o_df, pa.int64()),
+        "cf": pa.array(o_cf, pa.int64()),
+        "doc_ids_enc": pa.array(o_docs, pa.binary()),
+        "tfs_enc": pa.array(o_tfs, pa.binary()),
     })
 
 
 class _SegmentWriter:
-    """Phase B reducer: merge a part's runs per term, write the segment file,
+    """Final reducer: merge a part's runs per term, write the segment file,
     emit a manifest row.  Deterministic output: terms ascending, postings
     ascending, fixed schema."""
 
@@ -143,16 +195,7 @@ class _SegmentWriter:
         o_bmt: list[list[int]] = []
 
         for term, s, e in _term_slices(terms):
-            if e - s == 1:
-                d, t = decode_postings(doc_bufs[s], tf_bufs[s])
-            else:
-                # runs are doc-disjoint (salt partitions docs): concat + sort
-                d = np.concatenate([decode_postings(doc_bufs[i], tf_bufs[i])[0]
-                                    for i in range(s, e)])
-                t = np.concatenate([decode_postings(doc_bufs[i], tf_bufs[i])[1]
-                                    for i in range(s, e)])
-                order = np.argsort(d, kind="stable")
-                d, t = d[order], t[order]
+            d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
             df = int(dfs[s:e].sum())
             cf = int(cfs[s:e].sum())
             doc_buf, tf_buf = encode_postings(d, t)
@@ -227,16 +270,17 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
     )
     manifest["entries"] = {str(p): manifest["entries"][str(p)] for p in done}
 
-    triples = combined.filter(expr="kind == 0")
-    parted = triples.map_batches(
-        _add_part_salt(num_partitions, salt, done), batch_format="pyarrow")
+    triples = combined.filter(expr="kind == 0") \
+        if "kind" in combined.schema().names else combined
+    # batch_size=None: combine whole blocks — bigger batches = longer runs =
+    # less shuffle volume (default 1024-row batches would emit df~1 runs)
+    runs = triples.map_batches(
+        _RunCombiner(num_partitions, salt, done), batch_format="pyarrow",
+        batch_size=None)
 
     if salt > 1:
-        runs = parted.groupby(["part", "salt"]).map_groups(
-            _encode_runs, batch_format="pyarrow")
-    else:
-        runs = parted.groupby("part").map_groups(
-            _encode_runs, batch_format="pyarrow")
+        runs = runs.groupby(["part", "salt"]).map_groups(
+            _merge_partial, batch_format="pyarrow")
 
     writer_rows = runs.groupby("part").map_groups(
         _SegmentWriter,
@@ -247,7 +291,7 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
             "input_fingerprint": input_fingerprint,
         },
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, 16),
     ).take_all()   # manifest rows only: one per part, tiny
 
     for row in writer_rows:

@@ -81,7 +81,7 @@ def test_candidate_limit_formula():
     assert candidate_limit(20, 0) == 220
     assert candidate_limit(100, 0) == 1000
     assert candidate_limit(100, 1900) == 2000
-    assert candidate_limit(1, 0) == 202
+    assert candidate_limit(1, 0) == 201
 
 
 def test_idf_positive():
@@ -166,10 +166,11 @@ def test_choose_correction_thresholds():
              LexiconEntry("hallo", 1, 2, 0, 1.0)]
     # unknown word, d=1 candidate with pop >= 0.5 accepted
     assert choose_correction(word="helo", known=None, candidates=cands) == "hello"
-    # known word needs 1.8x its popularity at d=1
-    known = LexiconEntry("helo", 5, 50, 0, 20.0)
+    # known word needs 1.8x its popularity at d=1: 15*1.8=27 <= 30 accepts
+    known = LexiconEntry("helo", 5, 50, 0, 15.0)
     assert choose_correction(word="helo", known=known, candidates=cands) == "hello"
-    known_strong = LexiconEntry("helo", 5, 50, 0, 29.0)
+    # 20*1.8=36 > 30 rejects
+    known_strong = LexiconEntry("helo", 5, 50, 0, 20.0)
     assert choose_correction(word="helo", known=known_strong, candidates=cands) is None
     # short words (<=3) only accept distance 1
     assert choose_correction(word="xq", known=None,
