@@ -72,10 +72,20 @@ def write_fixture_wordlists(dir_path: str, *, seed: int = 42
     rng = np.random.default_rng(seed)
     os.makedirs(dir_path, exist_ok=True)
 
+    def alpha_suffix(i: int) -> str:
+        # base-26 letters so fixture words stay purely alphabetic (the
+        # parser rejects non-alpha words, spellcheck_dictionary.py:69)
+        s = ""
+        for _ in range(3):
+            s = chr(97 + i % 26) + s
+            i //= 26
+        return s
+
     counted = os.path.join(dir_path, "freq_counted.txt")
     with open(counted, "w") as f:
         for i in range(2000):
-            f.write(f"extword{i:04d} {int(rng.integers(10, 1_000_000))}\n")
+            f.write(f"extword{alpha_suffix(i)} "
+                    f"{int(rng.integers(10, 1_000_000))}\n")
         f.write("nocount\n")            # missing count
         f.write("badcount xyz\n")       # non-digit count
         f.write("a 500\n")              # 1-char word
@@ -84,7 +94,7 @@ def write_fixture_wordlists(dir_path: str, *, seed: int = 42
     ranked = os.path.join(dir_path, "freq_ranked.txt")
     with open(ranked, "w") as f:
         for i in range(1000):
-            f.write(f"rankword{i:04d}\n")
+            f.write(f"rankword{alpha_suffix(i)}\n")
         f.write("x\n")                  # 1-char
         f.write("w0rd\n")               # non-alpha
 

@@ -1,0 +1,257 @@
+"""Oracle tests for the non-search stages: dedup, graph, spellcheck,
+text stats, ANN, multimodal plumbing (SURVEY.md §5.3-5.4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from oracle.oracle import oracle_pagerank, oracle_word_counts
+from search_engine_ray.functions.simhash import simhash_text
+from search_engine_ray.stages.doc_ids import assign_doc_ids
+
+
+@pytest.fixture(scope="module")
+def docs_ds(tiny_transcripts):
+    ds, _ = assign_doc_ids(ray.data.from_arrow(tiny_transcripts).repartition(4))
+    return ds.materialize()
+
+
+@pytest.fixture(scope="module")
+def docs_rows(tiny_transcripts):
+    rows = tiny_transcripts.to_pylist()
+    rows.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    return rows      # doc_id == index
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup_vs_bruteforce(docs_ds, docs_rows):
+    from search_engine_ray.stages.dedup import exact_dedup_groups
+    got = {r["canonical_doc_id"]: r["dup_count"]
+           for r in exact_dedup_groups(docs_ds).take_all()}
+    groups: dict[str, list[int]] = {}
+    for i, r in enumerate(docs_rows):
+        groups.setdefault(r["text"], []).append(i)
+    expect = {min(v): len(v) for v in groups.values()}
+    assert got == expect
+    assert any(c > 1 for c in got.values())     # fixture plants exact dups
+
+
+def test_fingerprints_match_scalar(docs_ds, docs_rows):
+    from search_engine_ray.stages.dedup import fingerprints
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in fingerprints(docs_ds).take_all()}
+    for doc_id in (0, 1, len(docs_rows) // 2, len(docs_rows) - 1):
+        assert got[doc_id] == simhash_text(docs_rows[doc_id]["text"])
+
+
+def test_minhash_near_dups_find_planted_twins(docs_ds, docs_rows):
+    from search_engine_ray.stages.dedup import minhash_near_dups
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in minhash_near_dups(docs_ds, threshold=0.95).take_all()}
+    # every byte-identical cross-conversation pair must be found (jaccard 1.0)
+    groups: dict[str, list[int]] = {}
+    for i, r in enumerate(docs_rows):
+        if r["text"].strip():
+            groups.setdefault(r["text"], []).append(i)
+    planted = [(ids[0], ids[1]) for ids in groups.values() if len(ids) > 1]
+    assert planted, "fixture should contain exact dups"
+    for a, b in planted:
+        assert pairs.get((a, b)) == pytest.approx(1.0)
+    # verification: every reported pair really has Jaccard >= threshold
+    for (a, b), j in pairs.items():
+        sa = set(docs_rows[a]["text"].lower().split())
+        sb = set(docs_rows[b]["text"].lower().split())
+        true_j = len(sa & sb) / len(sa | sb)
+        assert j == pytest.approx(true_j)
+        assert true_j >= 0.95
+
+
+def test_simhash_near_pairs_sound(docs_ds, docs_rows):
+    from search_engine_ray.functions.simhash import hamming64
+    from search_engine_ray.stages.dedup import simhash_near_pairs
+    rows = simhash_near_pairs(docs_ds, max_hamming=3).take_all()
+    assert rows, "exact dups guarantee hamming-0 pairs"
+    for r in rows:
+        ha = simhash_text(docs_rows[r["doc_a"]]["text"])
+        hb = simhash_text(docs_rows[r["doc_b"]]["text"])
+        assert hamming64(ha, hb) == r["hamming"] <= 3
+
+
+# -- graph ------------------------------------------------------------------
+
+def test_graph_edges_and_pagerank_vs_oracle(docs_ds, docs_rows):
+    from search_engine_ray.stages.graph import (extract_mention_edges,
+                                                inlink_counts, pagerank,
+                                                resolve_edges)
+    raw = extract_mention_edges(docs_ds)
+    resolved = resolve_edges(raw, docs_ds).materialize()
+    edges = [(r["src_doc_id"], r["dst_doc_id"]) for r in resolved.take_all()]
+    assert edges, "fixture plants mention markers"
+
+    # oracle edge extraction: regex over rows + key resolution, dangling drop
+    import re
+    mention = re.compile(r"\bsee (conv-\d{6})#(\d+)\b")
+    key_to_id = {(r["conv_id"], r["turn_idx"]): i
+                 for i, r in enumerate(docs_rows)}
+    expect = set()
+    for i, r in enumerate(docs_rows):
+        for conv, turn in mention.findall(r["text"] or ""):
+            tgt = key_to_id.get((conv, int(turn)))
+            if tgt is not None:
+                expect.add((i, tgt))
+    assert set(edges) == expect
+
+    n = len(docs_rows)
+    got_in = {r["doc_id"]: r["inlink_count"]
+              for r in inlink_counts(resolved).take_all()}
+    pr = pagerank(resolved, n)
+    o_pr, o_in = oracle_pagerank(list(range(n)), edges)
+    for d, c in o_in.items():
+        assert got_in.get(d, 0) == c
+    assert np.allclose(pr, [o_pr[i] for i in range(n)], rtol=1e-9, atol=1e-12)
+
+
+# -- spellcheck -------------------------------------------------------------
+
+def test_word_counts_vs_oracle(docs_ds, docs_rows):
+    from search_engine_ray.stages.spellcheck import word_counts
+    got = {r["word"]: r["total_frequency"]
+           for r in word_counts(docs_ds).take_all()}
+    expect = oracle_word_counts([r["text"] for r in docs_rows])
+    assert got == dict(expect)
+
+
+def test_dictionary_and_suggestions(docs_ds, tmp_path):
+    from search_engine_ray.sources.wordlists import (
+        collect_external_frequencies, write_fixture_wordlists)
+    from search_engine_ray.stages.spellcheck import (SpellcheckLexicon,
+                                                     build_dictionary)
+    sources = write_fixture_wordlists(str(tmp_path / "wl"))
+    ext = collect_external_frequencies(sources)
+    assert ext["extwordaaa"] > 0 and ext["rankwordaaa"] > 0
+    assert "nocount" not in ext and "a" not in ext     # malformed skipped
+
+    d = build_dictionary(docs_ds, dict(ext))
+    words = set(d.column("word").to_pylist())
+    # dictionary is alpha-only ([a-z]{2,32} + isalpha filter): the Zipf
+    # vocab "word0001" contributes only "word"
+    assert "word" in words and "running" in words
+    assert not any(any(c.isdigit() for c in w) for w in words)
+
+    lex = SpellcheckLexicon(d)
+    # corpus word misspelled by one edit -> corrected
+    assert lex.correct_word("runninng") == "running"
+    # known word with no drastically-more-popular neighbor stays
+    assert lex.correct_word("running") is None
+    # case preservation through correct_text
+    assert lex.correct_text("Runninng").startswith("Running")
+
+
+# -- text stats -------------------------------------------------------------
+
+def test_text_stats_vs_scalar(docs_ds, docs_rows):
+    from search_engine_ray.functions.text import STOPWORDS, TOKEN_RE
+    from search_engine_ray.stages.textstats import text_stats
+    got = {r["doc_id"]: r for r in text_stats(docs_ds).take_all()}
+    for doc_id in (0, 5, len(docs_rows) - 1):
+        t = docs_rows[doc_id]["text"]
+        toks = TOKEN_RE.findall(t.lower())
+        assert got[doc_id]["word_count"] == len(t.split())
+        assert got[doc_id]["token_count"] == len(toks)
+        assert got[doc_id]["stopword_count"] == sum(
+            1 for x in toks if x in STOPWORDS)
+
+
+def test_lang_id_markers():
+    from search_engine_ray.stages.textstats import lang_id
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog of it is that",
+            "el perro la casa es una para los",
+            "zzz qqq xxx",
+            "der hund die katze und das ist",
+        ], pa.string()),
+    })
+    got = {r["doc_id"]: r["lang"]
+           for r in lang_id(ray.data.from_arrow(t)).take_all()}
+    assert got == {0: "en", 1: "es", 2: "unk", 3: "de"}
+
+
+# -- ANN --------------------------------------------------------------------
+
+def _rand_embeddings(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim))
+    # plant a near-duplicate pair
+    vecs[10] = vecs[7] + rng.standard_normal(dim) * 1e-3
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+
+
+def test_brute_force_topk_vs_numpy():
+    from search_engine_ray.stages.ann import brute_force_topk
+    t = _rand_embeddings()
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+    got = brute_force_topk(ds, [0, 1], q, k=5)
+
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in (0, 1):
+        expect = sorted(range(len(vecs)), key=lambda j: (-sims[qi, j], j))[:5]
+        mask = got.filter(
+            pa.compute.equal(got.column("query_id"), qi))
+        assert mask.column("vec_id").to_pylist() == expect
+
+
+def test_lsh_topk_recall_and_near_dups():
+    from search_engine_ray.stages.ann import (brute_force_topk,
+                                              cosine_near_dup_pairs, lsh_topk)
+    t = _rand_embeddings()
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+    exact = brute_force_topk(ds, [0, 1], q, k=5)
+    approx = lsh_topk(ds, [0, 1], q, k=5, probe_hamming=3)
+    # recall of approximate vs exact top-5 (self + planted twins make the
+    # head easy; require >= 60% overall)
+    e = set(zip(exact.column("query_id").to_pylist(),
+                exact.column("vec_id").to_pylist()))
+    a = set(zip(approx.column("query_id").to_pylist(),
+                approx.column("vec_id").to_pylist()))
+    assert len(e & a) / len(e) >= 0.6
+
+    pairs = cosine_near_dup_pairs(ds, threshold=0.99).take_all()
+    assert any({r["vec_a"], r["vec_b"]} == {7, 10} for r in pairs)
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+def test_media_featurizer_plumbing():
+    from search_engine_ray.stages.multimodal import (MediaFeaturizer,
+                                                     decode_image,
+                                                     featurize_media,
+                                                     synth_media_table)
+    media = synth_media_table(list(range(30)))
+    out = featurize_media(ray.data.from_arrow(media), batch_size=8).take_all()
+    assert len(out) == 30
+    for r in out:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+    # determinism
+    out2 = featurize_media(ray.data.from_arrow(media), batch_size=16).take_all()
+    assert sorted((r["doc_id"], r["payload_hash"]) for r in out) == \
+        sorted((r["doc_id"], r["payload_hash"]) for r in out2)
+    # real decode is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(fake_decode=False)
