@@ -130,9 +130,13 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--child"],
             env=env, capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(f"scaling child cpus={cpus} failed:\n"
+                             f"{out.stderr[-2000:]}\n")
+            raise RuntimeError(f"scaling child cpus={cpus} produced no JSON")
+        results[cpus] = json.loads(lines[-1])
     tp_lo = results[lo]["turns_per_sec"]
     tp_hi = results[hi]["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)

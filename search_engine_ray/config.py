@@ -42,15 +42,20 @@ POSTINGS_TRIPLES_SCHEMA = pa.schema([
 ])
 
 # Final segment rows: real posting lists (SURVEY.md §1.4 / north rule).
+# Delta coding restarts per block and byte offsets are stored, so block-max
+# WAND can decode any block independently.
 SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),
     ("df", pa.int64()),
     ("cf", pa.int64()),
     ("idf", pa.float64()),
-    ("doc_ids_enc", pa.binary()),      # delta + varbyte
-    ("tfs_enc", pa.binary()),          # varbyte
+    ("doc_ids_enc", pa.binary()),      # per-block delta + varbyte
+    ("tfs_enc", pa.binary()),          # per-block varbyte
     ("block_last_doc", pa.list_(pa.int64())),
     ("block_max_tf", pa.list_(pa.int64())),
+    ("block_doc_off", pa.list_(pa.int64())),   # len = n_blocks + 1
+    ("block_tf_off", pa.list_(pa.int64())),
+    ("block_count", pa.list_(pa.int64())),
 ])
 
 TERM_STATS_SCHEMA = pa.schema([

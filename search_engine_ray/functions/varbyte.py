@@ -112,3 +112,55 @@ def block_max_meta(doc_ids: np.ndarray, tfs: np.ndarray,
         last_docs.append(int(doc_ids[e - 1]))
         max_tfs.append(int(tfs[s:e].max()))
     return last_docs, max_tfs
+
+
+def encode_postings_blocked(doc_ids: np.ndarray, tfs: np.ndarray,
+                            block_size: int = BLOCK_SIZE
+                            ) -> tuple[bytes, bytes, dict]:
+    """Block-independent encoding for WAND: delta encoding RESTARTS at each
+    block (first doc of a block is absolute), so any block can be decoded
+    without its predecessors.  Returns (doc_buf, tf_buf, meta) where meta has
+    per-block byte offsets + last_doc + max_tf + counts."""
+    n = len(doc_ids)
+    doc_chunks: list[bytes] = []
+    tf_chunks: list[bytes] = []
+    doc_off = [0]
+    tf_off = [0]
+    last_docs: list[int] = []
+    max_tfs: list[int] = []
+    counts: list[int] = []
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        dchunk = vb_encode(delta_encode(doc_ids[s:e]))
+        tchunk = vb_encode(tfs[s:e])
+        doc_chunks.append(dchunk)
+        tf_chunks.append(tchunk)
+        doc_off.append(doc_off[-1] + len(dchunk))
+        tf_off.append(tf_off[-1] + len(tchunk))
+        last_docs.append(int(doc_ids[e - 1]))
+        max_tfs.append(int(np.asarray(tfs[s:e]).max()))
+        counts.append(e - s)
+    meta = {"last_doc": last_docs, "max_tf": max_tfs,
+            "doc_off": doc_off, "tf_off": tf_off, "count": counts}
+    return b"".join(doc_chunks), b"".join(tf_chunks), meta
+
+
+def decode_block(doc_buf: bytes, tf_buf: bytes, meta: dict, block: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block of a blocked posting list."""
+    ds, de = meta["doc_off"][block], meta["doc_off"][block + 1]
+    ts, te = meta["tf_off"][block], meta["tf_off"][block + 1]
+    docs = delta_decode(vb_decode(doc_buf[ds:de]))
+    tfs = vb_decode(tf_buf[ts:te])
+    return docs, tfs
+
+
+def decode_postings_blocked(doc_buf: bytes, tf_buf: bytes, meta: dict
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode all blocks of a blocked posting list."""
+    n_blocks = len(meta["last_doc"])
+    if n_blocks == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    parts = [decode_block(doc_buf, tf_buf, meta, b) for b in range(n_blocks)]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))

@@ -36,7 +36,7 @@ from ..stages.tokenize import tokenize_docs
 
 
 # bump when artifact layout changes so resume never reads a stale layout
-_LAYOUT_VERSION = 2
+_LAYOUT_VERSION = 3
 
 
 def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:

@@ -34,8 +34,8 @@ import ray.data
 from ..config import SEGMENT_SCHEMA
 from ..functions.hashing import hash64_column
 from ..functions.text import idf as idf_fn
-from ..functions.varbyte import (block_max_meta, decode_postings,
-                                 encode_postings)
+from ..functions.varbyte import (decode_postings, encode_postings,
+                                 encode_postings_blocked)
 
 RUN_SCHEMA = pa.schema([
     ("part", pa.int32()),
@@ -193,21 +193,27 @@ class _SegmentWriter:
         o_tfs: list[bytes] = []
         o_bld: list[list[int]] = []
         o_bmt: list[list[int]] = []
+        o_bdo: list[list[int]] = []
+        o_bto: list[list[int]] = []
+        o_bct: list[list[int]] = []
 
         for term, s, e in _term_slices(terms):
             d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
             df = int(dfs[s:e].sum())
             cf = int(cfs[s:e].sum())
-            doc_buf, tf_buf = encode_postings(d, t)
-            bld, bmt = block_max_meta(d, t, self._block_size)
+            doc_buf, tf_buf, meta = encode_postings_blocked(
+                d, t, self._block_size)
             o_terms.append(term)
             o_df.append(df)
             o_cf.append(cf)
             o_idf.append(idf_fn(self._doc_total, df))
             o_docs.append(doc_buf)
             o_tfs.append(tf_buf)
-            o_bld.append(bld)
-            o_bmt.append(bmt)
+            o_bld.append(meta["last_doc"])
+            o_bmt.append(meta["max_tf"])
+            o_bdo.append(meta["doc_off"])
+            o_bto.append(meta["tf_off"])
+            o_bct.append(meta["count"])
 
         seg = pa.table({
             "term": pa.array(o_terms, pa.string()),
@@ -218,6 +224,9 @@ class _SegmentWriter:
             "tfs_enc": pa.array(o_tfs, pa.binary()),
             "block_last_doc": pa.array(o_bld, pa.list_(pa.int64())),
             "block_max_tf": pa.array(o_bmt, pa.list_(pa.int64())),
+            "block_doc_off": pa.array(o_bdo, pa.list_(pa.int64())),
+            "block_tf_off": pa.array(o_bto, pa.list_(pa.int64())),
+            "block_count": pa.array(o_bct, pa.list_(pa.int64())),
         }, schema=SEGMENT_SCHEMA)
 
         fname = f"segment-p{part:05d}.parquet"

@@ -39,8 +39,63 @@ import pyarrow.parquet as pq
 from ..config import EngineConfig
 from ..functions.text import (DEFAULT_FIELD_WEIGHT, bm25_score, intent_score,
                               search_context)
-from ..functions.varbyte import decode_postings
+from ..functions.varbyte import decode_block, decode_postings_blocked
 from ..stages.stats import read_stats
+
+
+class _TermIter:
+    """Posting-list cursor with block-skip next_geq (decodes one block at a
+    time using the stored per-block byte offsets)."""
+
+    __slots__ = ("dbuf", "tbuf", "meta", "idf", "ub", "nblocks", "b",
+                 "docs", "tfs", "pos", "cur_doc", "cur_tf")
+    INF = 1 << 62
+
+    def __init__(self, dbuf: bytes, tbuf: bytes, meta: dict, idf: float,
+                 ub: float):
+        self.dbuf, self.tbuf, self.meta = dbuf, tbuf, meta
+        self.idf, self.ub = idf, ub
+        self.nblocks = len(meta["last_doc"])
+        self._load_block(0)
+
+    def _load_block(self, b: int) -> None:
+        from ..functions.varbyte import decode_block
+        self.b = b
+        docs, tfs = decode_block(self.dbuf, self.tbuf, self.meta, b)
+        self.docs = docs.astype(np.int64)
+        self.tfs = tfs.astype(np.int64)
+        self.pos = 0
+        self.cur_doc = int(self.docs[0])
+        self.cur_tf = int(self.tfs[0])
+
+    def _exhaust(self) -> None:
+        self.cur_doc = self.INF
+        self.cur_tf = 0
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos < len(self.docs):
+            self.cur_doc = int(self.docs[self.pos])
+            self.cur_tf = int(self.tfs[self.pos])
+        elif self.b + 1 < self.nblocks:
+            self._load_block(self.b + 1)
+        else:
+            self._exhaust()
+
+    def next_geq(self, target: int) -> None:
+        if self.cur_doc >= target:
+            return
+        import bisect
+        nb = bisect.bisect_left(self.meta["last_doc"], target, lo=self.b)
+        if nb >= self.nblocks:
+            self._exhaust()
+            return
+        if nb != self.b:
+            self._load_block(nb)
+        pos = int(np.searchsorted(self.docs, target, side="left"))
+        self.pos = pos
+        self.cur_doc = int(self.docs[pos])
+        self.cur_tf = int(self.tfs[pos])
 
 
 class QueryEngine:
@@ -53,7 +108,7 @@ class QueryEngine:
         self.doc_total = int(stats["doc_total"])
         self.avgdl = float(stats["avgdl"])
 
-        # term dictionary: term -> (df, cf, idf, doc_buf, tf_buf, bld, bmt)
+        # term dictionary: term -> (df, cf, idf, doc_buf, tf_buf, block_meta)
         self._dict: dict[str, tuple] = {}
         for f in sorted(glob.glob(os.path.join(index_dir, "segments", "segment-p*.parquet"))):
             t = pq.read_table(f)
@@ -65,9 +120,15 @@ class QueryEngine:
             tbufs = t.column("tfs_enc").to_pylist()
             blds = t.column("block_last_doc").to_pylist()
             bmts = t.column("block_max_tf").to_pylist()
+            bdos = t.column("block_doc_off").to_pylist()
+            btos = t.column("block_tf_off").to_pylist()
+            bcts = t.column("block_count").to_pylist()
             for i, term in enumerate(terms):
+                meta = {"last_doc": blds[i], "max_tf": bmts[i],
+                        "doc_off": bdos[i], "tf_off": btos[i],
+                        "count": bcts[i]}
                 self._dict[term] = (dfs[i], cfs[i], idfs[i], dbufs[i],
-                                    tbufs[i], blds[i], bmts[i])
+                                    tbufs[i], meta)
 
         # doc lengths (dense doc_id -> direct array indexing)
         self._doc_len = np.zeros(self.doc_total, dtype=np.int64)
@@ -100,8 +161,8 @@ class QueryEngine:
         rec = self._dict.get(term)
         if rec is None:
             return None
-        df, cf, idf, dbuf, tbuf, _bld, _bmt = rec
-        doc_ids, tfs = decode_postings(dbuf, tbuf)
+        df, cf, idf, dbuf, tbuf, meta = rec
+        doc_ids, tfs = decode_postings_blocked(dbuf, tbuf, meta)
         return doc_ids.astype(np.int64), tfs.astype(np.float64), float(idf)
 
     def term_stats(self, term: str) -> tuple[int, int, float] | None:
@@ -163,6 +224,103 @@ class QueryEngine:
         order = np.lexsort((nz, -s))[:cl]
         return [(int(nz[i]), float(s[i]), int(matched[nz[i]]))
                 for i in order]
+
+    # -- block-max WAND ----------------------------------------------------
+
+    def _score_one(self, tf: float, doc_id: int, idf: float) -> float:
+        if self.scoring == "bm25":
+            dl = float(self._doc_len[doc_id])
+            denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+            return idf * tf * (self.k1 + 1.0) / denom
+        return tf * idf * DEFAULT_FIELD_WEIGHT
+
+    def _term_ub(self, max_tf: float, idf: float) -> float:
+        if self.scoring == "bm25":
+            # dl -> 0 upper-bounds the length norm
+            denom = max_tf + self.k1 * (1.0 - self.b)
+            return idf * max_tf * (self.k1 + 1.0) / denom
+        return max_tf * idf * DEFAULT_FIELD_WEIGHT
+
+    def candidates_wand(self, q: str, *, limit: int = 20, offset: int = 0
+                        ) -> tuple[list[tuple[int, float, int]], dict] | None:
+        """Stage-1 candidates via document-at-a-time WAND with block-skip
+        pointer movement (north rule: block-max pruning over a min-heap).
+        Produces results identical to the exhaustive ``candidates`` —
+        including float-sum order (contributions are summed in sorted term
+        order) and the (score DESC, doc_id ASC) tie-break (strict heap
+        replacement keeps the earlier doc on ties)."""
+        ctx = search_context(q, limit, offset)
+        if ctx is None:
+            return None
+        return (self._wand(sorted(set(ctx["query_terms"])),
+                           ctx["candidate_limit"]), ctx)
+
+    def _wand(self, sorted_terms: list[str], k: int
+              ) -> list[tuple[int, float, int]]:
+        import heapq
+
+        INF = 1 << 62
+        iters = []
+        for term in sorted_terms:
+            rec = self._dict.get(term)
+            if rec is None:
+                continue
+            df, cf, idf, dbuf, tbuf, meta = rec
+            if not meta["last_doc"]:
+                continue
+            ub = max(self._term_ub(float(mt), float(idf))
+                     for mt in meta["max_tf"])
+            iters.append(_TermIter(dbuf, tbuf, meta, float(idf), ub))
+        if not iters:
+            return []
+
+        heap: list[tuple[float, int, int]] = []   # (score, -doc, matched)
+        theta = -1.0
+
+        while True:
+            live = [it for it in iters if it.cur_doc < INF]
+            if not live:
+                break
+            by_doc = sorted(live, key=lambda it: it.cur_doc)
+            acc = 0.0
+            pivot_idx = None
+            for i, it in enumerate(by_doc):
+                acc += it.ub
+                if acc > theta or len(heap) < k:
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break
+            pivot_doc = by_doc[pivot_idx].cur_doc
+
+            if by_doc[0].cur_doc == pivot_doc:
+                # fully evaluate pivot_doc; sum in sorted-term order (iters
+                # is already term-ordered) for float identity with the
+                # exhaustive path
+                score = 0.0
+                matched = 0
+                for it in iters:
+                    if it.cur_doc == pivot_doc:
+                        score += self._score_one(float(it.cur_tf), pivot_doc,
+                                                 it.idf)
+                        matched += 1
+                for it in iters:
+                    if it.cur_doc == pivot_doc:
+                        it.advance()
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc, matched))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc, matched))
+                    theta = heap[0][0]
+            else:
+                for i in range(pivot_idx):
+                    by_doc[i].next_geq(pivot_doc)
+
+        out = [(-nd, s, m) for s, nd, m in heap]
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out
 
     # -- stage 2 -----------------------------------------------------------
 

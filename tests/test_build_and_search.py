@@ -145,6 +145,38 @@ def test_resume_equals_clean(tiny_transcripts, tmp_path, built_index):
     assert _segments_digest(cfg.index_dir) == _segments_digest(cfg_ref.index_dir)
 
 
+def test_wand_equals_exhaustive(built_index):
+    """Property (SURVEY.md §5.4a): block-max-WAND top-k == exhaustive
+    scoring top-k, scores bit-identical, in both scoring modes."""
+    cfg, _ = built_index
+    for scoring in ("reference", "bm25"):
+        qe = QueryEngine(cfg.index_dir, scoring=scoring, load_docs=False)
+        for q, limit, offset in QUERY_SET:
+            a = qe.candidates(q, limit=limit, offset=offset)
+            b = qe.candidates_wand(q, limit=limit, offset=offset)
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert a[0] == b[0], f"{scoring} {q!r}"
+
+
+def test_blocked_postings_roundtrip():
+    import numpy as np
+    from search_engine_ray.functions.varbyte import (
+        decode_block, decode_postings_blocked, encode_postings_blocked)
+    docs = np.sort(np.random.default_rng(5).choice(
+        10_000, size=1000, replace=False)).astype(np.uint64)
+    tfs = (docs % 9 + 1).astype(np.uint64)
+    dbuf, tbuf, meta = encode_postings_blocked(docs, tfs, 128)
+    d2, t2 = decode_postings_blocked(dbuf, tbuf, meta)
+    assert np.array_equal(d2, docs) and np.array_equal(t2, tfs)
+    # each block independently decodable and consistent with meta
+    for b in range(len(meta["last_doc"])):
+        db, tb = decode_block(dbuf, tbuf, meta, b)
+        assert db[-1] == meta["last_doc"][b]
+        assert tb.max() == meta["max_tf"][b]
+        assert len(db) == meta["count"][b]
+
+
 def test_empty_corpus(tmp_path):
     empty = pa.table({
         "conv_id": pa.array([], pa.string()),
