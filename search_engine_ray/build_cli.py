@@ -1,0 +1,41 @@
+"""CLI: python -m search_engine_ray.build_cli --input <parquet> --index <dir>
+
+Build entry point (SURVEY.md §3 "ours" (1)).  Owns its Ray session (guarded
+init per the driver contract)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Build the inverted index")
+    p.add_argument("--input", required=True, help="transcripts parquet path/dir")
+    p.add_argument("--index", required=True, help="output index directory")
+    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--salt", type=int, default=1)
+    p.add_argument("--no-stem", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    import ray.data
+
+    from .config import EngineConfig
+    from .pipelines.build import build_index
+
+    cfg = EngineConfig(index_dir=args.index, num_partitions=args.partitions,
+                       salt=args.salt, do_stem=not args.no_stem)
+    info = build_index(ray.data.read_parquet(args.input), cfg,
+                       source_desc=args.input, resume=args.resume)
+    print({"doc_total": info["doc_total"], "stats": info["stats"],
+           "index_dir": info["index_dir"]})
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
