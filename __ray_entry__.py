@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "embedding_near_dups": Q.embedding_near_dups,
+        # validation filter (M5) + anti-join (J5) + suggestion path (J4)
+        "validate_turns": Q.validate_turns,
+        "customers_without_orders": Q.customers_without_orders,
+        "spellcheck_suggestions": Q.spellcheck_suggestions,
         # multimodal plumbing
         "media_features": Q.media_features,
     }
@@ -264,6 +268,17 @@ def oracle_sql() -> dict[str, str]:
     FROM orders
     ORDER BY total_cents DESC, o_orderkey
     LIMIT 50
+    """
+
+    sql["validate_turns"] = """
+    SELECT doc_id FROM documents WHERE length(trim(text)) > 0
+    """
+
+    sql["customers_without_orders"] = """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
     """
 
     sql["ann_topk"] = """

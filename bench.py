@@ -49,8 +49,15 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def _bench_corpus(sf: float) -> tuple[str, int]:
-    num_turns = max(2000, int(sf * 6_000_000))
+# --scaling corpus multiplier: the fused build finishes 600k turns in ~20s,
+# which is fixed-cost-dominated — strong-scaling measurements need enough
+# work per core, so the scaling protocol runs a larger corpus (same input at
+# BOTH cpu levels; override with SCALING_MULT)
+SCALING_MULT = int(os.environ.get("SCALING_MULT", "16"))
+
+
+def _bench_corpus(sf: float, mult: int = 1) -> tuple[str, int]:
+    num_turns = max(2000, int(sf * 6_000_000)) * mult
     path = os.path.join(CACHE, f"transcripts-{num_turns}-seed42.parquet")
     if not os.path.exists(path):
         from search_engine_ray.sources.transcripts import (
@@ -59,7 +66,8 @@ def _bench_corpus(sf: float) -> tuple[str, int]:
     return path, num_turns
 
 
-def run_once(num_cpus: int, sf_dir: str) -> dict:
+def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
+             build_only: bool = False) -> dict:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
@@ -69,7 +77,7 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
     from search_engine_ray.state.query_engine import QueryEngine
 
     sf = _sf_from_dir(sf_dir)
-    corpus_path, num_turns = _bench_corpus(sf)
+    corpus_path, num_turns = _bench_corpus(sf, mult)
     index_dir = os.path.join(CACHE, f"idx-{num_turns}-{num_cpus}")
     shutil.rmtree(index_dir, ignore_errors=True)
     cfg = EngineConfig(index_dir=index_dir, num_partitions=32,
@@ -79,9 +87,23 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
 
     t0 = time.time()
     ds = ray.data.read_parquet(corpus_path)
-    build_index(ds, cfg, source_desc=f"bench-{num_turns}")
+    build_index(ds, cfg, source_desc=f"bench-{num_turns}",
+                transcripts_path=corpus_path)
     build_sec = time.time() - t0
     queries["index_build"] = round(build_sec, 3)
+
+    if build_only:
+        ray.shutdown()
+        return {
+            "metric": "index-build wall sec",
+            "value": round(build_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "turns": num_turns,
+            "turns_per_sec": round(num_turns / build_sec, 1),
+        }
 
     t0 = time.time()
     qe = QueryEngine(index_dir)
@@ -95,6 +117,16 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
     lat.sort()
     p50_ms = lat[len(lat) // 2] * 1000
     queries["query_set"] = round(sum(lat), 3)
+
+    # planner path (WAND for selective queries, vectorized exhaustive for
+    # dense ones; identical results, property-tested)
+    wand_lat = []
+    for q in QUERY_SET:
+        t0 = time.time()
+        qe.candidates_auto(q, limit=20)
+        wand_lat.append(time.time() - t0)
+    wand_lat.sort()
+    queries["stage1_auto"] = round(sum(wand_lat), 3)
 
     # secondary pipelines over the driver testdata tables
     from search_engine_ray.pipelines import queries as Q
@@ -118,17 +150,20 @@ def run_once(num_cpus: int, sf_dir: str) -> dict:
         "turns": num_turns,
         "turns_per_sec": round(num_turns / build_sec, 1),
         "query_p50_ms": round(p50_ms, 2),
+        "stage1_auto_p50_ms": round(wand_lat[len(wand_lat) // 2] * 1000, 2),
     }
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     # warm the corpus cache so generation isn't timed in either child
-    _bench_corpus(_sf_from_dir(sf_dir))
+    _bench_corpus(_sf_from_dir(sf_dir), SCALING_MULT)
     results = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus))
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
+                   SCALING_MULT=str(SCALING_MULT))
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--child"],
+            [sys.executable, os.path.join(REPO, "bench.py"), "--child",
+             "--mult", str(SCALING_MULT), "--build-only"],
             env=env, capture_output=True, text=True, timeout=3600)
         lines = [l for l in out.stdout.strip().splitlines()
                  if l.startswith("{")]
@@ -161,4 +196,8 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     else:
-        print(json.dumps(run_once(NUM_CPUS, SF_DIR)))
+        mult = 1
+        if "--mult" in sys.argv:
+            mult = int(sys.argv[sys.argv.index("--mult") + 1])
+        print(json.dumps(run_once(NUM_CPUS, SF_DIR, mult,
+                                  build_only="--build-only" in sys.argv)))

@@ -31,7 +31,8 @@ def main() -> None:
     cfg = EngineConfig(index_dir=args.index, num_partitions=args.partitions,
                        salt=args.salt, do_stem=not args.no_stem)
     info = build_index(ray.data.read_parquet(args.input), cfg,
-                       source_desc=args.input, resume=args.resume)
+                       source_desc=args.input, resume=args.resume,
+                       transcripts_path=args.input)
     print({"doc_total": info["doc_total"], "stats": info["stats"],
            "index_dir": info["index_dir"]})
     ray.shutdown()

@@ -84,6 +84,11 @@ class EngineConfig:
     tokenize_concurrency: int | None = None   # None -> Ray decides
     do_stem: bool = True              # False = unstemmed index (SQL-checkable)
     drop_stopwords: bool = True
+    # True: checkpoint the tokenize output as a reusable Parquet artifact
+    # (resume skips re-tokenizing; dedup/spellcheck jobs can share it).
+    # False (default): fuse tokenize -> combiner -> shuffle into one pass,
+    # with doc lengths riding the same shuffle — 2 fewer full passes.
+    checkpoint_triples: bool = False
     build_now: str = BUILD_NOW_ISO
     # conv_id -> base-offset broadcast cap; beyond this the dense-id assigner
     # must switch to the distributed join path (stages/doc_ids.py docstring).

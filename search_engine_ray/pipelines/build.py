@@ -3,37 +3,45 @@
 DAG (SURVEY.md §3 "ours"):
 
   read transcripts
-    -> assign deterministic dense doc_id (one conv-count groupby + broadcast)
-    -> write doc store parquet (index_dir/docs/)
-    -> tokenize map_batches over (doc_id, text) read back column-pruned
-       -> write posting-triples artifact (index_dir/triples/) — the shared
-          tokenize artifact reused by stats/dedup/spellcheck stages
-    -> doclens + corpus stats (kind==1 rows; filter pushed into parquet read)
-    -> part-hash groupby (optionally salted two-phase) -> SegmentWriter
-       reducers write segment files + manifest (kind==0 rows)
+    -> conv-count pass -> deterministic dense doc_id broadcast (ONE counting
+       pass shared by every consumer; validates turn contiguity)
+    -> doc store parquet (index_dir/docs/)
+    -> tokenize map_batches (memoized Porter stem, reference semantics)
+    -> run-combiner -> groupby(part) shuffle -> segment writer tasks
+       -> segments + doclens + manifest
 
-Every artifact is an immutable overwrite (the reference's truncate-and-rebuild
-semantics, bm25_stats.py:15) and the segment step resumes at part granularity
-via the manifest.  All steps stream; the only driver-side state is the conv
-offset map and the manifest rows.
+Two physical plans:
+
+  * FUSED (default): tokenize -> combiner -> shuffle -> writers is ONE
+    streaming pass; per-doc lengths ride the same shuffle to a reserved
+    partition; the doc-store write runs CONCURRENTLY on a second thread
+    (both consumers share the conv-offset broadcast).  Fewest barriers,
+    fastest wall clock.
+  * checkpoint_triples=True: the tokenize output is first persisted as a
+    hive-partitioned Parquet artifact (kind=0 triples / kind=1 doclens) that
+    resume can skip and other jobs (spellcheck, dedup) can share.
+
+Every artifact is an immutable overwrite (the reference's truncate-and-
+rebuild semantics, bm25_stats.py:15) and the segment step resumes at part
+granularity via the manifest.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import threading
 
-import pyarrow.dataset as pads
-
+import ray
 import ray.data
 
 from ..config import EngineConfig
 from ..functions.hashing import hash64
-from ..stages.doc_ids import assign_doc_ids
+from ..stages.doc_ids import add_doc_ids_with_offsets, conv_offsets
 from ..stages.postings import build_segments, load_manifest, save_manifest
-from ..stages.stats import corpus_stats, doclens, write_stats
+from ..stages.stats import corpus_stats, write_stats
 from ..stages.tokenize import tokenize_docs
-
+from ..util import default_pool_max
 
 # bump when artifact layout changes so resume never reads a stale layout
 _LAYOUT_VERSION = 3
@@ -47,8 +55,13 @@ def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
 
 
 def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
-                source_desc: str = "", resume: bool = False) -> dict:
-    """Build all index artifacts under cfg.index_dir; returns build info."""
+                source_desc: str = "", resume: bool = False,
+                transcripts_path: str | None = None) -> dict:
+    """Build all index artifacts under cfg.index_dir; returns build info.
+
+    ``transcripts_path`` (optional) lets the counting and tokenize passes
+    use column-pruned, fan-out-controlled re-reads of the source (Ray does
+    not push ``select_columns`` into an already-constructed parquet read)."""
     index_dir = cfg.index_dir
     fp = _fingerprint(source_desc, cfg)
     manifest = load_manifest(index_dir) if resume else {"entries": {}}
@@ -58,18 +71,18 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     triples_dir = os.path.join(index_dir, "triples")
     doclens_dir = os.path.join(index_dir, "doclens")
 
-    # 1) doc ids + doc store
-    if not (resume and manifest.get("docs_fingerprint") == fp):
-        with_ids, n = assign_doc_ids(
-            transcripts, max_broadcast_convs=cfg.max_broadcast_convs)
-        shutil.rmtree(docs_dir, ignore_errors=True)
-        # small row groups: downstream column-pruned reads split into
-        # parallel fragments even when a write task emits one big file
-        with_ids.write_parquet(docs_dir, row_group_size=16384)
-        manifest["docs_fingerprint"] = fp
-        manifest["doc_total"] = n
-        save_manifest(index_dir, manifest)
-    n = int(manifest["doc_total"])
+    def _pruned(columns, fan_out=False):
+        if transcripts_path is None:
+            return transcripts
+        kwargs = {"columns": columns}
+        if fan_out:
+            kwargs["override_num_blocks"] = default_pool_max() * 3
+        return ray.data.read_parquet(transcripts_path, **kwargs)
+
+    # 1) one conv-count pass -> offsets broadcast (+ contiguity validation)
+    offsets, n = conv_offsets(_pruned(["conv_id", "turn_idx"]),
+                              max_broadcast_convs=cfg.max_broadcast_convs)
+    manifest["doc_total"] = n
 
     if n == 0:
         # empty corpus: publish empty-but-valid artifacts (doc_total defaults
@@ -81,50 +94,112 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
                        os.path.join(docs_dir, "part-empty.parquet"))
         stats = {"doc_total": 1, "total_tokens": 0, "avgdl": 0.0}
         write_stats(index_dir, stats)
+        manifest["docs_fingerprint"] = fp
         save_manifest(index_dir, manifest)
         return {"index_dir": index_dir, "doc_total": 0, "stats": stats,
                 "manifest": manifest}
 
-    # 2) tokenize -> shared triples artifact (one tokenize pass total)
-    if not (resume and manifest.get("triples_fingerprint") == fp):
-        docs_ds = ray.data.read_parquet(docs_dir, columns=["doc_id", "text"])
+    offsets_ref = ray.put(offsets)
+    needs_docs = not (resume and manifest.get("docs_fingerprint") == fp)
+
+    def _write_doc_store():
+        with_ids = add_doc_ids_with_offsets(transcripts, offsets_ref)
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        # small row groups: downstream column-pruned reads split into
+        # parallel fragments even when a write task emits one big file
+        with_ids.write_parquet(docs_dir, row_group_size=16384)
+
+    if cfg.checkpoint_triples:
+        if needs_docs:
+            _write_doc_store()
+            manifest["docs_fingerprint"] = fp
+            save_manifest(index_dir, manifest)
+
+        # 2a) tokenize -> shared triples artifact (resume skips re-tokenize;
+        # dedup/spellcheck jobs can reuse it)
+        if not (resume and manifest.get("triples_fingerprint") == fp):
+            docs_ds = ray.data.read_parquet(docs_dir,
+                                            columns=["doc_id", "text"])
+            combined = tokenize_docs(
+                docs_ds, batch_size=cfg.tokenize_batch_size,
+                concurrency=cfg.tokenize_concurrency,
+                do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
+            shutil.rmtree(triples_dir, ignore_errors=True)
+            # hive-partition by kind: doclen (kind=1) and triple (kind=0)
+            # reads prune whole directories instead of row-filtering
+            combined.write_parquet(triples_dir, partition_cols=["kind"],
+                                   row_group_size=65536)
+            manifest["triples_fingerprint"] = fp
+            save_manifest(index_dir, manifest)
+
+        # 3a) doclens + corpus stats (kind=1 hive directory read)
+        dl_ds = ray.data.read_parquet(
+            os.path.join(triples_dir, "kind=1"), columns=["doc_id", "tf"],
+        ).map_batches(
+            lambda b: b.rename_columns(["doc_id", "doc_len"]),
+            batch_format="pyarrow")
+        shutil.rmtree(doclens_dir, ignore_errors=True)
+        dl_ds.write_parquet(doclens_dir)
+        stats = corpus_stats(ray.data.read_parquet(doclens_dir))
+        if stats["doc_total"] not in (n, 1):
+            raise AssertionError(
+                f"doc_total mismatch: id assigner says {n}, got {stats}")
+        stats["doc_total"] = n if n > 0 else 1
+        write_stats(index_dir, stats)
+
+        # 4a) segments (resumable wide step)
+        triples = ray.data.read_parquet(
+            os.path.join(triples_dir, "kind=0"),
+            columns=["term", "doc_id", "tf"])
+        seg_manifest = build_segments(
+            triples, index_dir=index_dir, doc_total=n,
+            num_partitions=cfg.num_partitions, salt=cfg.salt,
+            block_size=cfg.block_size, input_fingerprint=fp, resume=resume)
+    else:
+        # 2b) FUSED: the doc-store write runs on a side thread while the
+        # main thread streams tokenize -> combiner -> one shuffle -> writer
+        # tasks (doc lengths ride the shuffle to a reserved part).  Both
+        # pipelines share the Ray cluster; neither blocks the other.
+        doc_store_error: list[BaseException] = []
+
+        def _docs_thread():
+            try:
+                _write_doc_store()
+            except BaseException as e:   # surfaced after join
+                doc_store_error.append(e)
+
+        t = None
+        if needs_docs:
+            t = threading.Thread(target=_docs_thread, name="doc-store-write")
+            t.start()
+
+        idx_src = _pruned(["conv_id", "turn_idx", "text"], fan_out=True)
+        with_ids = add_doc_ids_with_offsets(idx_src, offsets_ref)
         combined = tokenize_docs(
-            docs_ds, batch_size=cfg.tokenize_batch_size,
+            with_ids, batch_size=cfg.tokenize_batch_size,
             concurrency=cfg.tokenize_concurrency,
             do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
-        shutil.rmtree(triples_dir, ignore_errors=True)
-        # hive-partition by kind: doclen (kind=1) and triple (kind=0) reads
-        # prune whole directories instead of row-filtering everything
-        combined.write_parquet(triples_dir, partition_cols=["kind"],
-                               row_group_size=65536)
-        manifest["triples_fingerprint"] = fp
-        save_manifest(index_dir, manifest)
+        seg_manifest = build_segments(
+            combined, index_dir=index_dir, doc_total=n,
+            num_partitions=cfg.num_partitions, salt=cfg.salt,
+            block_size=cfg.block_size, input_fingerprint=fp, resume=resume,
+            with_doclens=True)
 
-    # 3) doclens + corpus stats (kind=1 hive directory read — path pruning)
-    dl_ds = ray.data.read_parquet(
-        os.path.join(triples_dir, "kind=1"), columns=["doc_id", "tf"],
-    ).map_batches(
-        lambda b: b.rename_columns(["doc_id", "doc_len"]),
-        batch_format="pyarrow")
-    shutil.rmtree(doclens_dir, ignore_errors=True)
-    dl_ds.write_parquet(doclens_dir)
-    dl_read = ray.data.read_parquet(doclens_dir)
-    stats = corpus_stats(dl_read.map_batches(
-        lambda b: b, batch_format="pyarrow"))
-    if stats["doc_total"] not in (n, 1):
-        raise AssertionError(
-            f"doc_total mismatch: id assigner says {n}, doclens say {stats}")
-    stats["doc_total"] = n if n > 0 else 1
-    write_stats(index_dir, stats)
+        if t is not None:
+            t.join()
+            if doc_store_error:
+                raise doc_store_error[0]
+            manifest = load_manifest(index_dir)
+            manifest["docs_fingerprint"] = fp
+            manifest["doc_total"] = n
+            save_manifest(index_dir, manifest)
 
-    # 4) segments (resumable wide step); kind=0 directory = posting triples
-    triples = ray.data.read_parquet(
-        os.path.join(triples_dir, "kind=0"),
-        columns=["term", "doc_id", "tf"])
-    seg_manifest = build_segments(
-        triples, index_dir=index_dir, doc_total=n,
-        num_partitions=cfg.num_partitions, salt=cfg.salt,
-        block_size=cfg.block_size, input_fingerprint=fp, resume=resume)
+        reserved = seg_manifest["entries"].get(str(cfg.num_partitions))
+        total_tokens = int(reserved["total_tokens"]) if reserved else 0
+        stats = {"doc_total": n if n > 0 else 1,
+                 "total_tokens": total_tokens,
+                 "avgdl": (total_tokens / n) if n > 0 else 0.0}
+        write_stats(index_dir, stats)
 
     return {"index_dir": index_dir, "doc_total": n, "stats": stats,
             "manifest": seg_manifest}

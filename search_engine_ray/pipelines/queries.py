@@ -441,6 +441,66 @@ def embedding_near_dups(sf_dir: str) -> pa.Table:
     })
 
 
+def validate_turns(sf_dir: str) -> "ray.data.Dataset":
+    """Validation filter M5: surviving (non-whitespace-text) doc_ids."""
+    from ..stages.textstats import validate_turns as vt
+    return vt(_docs_with_ids(sf_dir)).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+ANTIJOIN_PRICE_THRESHOLD = 300_000.0
+
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti-join (reference J5 NOT EXISTS pattern): customers with no order
+    above the price threshold — broadcast the qualifying custkey set and
+    filter against it (no shuffle; the filtered side is the small side).
+    Returned as an explicit-schema Table so an empty result keeps columns."""
+    import ray as _ray
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    keys: set[int] = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        sel = pc.greater(b.column("o_totalprice"), ANTIJOIN_PRICE_THRESHOLD)
+        keys.update(b.filter(sel).column("o_custkey").to_pylist())
+    ref = _ray.put(keys)
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self._keys = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) \
+                else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [k not in self._keys
+                    for k in batch.column("c_custkey").to_pylist()]
+            return batch.filter(pa.array(mask)).select(["c_custkey", "c_name"])
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name"])
+    rows = cust.map_batches(AntiJoin, fn_constructor_args=(ref,),
+                            batch_format="pyarrow",
+                            concurrency=(1, 4)).take_all()
+    rows.sort(key=lambda r: r["c_custkey"])
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in rows], pa.int64()),
+        "c_name": pa.array([r["c_name"] for r in rows], pa.string()),
+    })
+
+
+def spellcheck_suggestions(sf_dir: str) -> pa.Table:
+    """End-to-end suggestion path over the corpus dictionary (J4 + engine
+    acceptance thresholds) for a fixed misspelling set."""
+    from ..stages.spellcheck import SpellcheckLexicon, build_dictionary
+    lex = SpellcheckLexicon(build_dictionary(_docs_with_ids(sf_dir)))
+    inputs = ["tabel", "jion", "mrge", "windwo", "batc", "strem",
+              "customer", "zzzzqqq"]
+    out = [(w, lex.correct_word(w) or "") for w in inputs]
+    return pa.table({
+        "word": pa.array([w for w, _ in out], pa.string()),
+        "suggestion": pa.array([s for _, s in out], pa.string()),
+    })
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":

@@ -184,10 +184,16 @@ def generate_transcripts(num_convs: int = 200, *, seed: int = 42,
 
 def generate_bench_transcripts(num_turns: int, *, seed: int = 42,
                                vocab_size: int = 5000,
-                               turns_per_conv: int = 10) -> pa.Table:
+                               turns_per_conv: int = 10,
+                               text_pool: int = 200_000) -> pa.Table:
     """Vectorized deterministic generator for benchmark-scale corpora
-    (hundreds of thousands of turns): Zipf word soup + stopword sprinkle,
-    fixed turns/conv so id assignment and contiguity hold by construction."""
+    (hundreds of thousands to tens of millions of turns).
+
+    Texts come from a Zipf-sampled POOL of ``text_pool`` distinct turn
+    bodies assembled once, then sampled per turn and materialized as a
+    dictionary-encoded Arrow column — generating 10M turns costs seconds and
+    bounded memory instead of building 10M Python strings.  Term statistics
+    stay Zipfian; duplicate bodies are expected (like real transcripts)."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_zipf_vocab(vocab_size) + list(_STOPWORD_SAMPLE)
                      + list(_MORPH_VARIANTS))
@@ -196,23 +202,36 @@ def generate_bench_transcripts(num_turns: int, *, seed: int = 42,
     probs = ranks ** -1.1
     probs /= probs.sum()
 
-    n_words = rng.integers(5, 40, size=num_turns)
+    pool_n = min(text_pool, num_turns)
+    n_words = rng.integers(5, 40, size=pool_n)
     ends = np.cumsum(n_words)
     starts = ends - n_words
     flat = vocab[rng.choice(n_vocab, size=int(ends[-1]), p=probs)]
-    texts = [" ".join(flat[a:b]) for a, b in zip(starts, ends)]
+    pool = [" ".join(flat[a:b]) for a, b in zip(starts, ends)]
+    text_idx = rng.integers(0, pool_n, size=num_turns).astype(np.int32)
+    text_col = pa.DictionaryArray.from_arrays(
+        pa.array(text_idx), pa.array(pool, pa.string())).cast(pa.string())
 
     num_convs = (num_turns + turns_per_conv - 1) // turns_per_conv
     conv_names = [f"conv-{c:06d}" for c in range(num_convs)]
-    conv_col = [conv_names[i // turns_per_conv] for i in range(num_turns)]
+    conv_idx = (np.arange(num_turns, dtype=np.int64)
+                // turns_per_conv).astype(np.int32)
+    conv_col = pa.DictionaryArray.from_arrays(
+        pa.array(conv_idx), pa.array(conv_names, pa.string())).cast(pa.string())
     turn_col = np.arange(num_turns, dtype=np.int64) % turns_per_conv
+    role_col = pa.DictionaryArray.from_arrays(
+        pa.array((np.arange(num_turns) % 4).astype(np.int8)),
+        pa.array(list(ROLES), pa.string())).cast(pa.string())
+    tool_col = pa.DictionaryArray.from_arrays(
+        pa.array((np.arange(num_turns) % 5).astype(np.int8)),
+        pa.array(list(TOOLS), pa.string())).cast(pa.string())
     base_us = int(_EPOCH.timestamp()) * 1_000_000
     table = pa.table({
-        "conv_id": pa.array(conv_col, pa.string()),
+        "conv_id": conv_col,
         "turn_idx": pa.array(turn_col.astype(np.int32)),
-        "role": pa.array([ROLES[i % 4] for i in range(num_turns)], pa.string()),
-        "text": pa.array(texts, pa.string()),
-        "tool": pa.array([TOOLS[i % 5] for i in range(num_turns)], pa.string()),
+        "role": role_col,
+        "text": text_col,
+        "tool": tool_col,
         "ts": pa.array(base_us + np.arange(num_turns, dtype=np.int64)
                        * 60_000_000).cast(pa.timestamp("us")),
     })

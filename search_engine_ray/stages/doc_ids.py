@@ -33,7 +33,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 
 def _conv_partials(batch: pa.Table) -> pa.Table:
@@ -54,25 +53,42 @@ def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
     Validates turn contiguity (min==0, max==cnt-1) for every conversation."""
     partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
         _conv_partials, batch_format="pyarrow")
-    agg = partials.groupby("conv_id").aggregate(
-        Sum("cnt"), Min("min_t"), Max("max_t"))
-    rows = agg.take_all()
-    if len(rows) > max_broadcast_convs:
-        raise NotImplementedError(
-            f"{len(rows)} conversations exceeds the broadcast cap "
-            f"({max_broadcast_convs}); use the distributed-join id assigner "
-            "(see module docstring scale notes)")
-    rows.sort(key=lambda r: r["conv_id"])
+    # partial rows number ~one per (batch, conv) — tiny next to turns; the
+    # final merge is a driver-side dict (no shuffle).  Beyond the broadcast
+    # cap the whole assigner switches to the distributed-join variant anyway
+    # (docstring scale notes), so driver merge and broadcast share a cutover.
+    merged: dict[str, list[int]] = {}
+    n_partial = 0
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for c, cnt, mn, mx in zip(batch.column("conv_id").to_pylist(),
+                                  batch.column("cnt").to_pylist(),
+                                  batch.column("min_t").to_pylist(),
+                                  batch.column("max_t").to_pylist()):
+            e = merged.get(c)
+            if e is None:
+                merged[c] = [cnt, mn, mx]
+                n_partial += 1
+                if n_partial > max_broadcast_convs:
+                    raise NotImplementedError(
+                        f"over {max_broadcast_convs} conversations exceeds "
+                        "the broadcast cap; use the distributed-join id "
+                        "assigner (see module docstring scale notes)")
+            else:
+                e[0] += cnt
+                if mn < e[1]:
+                    e[1] = mn
+                if mx > e[2]:
+                    e[2] = mx
     offsets: dict[str, int] = {}
     base = 0
-    for r in rows:
-        cnt, mn, mx = int(r["sum(cnt)"]), int(r["min(min_t)"]), int(r["max(max_t)"])
+    for conv in sorted(merged):
+        cnt, mn, mx = merged[conv]
         if mn != 0 or mx != cnt - 1:
             raise ValueError(
-                f"conv {r['conv_id']!r}: turn_idx not contiguous from 0 "
+                f"conv {conv!r}: turn_idx not contiguous from 0 "
                 f"(count={cnt}, min={mn}, max={mx}) — stable-turn-ordering "
                 "invariant violated")
-        offsets[r["conv_id"]] = base
+        offsets[conv] = base
         base += cnt
     return offsets, base
 
@@ -101,20 +117,42 @@ class _AddDocId:
         return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
 
 
+def add_doc_ids_with_offsets(ds: "ray.data.Dataset", offsets_ref, *,
+                             concurrency: int | None = None
+                             ) -> "ray.data.Dataset":
+    """Apply a precomputed conv-offset broadcast (lets two consumers of the
+    same source share one counting pass)."""
+    from ..util import default_pool_max
+    return ds.map_batches(
+        _AddDocId,
+        fn_constructor_args=(offsets_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency or default_pool_max()),
+    )
+
+
 def assign_doc_ids(ds: "ray.data.Dataset", *,
                    max_broadcast_convs: int = 5_000_000,
-                   concurrency: int | None = None
+                   concurrency: int | None = None,
+                   conv_stats_source: "ray.data.Dataset | None" = None
                    ) -> tuple["ray.data.Dataset", int]:
-    """Append a deterministic dense ``doc_id`` column; returns (ds, N)."""
-    offsets, n = conv_offsets(ds, max_broadcast_convs=max_broadcast_convs)
+    """Append a deterministic dense ``doc_id`` column; returns (ds, N).
+
+    ``conv_stats_source`` lets the caller supply a column-pruned read of the
+    same table for the counting pass (Ray doesn't push ``select_columns``
+    into an already-constructed parquet read, so a fresh
+    ``read_parquet(path, columns=["conv_id", "turn_idx"])`` is ~5x faster)."""
+    offsets, n = conv_offsets(conv_stats_source or ds,
+                              max_broadcast_convs=max_broadcast_convs)
     ref = ray.put(offsets)
     # elastic (1, k) pool: a fixed-size pool equal to the CPU count reserves
     # every core and starves downstream task operators (observed deadlock);
     # the executor can always make progress with one actor
+    from ..util import default_pool_max
     out = ds.map_batches(
         _AddDocId,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=(1, concurrency or 8),
+        concurrency=(1, concurrency or default_pool_max()),
     )
     return out, n

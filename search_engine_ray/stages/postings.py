@@ -36,6 +36,7 @@ from ..functions.hashing import hash64_column
 from ..functions.text import idf as idf_fn
 from ..functions.varbyte import (decode_postings, encode_postings,
                                  encode_postings_blocked)
+from ..util import default_pool_max
 
 RUN_SCHEMA = pa.schema([
     ("part", pa.int32()),
@@ -80,6 +81,30 @@ class _RunCombiner:
         self._skip = skip_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # fused-build path: kind==1 rows are per-doc lengths — encode them as
+        # a posting-list run for the reserved part (num_partitions), so the
+        # SAME shuffle carries doc lengths to their own reducer
+        doclen_tables = []
+        if "kind" in batch.schema.names:
+            import pyarrow.compute as pc
+            doclen = batch.filter(pc.equal(batch.column("kind"), 1))
+            batch = batch.filter(pc.equal(batch.column("kind"), 0))
+            batch = batch.drop_columns(["kind"])
+            if len(doclen):
+                d = doclen.column("doc_id").to_numpy(zero_copy_only=False)
+                t = doclen.column("tf").to_numpy(zero_copy_only=False)
+                order = np.argsort(d, kind="stable")
+                doc_buf, tf_buf = encode_postings(d[order], t[order])
+                doclen_tables.append(pa.table({
+                    "part": pa.array([self._parts], pa.int32()),
+                    "term": pa.array([""], pa.string()),
+                    "salt": pa.array([0], pa.int32()),
+                    "df": pa.array([len(d)], pa.int64()),
+                    "cf": pa.array([int(t.sum())], pa.int64()),
+                    "doc_ids_enc": pa.array([doc_buf], pa.binary()),
+                    "tfs_enc": pa.array([tf_buf], pa.binary()),
+                }))
+
         batch = batch.sort_by([("term", "ascending"), ("doc_id", "ascending")])
         terms = batch.column("term").to_pylist()
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -116,6 +141,8 @@ class _RunCombiner:
         if self._skip:
             keep = ~np.isin(part, np.fromiter(self._skip, dtype=np.int32))
             table = table.filter(pa.array(keep))
+        if doclen_tables and self._parts not in self._skip:
+            table = pa.concat_tables([table] + doclen_tables)
         return table
 
 
@@ -163,87 +190,119 @@ def _merge_partial(group: pa.Table) -> pa.Table:
     })
 
 
-class _SegmentWriter:
-    """Final reducer: merge a part's runs per term, write the segment file,
-    emit a manifest row.  Deterministic output: terms ascending, postings
-    ascending, fixed schema."""
+def _write_doclens_group(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
+    """Reserved-part reducer: the '' pseudo-term runs are (doc_id, doc_len)
+    pairs — merge and publish the doclens artifact."""
+    d, t = _merge_runs(group.column("doc_ids_enc").to_pylist(),
+                       group.column("tfs_enc").to_pylist())
+    dl_dir = os.path.join(index_dir, "doclens")
+    os.makedirs(dl_dir, exist_ok=True)
+    table = pa.table({
+        "doc_id": pa.array(d.astype(np.int64)),
+        "doc_len": pa.array(t.astype(np.int64)),
+    })
+    fname = "doclens.parquet"
+    fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=dl_dir)
+    os.close(fd)
+    pq.write_table(table, tmp, row_group_size=65536)
+    os.replace(tmp, os.path.join(dl_dir, fname))
+    return pa.table({
+        "part": pa.array([int(group.column("part")[0].as_py())], pa.int32()),
+        "file": pa.array(["doclens/" + fname], pa.string()),
+        "num_terms": pa.array([0], pa.int64()),
+        "num_postings": pa.array([len(d)], pa.int64()),
+        "total_tokens": pa.array([int(t.sum())], pa.int64()),
+        "input_fingerprint": pa.array([fp], pa.string()),
+    })
 
-    def __init__(self, *, index_dir: str, doc_total: int, block_size: int,
-                 input_fingerprint: str):
-        self._dir = os.path.join(index_dir, "segments")
-        os.makedirs(self._dir, exist_ok=True)
-        self._doc_total = doc_total
-        self._block_size = block_size
-        self._fp = input_fingerprint
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        group = group.sort_by([("term", "ascending"), ("salt", "ascending")])
-        part = int(group.column("part")[0].as_py())
-        terms = group.column("term").to_pylist()
-        dfs = group.column("df").to_numpy(zero_copy_only=False)
-        cfs = group.column("cf").to_numpy(zero_copy_only=False)
-        doc_bufs = group.column("doc_ids_enc").to_pylist()
-        tf_bufs = group.column("tfs_enc").to_pylist()
-
-        o_terms: list[str] = []
-        o_df: list[int] = []
-        o_cf: list[int] = []
-        o_idf: list[float] = []
-        o_docs: list[bytes] = []
-        o_tfs: list[bytes] = []
-        o_bld: list[list[int]] = []
-        o_bmt: list[list[int]] = []
-        o_bdo: list[list[int]] = []
-        o_bto: list[list[int]] = []
-        o_bct: list[list[int]] = []
-
-        for term, s, e in _term_slices(terms):
-            d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
-            df = int(dfs[s:e].sum())
-            cf = int(cfs[s:e].sum())
-            doc_buf, tf_buf, meta = encode_postings_blocked(
-                d, t, self._block_size)
-            o_terms.append(term)
-            o_df.append(df)
-            o_cf.append(cf)
-            o_idf.append(idf_fn(self._doc_total, df))
-            o_docs.append(doc_buf)
-            o_tfs.append(tf_buf)
-            o_bld.append(meta["last_doc"])
-            o_bmt.append(meta["max_tf"])
-            o_bdo.append(meta["doc_off"])
-            o_bto.append(meta["tf_off"])
-            o_bct.append(meta["count"])
-
-        seg = pa.table({
-            "term": pa.array(o_terms, pa.string()),
-            "df": pa.array(o_df, pa.int64()),
-            "cf": pa.array(o_cf, pa.int64()),
-            "idf": pa.array(o_idf, pa.float64()),
-            "doc_ids_enc": pa.array(o_docs, pa.binary()),
-            "tfs_enc": pa.array(o_tfs, pa.binary()),
-            "block_last_doc": pa.array(o_bld, pa.list_(pa.int64())),
-            "block_max_tf": pa.array(o_bmt, pa.list_(pa.int64())),
-            "block_doc_off": pa.array(o_bdo, pa.list_(pa.int64())),
-            "block_tf_off": pa.array(o_bto, pa.list_(pa.int64())),
-            "block_count": pa.array(o_bct, pa.list_(pa.int64())),
-        }, schema=SEGMENT_SCHEMA)
-
-        fname = f"segment-p{part:05d}.parquet"
-        fpath = os.path.join(self._dir, fname)
-        # atomic publish: temp file in same dir + rename
-        fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=self._dir)
-        os.close(fd)
-        pq.write_table(seg, tmp)
-        os.replace(tmp, fpath)
-
+def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
+                         block_size: int, input_fingerprint: str,
+                         reserved_part: int | None = None) -> pa.Table:
+    """Reducer TASK (plain function, not an actor pool: groups become ready
+    all at once after the shuffle barrier, so task scheduling beats actor
+    spin-up): merge a part's runs per term, write the segment file, emit a
+    manifest row."""
+    if len(group) == 0:
         return pa.table({
-            "part": pa.array([part], pa.int32()),
-            "file": pa.array([fname], pa.string()),
-            "num_terms": pa.array([len(o_terms)], pa.int64()),
-            "num_postings": pa.array([int(sum(o_df))], pa.int64()),
-            "input_fingerprint": pa.array([self._fp], pa.string()),
+            "part": pa.array([], pa.int32()),
+            "file": pa.array([], pa.string()),
+            "num_terms": pa.array([], pa.int64()),
+            "num_postings": pa.array([], pa.int64()),
+            "total_tokens": pa.array([], pa.int64()),
+            "input_fingerprint": pa.array([], pa.string()),
         })
+    seg_dir = os.path.join(index_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    group = group.sort_by([("term", "ascending"), ("salt", "ascending")])
+    part = int(group.column("part")[0].as_py())
+    if reserved_part is not None and part == reserved_part:
+        return _write_doclens_group(group, index_dir, input_fingerprint)
+    terms = group.column("term").to_pylist()
+    dfs = group.column("df").to_numpy(zero_copy_only=False)
+    cfs = group.column("cf").to_numpy(zero_copy_only=False)
+    doc_bufs = group.column("doc_ids_enc").to_pylist()
+    tf_bufs = group.column("tfs_enc").to_pylist()
+
+    o_terms: list[str] = []
+    o_df: list[int] = []
+    o_cf: list[int] = []
+    o_idf: list[float] = []
+    o_docs: list[bytes] = []
+    o_tfs: list[bytes] = []
+    o_bld: list[list[int]] = []
+    o_bmt: list[list[int]] = []
+    o_bdo: list[list[int]] = []
+    o_bto: list[list[int]] = []
+    o_bct: list[list[int]] = []
+
+    for term, s, e in _term_slices(terms):
+        d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
+        df = int(dfs[s:e].sum())
+        cf = int(cfs[s:e].sum())
+        doc_buf, tf_buf, meta = encode_postings_blocked(d, t, block_size)
+        o_terms.append(term)
+        o_df.append(df)
+        o_cf.append(cf)
+        o_idf.append(idf_fn(doc_total, df))
+        o_docs.append(doc_buf)
+        o_tfs.append(tf_buf)
+        o_bld.append(meta["last_doc"])
+        o_bmt.append(meta["max_tf"])
+        o_bdo.append(meta["doc_off"])
+        o_bto.append(meta["tf_off"])
+        o_bct.append(meta["count"])
+
+    seg = pa.table({
+        "term": pa.array(o_terms, pa.string()),
+        "df": pa.array(o_df, pa.int64()),
+        "cf": pa.array(o_cf, pa.int64()),
+        "idf": pa.array(o_idf, pa.float64()),
+        "doc_ids_enc": pa.array(o_docs, pa.binary()),
+        "tfs_enc": pa.array(o_tfs, pa.binary()),
+        "block_last_doc": pa.array(o_bld, pa.list_(pa.int64())),
+        "block_max_tf": pa.array(o_bmt, pa.list_(pa.int64())),
+        "block_doc_off": pa.array(o_bdo, pa.list_(pa.int64())),
+        "block_tf_off": pa.array(o_bto, pa.list_(pa.int64())),
+        "block_count": pa.array(o_bct, pa.list_(pa.int64())),
+    }, schema=SEGMENT_SCHEMA)
+
+    fname = f"segment-p{part:05d}.parquet"
+    fpath = os.path.join(seg_dir, fname)
+    # atomic publish: temp file in same dir + rename
+    fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=seg_dir)
+    os.close(fd)
+    pq.write_table(seg, tmp)
+    os.replace(tmp, fpath)
+
+    return pa.table({
+        "part": pa.array([part], pa.int32()),
+        "file": pa.array([fname], pa.string()),
+        "num_terms": pa.array([len(o_terms)], pa.int64()),
+        "num_postings": pa.array([int(sum(o_df))], pa.int64()),
+        "total_tokens": pa.array([0], pa.int64()),
+        "input_fingerprint": pa.array([input_fingerprint], pa.string()),
+    })
 
 
 def manifest_path(index_dir: str) -> str:
@@ -269,9 +328,13 @@ def save_manifest(index_dir: str, manifest: dict) -> None:
 def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
                    doc_total: int, num_partitions: int = 32, salt: int = 1,
                    block_size: int = 128, input_fingerprint: str = "",
-                   resume: bool = True) -> dict:
-    """Posting triples (kind==0 rows of the tokenize output) -> segment files
-    + committed manifest.  Returns the manifest dict."""
+                   resume: bool = True, with_doclens: bool = False) -> dict:
+    """Posting triples -> segment files + committed manifest.
+
+    ``with_doclens=True`` (fused build): the input still carries kind==1
+    doc-length rows; they ride the same shuffle to a reserved part whose
+    reducer publishes the doclens artifact — one exchange for postings AND
+    lengths.  Returns the manifest dict."""
     manifest = load_manifest(index_dir) if resume else {"entries": {}}
     done = frozenset(
         int(p) for p, e in manifest["entries"].items()
@@ -279,11 +342,20 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
     )
     manifest["entries"] = {str(p): manifest["entries"][str(p)] for p in done}
 
-    triples = combined.filter(expr="kind == 0") \
-        if "kind" in combined.schema().names else combined
+    # full-skip: a previously COMPLETED identical build whose parts are all
+    # still present needs no pass at all (fused mode would otherwise pay a
+    # full re-tokenize just to drop every run)
+    completed = manifest.get("completed_parts")
+    if (resume and completed is not None
+            and manifest.get("input_fingerprint") == input_fingerprint
+            and all(p in done for p in completed)):
+        return manifest
+
+    if not with_doclens and "kind" in combined.schema().names:
+        combined = combined.filter(expr="kind == 0")
     # batch_size=None: combine whole blocks — bigger batches = longer runs =
     # less shuffle volume (default 1024-row batches would emit df~1 runs)
-    runs = triples.map_batches(
+    runs = combined.map_batches(
         _RunCombiner(num_partitions, salt, done), batch_format="pyarrow",
         batch_size=None)
 
@@ -291,16 +363,17 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
         runs = runs.groupby(["part", "salt"]).map_groups(
             _merge_partial, batch_format="pyarrow")
 
+    from functools import partial
+    writer = partial(
+        _write_segment_group,
+        index_dir=index_dir,
+        doc_total=doc_total,
+        block_size=block_size,
+        input_fingerprint=input_fingerprint,
+        reserved_part=num_partitions if with_doclens else None,
+    )
     writer_rows = runs.groupby("part").map_groups(
-        _SegmentWriter,
-        fn_constructor_kwargs={
-            "index_dir": index_dir,
-            "doc_total": doc_total,
-            "block_size": block_size,
-            "input_fingerprint": input_fingerprint,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 16),
+        writer, batch_format="pyarrow",
     ).take_all()   # manifest rows only: one per part, tiny
 
     for row in writer_rows:
@@ -308,10 +381,12 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
             "file": row["file"],
             "num_terms": int(row["num_terms"]),
             "num_postings": int(row["num_postings"]),
+            "total_tokens": int(row["total_tokens"]),
             "input_fingerprint": row["input_fingerprint"],
         }
     manifest["num_partitions"] = num_partitions
     manifest["doc_total"] = doc_total
     manifest["input_fingerprint"] = input_fingerprint
+    manifest["completed_parts"] = sorted(int(p) for p in manifest["entries"])
     save_manifest(index_dir, manifest)
     return manifest

@@ -123,6 +123,52 @@ def build_dictionary(docs: "ray.data.Dataset",
     })
 
 
+def write_meta_file(dictionary: pa.Table, path: str, *,
+                    max_words: int = 120_000,
+                    generated_at: str = "1970-01-01T00:00:00Z") -> str:
+    """Top-N lexicon JSON artifact for query-side warm cache (reference S7,
+    spellcheck_dictionary.py:280-297; timestamp pinned for determinism)."""
+    import json
+    import os
+    top = dictionary.slice(0, max_words)
+    payload = {
+        "generated_at": generated_at,
+        "words": [
+            {"word": w, "doc_frequency": d, "total_frequency": t,
+             "external_frequency": e, "popularity_score": p}
+            for w, d, t, e, p in zip(
+                top.column("word").to_pylist(),
+                top.column("doc_frequency").to_pylist(),
+                top.column("total_frequency").to_pylist(),
+                top.column("external_frequency").to_pylist(),
+                top.column("popularity_score").to_pylist())
+        ],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return path
+
+
+def load_meta_file(path: str) -> "SpellcheckLexicon":
+    import json
+    with open(path) as f:
+        payload = json.load(f)
+    words = payload["words"]
+    table = pa.table({
+        "word": pa.array([w["word"] for w in words], pa.string()),
+        "doc_frequency": pa.array([w["doc_frequency"] for w in words],
+                                  pa.int64()),
+        "total_frequency": pa.array([w["total_frequency"] for w in words],
+                                    pa.int64()),
+        "external_frequency": pa.array([w["external_frequency"] for w in words],
+                                       pa.int64()),
+        "popularity_score": pa.array([w["popularity_score"] for w in words],
+                                     pa.float64()),
+    })
+    return SpellcheckLexicon(table)
+
+
 class SpellcheckLexicon:
     """Query-side lexicon actor state: length-banded buckets + OSA scan
     (replaces pg_trgm lookup J4; final acceptance is the reference's

@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.text import STOPWORDS, TOKEN_RE, StemCache
+from ..util import default_pool_max
 
 COMBINED_SCHEMA = pa.schema([
     ("kind", pa.int8()),
@@ -95,5 +96,5 @@ def tokenize_docs(docs: "ray.data.Dataset", *, batch_size: int = 2048,
         batch_size=batch_size,
         # elastic pool — a fixed pool sized to the CPU count starves
         # downstream task operators (see stages/doc_ids.py)
-        concurrency=(1, concurrency or 8),
+        concurrency=(1, concurrency or default_pool_max()),
     )

@@ -255,6 +255,22 @@ class QueryEngine:
         return (self._wand(sorted(set(ctx["query_terms"])),
                            ctx["candidate_limit"]), ctx)
 
+    def candidates_auto(self, q: str, *, limit: int = 20, offset: int = 0
+                        ) -> tuple[list[tuple[int, float, int]], dict] | None:
+        """Planner: DAAT WAND pays off when the query is selective (few
+        candidate docs relative to the corpus — pointer skipping prunes);
+        on dense queries the vectorized exhaustive accumulation wins.  Both
+        paths produce identical results (property-tested), so this is purely
+        a cost decision: Σdf < N/8 -> WAND."""
+        ctx = search_context(q, limit, offset)
+        if ctx is None:
+            return None
+        terms = sorted(set(ctx["query_terms"]))
+        sum_df = sum((self._dict[t][0] for t in terms if t in self._dict))
+        if sum_df * 8 < self.doc_total:
+            return (self._wand(terms, ctx["candidate_limit"]), ctx)
+        return (self._accumulate(terms, ctx["candidate_limit"]), ctx)
+
     def _wand(self, sorted_terms: list[str], k: int
               ) -> list[tuple[int, float, int]]:
         import heapq

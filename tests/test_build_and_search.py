@@ -154,9 +154,11 @@ def test_wand_equals_exhaustive(built_index):
         for q, limit, offset in QUERY_SET:
             a = qe.candidates(q, limit=limit, offset=offset)
             b = qe.candidates_wand(q, limit=limit, offset=offset)
-            assert (a is None) == (b is None)
+            c = qe.candidates_auto(q, limit=limit, offset=offset)
+            assert (a is None) == (b is None) == (c is None)
             if a is not None:
                 assert a[0] == b[0], f"{scoring} {q!r}"
+                assert a[0] == c[0], f"auto {scoring} {q!r}"
 
 
 def test_blocked_postings_roundtrip():

@@ -150,6 +150,18 @@ def test_dictionary_and_suggestions(docs_ds, tmp_path):
     assert lex.correct_text("Runninng").startswith("Running")
 
 
+def test_meta_file_roundtrip(docs_ds, tmp_path):
+    from search_engine_ray.stages.spellcheck import (build_dictionary,
+                                                     load_meta_file,
+                                                     write_meta_file)
+    d = build_dictionary(docs_ds)
+    path = write_meta_file(d, str(tmp_path / "meta.json"), max_words=50)
+    lex = load_meta_file(path)
+    # top-50 cap respected and lookups work from the warm-cache artifact
+    assert lex.correct_word("runninng") in ("running", None)
+    assert len(lex._entries) == min(50, d.num_rows)
+
+
 # -- text stats -------------------------------------------------------------
 
 def test_text_stats_vs_scalar(docs_ds, docs_rows):
