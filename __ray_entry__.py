@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_stage1": Q.search_stage1,
         "search_reference": Q.search_reference,
         "search_bm25": Q.search_bm25,
+        "search_news": Q.search_news,
         # spellcheck (A4/A5)
         "word_counts": Q.word_counts,
         "doc_frequencies": Q.doc_frequencies,

@@ -80,7 +80,8 @@ class OracleIndex:
         cl = ctx["candidate_limit"]
         return ([(d, scores[d], matched[d]) for d in ordered[:cl]], ctx)
 
-    def search(self, q: str, *, limit: int = 20, offset: int = 0) -> list[dict]:
+    def search(self, q: str, *, limit: int = 20, offset: int = 0,
+               intent_bias: float = 0.0) -> list[dict]:
         res = self.candidates(q, limit=limit, offset=offset)
         if res is None:
             return []
@@ -96,7 +97,7 @@ class OracleIndex:
                 query_compact=ctx["query_compact"],
                 query_words=ctx["query_words"],
                 title=row["tool"] or "", description=row["text"] or "",
-                url=url)
+                url=url) + intent_bias
             ranked.append({
                 "conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
                 "role": row["role"], "tool": row["tool"], "url": url,

@@ -127,6 +127,25 @@ def search_reference(sf_dir: str) -> pa.Table:
     })
 
 
+def search_news(sf_dir: str) -> pa.Table:
+    """Second-corpus scoring variant (reference J3/news: flat +8.0 intent
+    bias, no field weights — search_service.py:84-88,:297)."""
+    eng = get_engine(sf_dir, stem=True)
+    out = []
+    for qid, q in enumerate(("merge sort", "window batch stream")):
+        for rank, r in enumerate(eng.search(q, limit=20, intent_bias=8.0),
+                                 start=1):
+            out.append((qid, rank, r["conv_id"], r["turn_idx"],
+                        round(r["score"], 6)))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int64()),
+        "rank": pa.array([r[1] for r in out], pa.int64()),
+        "conv_id": pa.array([r[2] for r in out], pa.string()),
+        "turn_idx": pa.array([r[3] for r in out], pa.int32()),
+        "score": pa.array([r[4] for r in out], pa.float64()),
+    })
+
+
 def search_bm25(sf_dir: str) -> pa.Table:
     """Native BM25(k1=1.2, b=0.75) top-k for the same query set."""
     eng_ref = get_engine(sf_dir, stem=True)

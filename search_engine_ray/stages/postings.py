@@ -212,6 +212,7 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
         "num_terms": pa.array([0], pa.int64()),
         "num_postings": pa.array([len(d)], pa.int64()),
         "total_tokens": pa.array([int(t.sum())], pa.int64()),
+        "elapsed_s": pa.array([0.0], pa.float64()),
         "input_fingerprint": pa.array([fp], pa.string()),
     })
 
@@ -222,7 +223,9 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     """Reducer TASK (plain function, not an actor pool: groups become ready
     all at once after the shuffle barrier, so task scheduling beats actor
     spin-up): merge a part's runs per term, write the segment file, emit a
-    manifest row."""
+    manifest row with per-partition throughput metrics (north rule)."""
+    import time as _time
+    t_start = _time.time()
     if len(group) == 0:
         return pa.table({
             "part": pa.array([], pa.int32()),
@@ -230,6 +233,7 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
             "num_terms": pa.array([], pa.int64()),
             "num_postings": pa.array([], pa.int64()),
             "total_tokens": pa.array([], pa.int64()),
+            "elapsed_s": pa.array([], pa.float64()),
             "input_fingerprint": pa.array([], pa.string()),
         })
     seg_dir = os.path.join(index_dir, "segments")
@@ -301,6 +305,8 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
         "num_terms": pa.array([len(o_terms)], pa.int64()),
         "num_postings": pa.array([int(sum(o_df))], pa.int64()),
         "total_tokens": pa.array([0], pa.int64()),
+        "elapsed_s": pa.array([round(_time.time() - t_start, 4)],
+                              pa.float64()),
         "input_fingerprint": pa.array([input_fingerprint], pa.string()),
     })
 
@@ -377,11 +383,16 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
     ).take_all()   # manifest rows only: one per part, tiny
 
     for row in writer_rows:
+        elapsed = float(row.get("elapsed_s", 0.0) or 0.0)
+        n_post = int(row["num_postings"])
         manifest["entries"][str(int(row["part"]))] = {
             "file": row["file"],
             "num_terms": int(row["num_terms"]),
-            "num_postings": int(row["num_postings"]),
+            "num_postings": n_post,
             "total_tokens": int(row["total_tokens"]),
+            "reduce_elapsed_s": elapsed,
+            "postings_per_sec": round(n_post / elapsed, 1) if elapsed > 0
+            else None,
             "input_fingerprint": row["input_fingerprint"],
         }
     manifest["num_partitions"] = num_partitions

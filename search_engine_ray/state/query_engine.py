@@ -350,8 +350,15 @@ class QueryEngine:
             "tool": d["tool"][doc_id],
         }
 
-    def search(self, q: str, *, limit: int = 20, offset: int = 0) -> list[dict]:
-        """Full two-stage search; returns the ranked page as dict rows."""
+    def search(self, q: str, *, limit: int = 20, offset: int = 0,
+               intent_bias: float = 0.0) -> list[dict]:
+        """Full two-stage search; returns the ranked page as dict rows.
+
+        ``intent_bias`` reproduces the reference's second-corpus scoring
+        variant (news results get a flat +8.0 on the intent score,
+        /root/reference/app/api/search_service.py:297; the news stage-1 also
+        drops field weights, :84-88, which is a no-op here since transcript
+        bodies already score at weight 1.0)."""
         res = self.candidates(q, limit=limit, offset=offset)
         if res is None:
             return []
@@ -367,7 +374,7 @@ class QueryEngine:
                 query_compact=ctx["query_compact"],
                 query_words=ctx["query_words"],
                 title=meta["tool"] or "", description=meta["text"] or "",
-                url=url)
+                url=url) + intent_bias
             ranked.append({
                 "conv_id": meta["conv_id"], "turn_idx": meta["turn_idx"],
                 "role": meta["role"], "tool": meta["tool"], "url": url,

@@ -179,6 +179,40 @@ def test_blocked_postings_roundtrip():
         assert len(db) == meta["count"][b]
 
 
+def test_news_bias_matches_oracle(built_index, oracle_index):
+    """Second-corpus variant (J3): +8.0 intent bias applied identically."""
+    cfg, _ = built_index
+    qe = QueryEngine(cfg.index_dir)
+    for q in ("word0001 word0002", "running"):
+        a = qe.search(q, limit=10, intent_bias=8.0)
+        b = oracle_index.search(q, limit=10, intent_bias=8.0)
+        assert _rows_key(a) == _rows_key(b)
+        plain = qe.search(q, limit=10)
+        assert all(x["score"] == y["score"] + 8.0
+                   for x, y in zip(a, plain) if x["url"] == y["url"])
+
+
+def test_checkpoint_triples_path_equals_fused(tiny_transcripts, tmp_path,
+                                              built_index):
+    """The triples-checkpoint physical plan produces byte-identical segments
+    to the fused plan (they are alternative executions of the same logical
+    build)."""
+    cfg_ref, _ = built_index
+    cfg = EngineConfig(index_dir=str(tmp_path / "ckpt"), num_partitions=8,
+                       checkpoint_triples=True)
+    ds = ray.data.from_arrow(tiny_transcripts).repartition(4)
+    build_index(ds, cfg, source_desc="tiny")
+    assert _segments_digest(cfg.index_dir) == _segments_digest(cfg_ref.index_dir)
+    # doclens artifact equivalent too (fused writes one file, checkpoint path
+    # writes a directory — compare contents)
+    import pyarrow.parquet as pq
+    a = pq.read_table(os.path.join(cfg.index_dir, "doclens")).sort_by("doc_id")
+    b = pq.read_table(os.path.join(cfg_ref.index_dir, "doclens")).sort_by("doc_id")
+    assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+    assert [int(x) for x in a.column("doc_len").to_pylist()] == \
+        [int(x) for x in b.column("doc_len").to_pylist()]
+
+
 def test_empty_corpus(tmp_path):
     empty = pa.table({
         "conv_id": pa.array([], pa.string()),
