@@ -83,6 +83,8 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     offsets, n = conv_offsets(_pruned(["conv_id", "turn_idx"]),
                               max_broadcast_convs=cfg.max_broadcast_convs)
     manifest["doc_total"] = n
+    manifest["max_conv"] = max(offsets) if offsets else ""
+    save_manifest(index_dir, manifest)
 
     if n == 0:
         # empty corpus: publish empty-but-valid artifacts (doc_total defaults
@@ -201,5 +203,77 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
                  "avgdl": (total_tokens / n) if n > 0 else 0.0}
         write_stats(index_dir, stats)
 
+    return {"index_dir": index_dir, "doc_total": n, "stats": stats,
+            "manifest": seg_manifest}
+
+
+def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
+                 source_desc: str = "", transcripts_path: str | None = None
+                 ) -> dict:
+    """Incrementally extend an existing index with NEW conversations.
+
+    This is the engine's analogue of the reference's per-doc incremental
+    maintenance (delete+reinsert on recrawl, worker.py:229) re-expressed for
+    immutable artifacts: new turns are tokenized and shuffled into the SAME
+    partitions, and each touched segment file is rewritten by merging the
+    new postings into the existing term rows (untouched terms are carried
+    over without decoding; untouched parts are untouched files).
+
+    Append-only contract: every new conv_id must sort AFTER the existing
+    ``max_conv`` so dense doc ids stay order-equivalent to doc keys (new ids
+    start at the old doc_total).  Violations raise."""
+    index_dir = cfg.index_dir
+    manifest = load_manifest(index_dir)
+    if "doc_total" not in manifest:
+        raise ValueError(f"no existing index at {index_dir}")
+    n0 = int(manifest["doc_total"])
+    max_conv = manifest.get("max_conv", "")
+    fp = _fingerprint(source_desc, cfg)
+
+    src = (ray.data.read_parquet(transcripts_path,
+                                 columns=["conv_id", "turn_idx"])
+           if transcripts_path else new_transcripts)
+    offsets, n_new = conv_offsets(src,
+                                  max_broadcast_convs=cfg.max_broadcast_convs)
+    if n_new == 0:
+        return {"index_dir": index_dir, "doc_total": n0,
+                "manifest": manifest}
+    low = min(offsets)
+    if max_conv and low <= max_conv:
+        raise ValueError(
+            f"incremental extend requires new conv_ids > {max_conv!r}; "
+            f"got {low!r} (append-only contract)")
+    offsets = {c: b + n0 for c, b in offsets.items()}
+    offsets_ref = ray.put(offsets)
+    n = n0 + n_new
+
+    # append to the doc store (new files alongside the old ones)
+    with_ids = add_doc_ids_with_offsets(new_transcripts, offsets_ref)
+    with_ids.write_parquet(os.path.join(index_dir, "docs"),
+                           row_group_size=16384)
+
+    idx_src = new_transcripts if transcripts_path is None else \
+        ray.data.read_parquet(transcripts_path,
+                              columns=["conv_id", "turn_idx", "text"],
+                              override_num_blocks=default_pool_max() * 3)
+    combined = tokenize_docs(
+        add_doc_ids_with_offsets(idx_src, offsets_ref),
+        batch_size=cfg.tokenize_batch_size,
+        concurrency=cfg.tokenize_concurrency,
+        do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
+    seg_manifest = build_segments(
+        combined, index_dir=index_dir, doc_total=n,
+        num_partitions=cfg.num_partitions, salt=cfg.salt,
+        block_size=cfg.block_size, input_fingerprint=fp, resume=False,
+        with_doclens=True, merge_existing=True)
+
+    reserved = seg_manifest["entries"].get(str(cfg.num_partitions))
+    total_tokens = int(reserved["total_tokens"]) if reserved else 0
+    stats = {"doc_total": n, "total_tokens": total_tokens,
+             "avgdl": total_tokens / n}
+    write_stats(index_dir, stats)
+    seg_manifest["doc_total"] = n
+    seg_manifest["max_conv"] = max(offsets)
+    save_manifest(index_dir, seg_manifest)
     return {"index_dir": index_dir, "doc_total": n, "stats": stats,
             "manifest": seg_manifest}

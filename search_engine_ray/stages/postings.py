@@ -190,12 +190,22 @@ def _merge_partial(group: pa.Table) -> pa.Table:
     })
 
 
-def _write_doclens_group(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
+def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
+                         merge_existing: bool = False) -> pa.Table:
     """Reserved-part reducer: the '' pseudo-term runs are (doc_id, doc_len)
     pairs — merge and publish the doclens artifact."""
     d, t = _merge_runs(group.column("doc_ids_enc").to_pylist(),
                        group.column("tfs_enc").to_pylist())
     dl_dir = os.path.join(index_dir, "doclens")
+    existing = os.path.join(dl_dir, "doclens.parquet")
+    if merge_existing and os.path.exists(existing):
+        old = pq.read_table(existing)
+        d = np.concatenate([old.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64), d])
+        t = np.concatenate([old.column("doc_len").to_numpy(
+            zero_copy_only=False).astype(np.uint64), t])
+        order = np.argsort(d, kind="stable")
+        d, t = d[order], t[order]
     os.makedirs(dl_dir, exist_ok=True)
     table = pa.table({
         "doc_id": pa.array(d.astype(np.int64)),
@@ -219,7 +229,8 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
 
 def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
                          block_size: int, input_fingerprint: str,
-                         reserved_part: int | None = None) -> pa.Table:
+                         reserved_part: int | None = None,
+                         merge_existing: bool = False) -> pa.Table:
     """Reducer TASK (plain function, not an actor pool: groups become ready
     all at once after the shuffle barrier, so task scheduling beats actor
     spin-up): merge a part's runs per term, write the segment file, emit a
@@ -241,12 +252,26 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     group = group.sort_by([("term", "ascending"), ("salt", "ascending")])
     part = int(group.column("part")[0].as_py())
     if reserved_part is not None and part == reserved_part:
-        return _write_doclens_group(group, index_dir, input_fingerprint)
+        return _write_doclens_group(group, index_dir, input_fingerprint,
+                                    merge_existing)
     terms = group.column("term").to_pylist()
     dfs = group.column("df").to_numpy(zero_copy_only=False)
     cfs = group.column("cf").to_numpy(zero_copy_only=False)
     doc_bufs = group.column("doc_ids_enc").to_pylist()
     tf_bufs = group.column("tfs_enc").to_pylist()
+
+    # incremental extend: fold the existing segment's terms in.  Terms with
+    # new postings are decoded+merged (new doc ids all sort after old ones);
+    # untouched terms are carried over row-for-row without decoding.
+    existing_rows: dict[str, dict] = {}
+    if merge_existing:
+        fpath0 = os.path.join(index_dir, "segments",
+                              f"segment-p{part:05d}.parquet")
+        if os.path.exists(fpath0):
+            old = pq.read_table(fpath0)
+            for i in range(old.num_rows):
+                row = {c: old.column(c)[i].as_py() for c in old.schema.names}
+                existing_rows[row["term"]] = row
 
     o_terms: list[str] = []
     o_df: list[int] = []
@@ -260,10 +285,7 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     o_bto: list[list[int]] = []
     o_bct: list[list[int]] = []
 
-    for term, s, e in _term_slices(terms):
-        d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
-        df = int(dfs[s:e].sum())
-        cf = int(cfs[s:e].sum())
+    def emit(term, d, t, df, cf):
         doc_buf, tf_buf, meta = encode_postings_blocked(d, t, block_size)
         o_terms.append(term)
         o_df.append(df)
@@ -276,6 +298,52 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
         o_bdo.append(meta["doc_off"])
         o_bto.append(meta["tf_off"])
         o_bct.append(meta["count"])
+
+    new_terms = set()
+    for term, s, e in _term_slices(terms):
+        new_terms.add(term)
+        d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
+        df = int(dfs[s:e].sum())
+        cf = int(cfs[s:e].sum())
+        old = existing_rows.get(term)
+        if old is not None:
+            from ..functions.varbyte import decode_postings_blocked
+            od, ot = decode_postings_blocked(
+                old["doc_ids_enc"], old["tfs_enc"],
+                {"doc_off": old["block_doc_off"],
+                 "tf_off": old["block_tf_off"],
+                 "count": old["block_count"],
+                 "last_doc": old["block_last_doc"]})
+            d = np.concatenate([od, d])
+            t = np.concatenate([ot, t])
+            order = np.argsort(d, kind="stable")
+            d, t = d[order], t[order]
+            df += int(old["df"])
+            cf += int(old["cf"])
+        emit(term, d, t, df, cf)
+    if existing_rows:
+        for term in sorted(existing_rows):
+            if term in new_terms:
+                continue
+            old = existing_rows[term]
+            # untouched term: carry over without decode (re-emit stored
+            # columns; idf recomputed for the new corpus size)
+            o_terms.append(term)
+            o_df.append(int(old["df"]))
+            o_cf.append(int(old["cf"]))
+            o_idf.append(idf_fn(doc_total, int(old["df"])))
+            o_docs.append(old["doc_ids_enc"])
+            o_tfs.append(old["tfs_enc"])
+            o_bld.append(old["block_last_doc"])
+            o_bmt.append(old["block_max_tf"])
+            o_bdo.append(old["block_doc_off"])
+            o_bto.append(old["block_tf_off"])
+            o_bct.append(old["block_count"])
+        # deterministic term order after the carry-over interleave
+        order = sorted(range(len(o_terms)), key=lambda i: o_terms[i])
+        for lst in (o_terms, o_df, o_cf, o_idf, o_docs, o_tfs, o_bld, o_bmt,
+                    o_bdo, o_bto, o_bct):
+            lst[:] = [lst[i] for i in order]
 
     seg = pa.table({
         "term": pa.array(o_terms, pa.string()),
@@ -334,19 +402,27 @@ def save_manifest(index_dir: str, manifest: dict) -> None:
 def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
                    doc_total: int, num_partitions: int = 32, salt: int = 1,
                    block_size: int = 128, input_fingerprint: str = "",
-                   resume: bool = True, with_doclens: bool = False) -> dict:
+                   resume: bool = True, with_doclens: bool = False,
+                   merge_existing: bool = False) -> dict:
     """Posting triples -> segment files + committed manifest.
 
     ``with_doclens=True`` (fused build): the input still carries kind==1
     doc-length rows; they ride the same shuffle to a reserved part whose
     reducer publishes the doclens artifact — one exchange for postings AND
     lengths.  Returns the manifest dict."""
-    manifest = load_manifest(index_dir) if resume else {"entries": {}}
-    done = frozenset(
-        int(p) for p, e in manifest["entries"].items()
-        if e.get("input_fingerprint") == input_fingerprint
-    )
-    manifest["entries"] = {str(p): manifest["entries"][str(p)] for p in done}
+    manifest = load_manifest(index_dir) if (resume or merge_existing) \
+        else {"entries": {}}
+    if merge_existing:
+        # incremental extend: every existing entry stays valid (untouched
+        # parts keep their files); nothing is skipped
+        done = frozenset()
+    else:
+        done = frozenset(
+            int(p) for p, e in manifest["entries"].items()
+            if e.get("input_fingerprint") == input_fingerprint
+        )
+        manifest["entries"] = {str(p): manifest["entries"][str(p)]
+                               for p in done}
 
     # full-skip: a previously COMPLETED identical build whose parts are all
     # still present needs no pass at all (fused mode would otherwise pay a
@@ -377,6 +453,7 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
         block_size=block_size,
         input_fingerprint=input_fingerprint,
         reserved_part=num_partitions if with_doclens else None,
+        merge_existing=merge_existing,
     )
     writer_rows = runs.groupby("part").map_groups(
         writer, batch_format="pyarrow",

@@ -37,8 +37,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import EngineConfig
-from ..functions.text import (DEFAULT_FIELD_WEIGHT, bm25_score, intent_score,
-                              search_context)
+from ..functions.text import (DEFAULT_FIELD_WEIGHT, bm25_score,
+                              idf as idf_fn, intent_score, search_context)
 from ..functions.varbyte import decode_block, decode_postings_blocked
 from ..stages.stats import read_stats
 
@@ -127,7 +127,13 @@ class QueryEngine:
                 meta = {"last_doc": blds[i], "max_tf": bmts[i],
                         "doc_off": bdos[i], "tf_off": btos[i],
                         "count": bcts[i]}
-                self._dict[term] = (dfs[i], cfs[i], idfs[i], dbufs[i],
+                # idf is recomputed from df + the LIVE corpus size: after an
+                # incremental extend, stored idf values in untouched parts
+                # reflect the N at their write time (stats.json is
+                # authoritative; same float expression as build, so a clean
+                # build's stored idf matches bit-for-bit)
+                self._dict[term] = (dfs[i], cfs[i],
+                                    idf_fn(self.doc_total, dfs[i]), dbufs[i],
                                     tbufs[i], meta)
 
         # doc lengths (dense doc_id -> direct array indexing)
@@ -192,8 +198,14 @@ class QueryEngine:
 
     def _accumulate(self, sorted_terms: list[str], cl: int
                     ) -> list[tuple[int, float, int]]:
-        scores = np.zeros(self.doc_total, dtype=np.float64)
-        matched = np.zeros(self.doc_total, dtype=np.int32)
+        # reuse per-engine accumulators: allocating + zeroing 2 x N arrays
+        # per query dominates short-query latency; instead zero only the
+        # entries each query touched
+        if not hasattr(self, "_acc_scores"):
+            self._acc_scores = np.zeros(self.doc_total, dtype=np.float64)
+            self._acc_matched = np.zeros(self.doc_total, dtype=np.int32)
+        scores = self._acc_scores
+        matched = self._acc_matched
         # sorted term order => deterministic float accumulation (oracle pins
         # the same order)
         for term in sorted_terms:
@@ -210,19 +222,24 @@ class QueryEngine:
             scores[doc_ids] += contrib
             matched[doc_ids] += 1
 
-        nz = np.flatnonzero(matched)
-        if len(nz) == 0:
+        touched = np.flatnonzero(matched)
+        if len(touched) == 0:
             return []
-        s = scores[nz]
+        nz = touched
+        s = scores[nz].copy()
+        m = matched[nz].copy()
+        # reset only what this query touched (buffer reuse)
+        scores[touched] = 0.0
+        matched[touched] = 0
         if len(nz) > cl:
             # pre-prune with a partial selection, keeping every score tied
             # with the cl-th so the exact (score, doc_id) sort below breaks
             # boundary ties deterministically
             kth = np.partition(-s, cl - 1)[cl - 1]
             keep = np.flatnonzero(-s <= kth)
-            nz, s = nz[keep], s[keep]
+            nz, s, m = nz[keep], s[keep], m[keep]
         order = np.lexsort((nz, -s))[:cl]
-        return [(int(nz[i]), float(s[i]), int(matched[nz[i]]))
+        return [(int(nz[i]), float(s[i]), int(m[i]))
                 for i in order]
 
     # -- block-max WAND ----------------------------------------------------

@@ -213,6 +213,55 @@ def test_checkpoint_triples_path_equals_fused(tiny_transcripts, tmp_path,
         [int(x) for x in b.column("doc_len").to_pylist()]
 
 
+def test_incremental_extend_equals_full_build(tmp_path):
+    """build(A) + extend_index(B) == build(A ∪ B): identical term stats,
+    postings, doc lengths and search results (stored idf in untouched parts
+    may reflect the old N — QueryEngine recomputes idf from live stats)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from search_engine_ray.pipelines.build import extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(80, seed=11)
+    mask_a = pc.less(full.column("conv_id"), "conv-000050")
+    part_a = full.filter(mask_a)
+    part_b = full.filter(pc.invert(mask_a))
+    assert part_a.num_rows and part_b.num_rows
+
+    cfg_inc = EngineConfig(index_dir=str(tmp_path / "inc"), num_partitions=8)
+    build_index(ray.data.from_arrow(part_a).repartition(3), cfg_inc,
+                source_desc="inc-a")
+    extend_index(ray.data.from_arrow(part_b).repartition(2), cfg_inc,
+                 source_desc="inc-b")
+
+    cfg_full = EngineConfig(index_dir=str(tmp_path / "full"),
+                            num_partitions=8)
+    build_index(ray.data.from_arrow(full).repartition(4), cfg_full,
+                source_desc="inc-full")
+
+    qi = QueryEngine(cfg_inc.index_dir)
+    qf = QueryEngine(cfg_full.index_dir)
+    assert qi.doc_total == qf.doc_total == full.num_rows
+    assert qi.avgdl == qf.avgdl
+    assert set(qi._dict) == set(qf._dict)
+    for term in qf._dict:
+        a, b = qi.postings(term), qf.postings(term)
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]), term
+        assert a[2] == b[2]
+        assert qi.term_stats(term) == qf.term_stats(term)
+    assert np.array_equal(qi._doc_len, qf._doc_len)
+    for q, limit, offset in QUERY_SET[:8]:
+        assert _rows_key(qi.search(q, limit=limit, offset=offset)) == \
+            _rows_key(qf.search(q, limit=limit, offset=offset)), q
+
+    # append-only contract enforced
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="append-only"):
+        extend_index(ray.data.from_arrow(part_a), cfg_inc,
+                     source_desc="inc-bad")
+
+
 def test_empty_corpus(tmp_path):
     empty = pa.table({
         "conv_id": pa.array([], pa.string()),
