@@ -20,6 +20,12 @@ Scoring modes: ``reference`` = tf·idf·field_weight exactly as the reference
 (no length norm — SURVEY.md §1.3); ``bm25`` = true BM25(k1, b) with doc-length
 normalization, the engine's native scorer.
 
+Algorithms (public literature): WAND pivot skipping follows Broder et al.,
+"Efficient Query Evaluation using a Two-Level Retrieval Process" (CIKM 2003);
+the per-block max metadata + block skip pointer movement follows Ding & Suel,
+"Faster Top-k Document Retrieval Using Block-Max Indexes" (SIGIR 2011); BM25
+is Robertson-Sparck Jones with the k1/b saturation form.
+
 Scale notes: per-query accumulation uses dense float64 arrays over N docs —
 right for a per-node shard of the corpus (query actors each own a doc-id
 range and a top-k merge combines shards); block-max WAND pruning
