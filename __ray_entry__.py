@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": Q.events_window,
         "sessionize": Q.sessionize,
         "join_orders_customers": Q.join_orders_customers,
+        "lineitem_agg": Q.lineitem_agg,
         "topk_orders": Q.topk_orders,
         # embeddings (similarity search additions)
         "ann_topk": Q.ann_topk,
@@ -261,6 +262,15 @@ def oracle_sql() -> dict[str, str]:
            SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
+    """
+
+    sql["lineitem_agg"] = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS sum_price_cents
+    FROM lineitem GROUP BY 1, 2
     """
 
     sql["topk_orders"] = """

@@ -382,6 +382,50 @@ def join_orders_customers(sf_dir: str) -> "ray.data.Dataset":
         }), batch_format="pyarrow")
 
 
+def lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q1-shaped aggregate over the largest table: per-batch partial
+    aggregation (combiner) before the tiny groupby — the shuffle moves one
+    row per (batch, group), not per lineitem."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch.column("l_quantity"), 100), 0.5)), pa.int64())
+        price_c = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch.column("l_extendedprice"), 100), 0.5)), pa.int64())
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_cents": qty_c,
+            "price_cents": price_c,
+        })
+        agg = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_cents", "sum"), ("price_cents", "sum"),
+             ("qty_cents", "count")])
+        return pa.table({
+            "l_returnflag": agg.column("l_returnflag"),
+            "l_linestatus": agg.column("l_linestatus"),
+            "qty": agg.column("qty_cents_sum"),
+            "price": agg.column("price_cents_sum"),
+            "n": agg.column("qty_cents_count").cast(pa.int64()),
+        })
+
+    final = li.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty"), Sum("price"), Sum("n"))
+    return final.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "n_items": b.column("sum(n)"),
+            "sum_qty_cents": b.column("sum(qty)"),
+            "sum_price_cents": b.column("sum(price)"),
+        }), batch_format="pyarrow")
+
+
 def topk_orders(sf_dir: str) -> "ray.data.Dataset":
     orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_orderkey", "o_totalprice"])

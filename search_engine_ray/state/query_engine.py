@@ -169,13 +169,28 @@ class QueryEngine:
 
     # -- stage 1 -----------------------------------------------------------
 
+    # decoded-postings cache: hot (head) terms appear in most queries; keep
+    # up to this many decoded lists (LRU-ish: clear-on-full is fine at this
+    # size — decode is cheap, the cache only shaves repeated head terms)
+    POSTINGS_CACHE_MAX = 256
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, float] | None:
+        cached = self._postings_cache.get(term) if hasattr(
+            self, "_postings_cache") else None
+        if cached is not None:
+            return cached
         rec = self._dict.get(term)
         if rec is None:
             return None
         df, cf, idf, dbuf, tbuf, meta = rec
         doc_ids, tfs = decode_postings_blocked(dbuf, tbuf, meta)
-        return doc_ids.astype(np.int64), tfs.astype(np.float64), float(idf)
+        out = (doc_ids.astype(np.int64), tfs.astype(np.float64), float(idf))
+        if not hasattr(self, "_postings_cache"):
+            self._postings_cache = {}
+        if len(self._postings_cache) >= self.POSTINGS_CACHE_MAX:
+            self._postings_cache.clear()
+        self._postings_cache[term] = out
+        return out
 
     def term_stats(self, term: str) -> tuple[int, int, float] | None:
         rec = self._dict.get(term)
