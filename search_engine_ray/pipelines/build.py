@@ -44,7 +44,13 @@ from ..stages.tokenize import tokenize_docs
 from ..util import default_pool_max
 
 # bump when artifact layout changes so resume never reads a stale layout
-_LAYOUT_VERSION = 3
+_LAYOUT_VERSION = 4
+
+
+def _reserved_total_tokens(seg_manifest: dict, num_partitions: int) -> int:
+    return sum(int(e.get("total_tokens", 0))
+               for p, e in seg_manifest["entries"].items()
+               if int(p) >= num_partitions)
 
 
 def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
@@ -196,8 +202,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             manifest["doc_total"] = n
             save_manifest(index_dir, manifest)
 
-        reserved = seg_manifest["entries"].get(str(cfg.num_partitions))
-        total_tokens = int(reserved["total_tokens"]) if reserved else 0
+        total_tokens = _reserved_total_tokens(seg_manifest, cfg.num_partitions)
         stats = {"doc_total": n if n > 0 else 1,
                  "total_tokens": total_tokens,
                  "avgdl": (total_tokens / n) if n > 0 else 0.0}
@@ -267,8 +272,7 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         block_size=cfg.block_size, input_fingerprint=fp, resume=False,
         with_doclens=True, merge_existing=True)
 
-    reserved = seg_manifest["entries"].get(str(cfg.num_partitions))
-    total_tokens = int(reserved["total_tokens"]) if reserved else 0
+    total_tokens = _reserved_total_tokens(seg_manifest, cfg.num_partitions)
     stats = {"doc_total": n, "total_tokens": total_tokens,
              "avgdl": total_tokens / n}
     write_stats(index_dir, stats)

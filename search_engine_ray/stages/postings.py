@@ -80,10 +80,14 @@ class _RunCombiner:
         self._salt = salt
         self._skip = skip_parts
 
+    DOCLEN_SHARDS = 16          # reserved parts: num_partitions .. +SHARDS-1
+    _SHARD_RANGE = 65536        # contiguous doc-id range per shard stripe
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         # fused-build path: kind==1 rows are per-doc lengths — encode them as
-        # a posting-list run for the reserved part (num_partitions), so the
-        # SAME shuffle carries doc lengths to their own reducer
+        # posting-list runs for the reserved SHARD parts (a single doclens
+        # reducer would serialize an O(N) sort+write at the tail of the
+        # build; sharding by doc-id stripe keeps the reduce parallel)
         doclen_tables = []
         if "kind" in batch.schema.names:
             import pyarrow.compute as pc
@@ -94,16 +98,21 @@ class _RunCombiner:
                 d = doclen.column("doc_id").to_numpy(zero_copy_only=False)
                 t = doclen.column("tf").to_numpy(zero_copy_only=False)
                 order = np.argsort(d, kind="stable")
-                doc_buf, tf_buf = encode_postings(d[order], t[order])
-                doclen_tables.append(pa.table({
-                    "part": pa.array([self._parts], pa.int32()),
-                    "term": pa.array([""], pa.string()),
-                    "salt": pa.array([0], pa.int32()),
-                    "df": pa.array([len(d)], pa.int64()),
-                    "cf": pa.array([int(t.sum())], pa.int64()),
-                    "doc_ids_enc": pa.array([doc_buf], pa.binary()),
-                    "tfs_enc": pa.array([tf_buf], pa.binary()),
-                }))
+                d, t = d[order], t[order]
+                shards = (d // self._SHARD_RANGE) % self.DOCLEN_SHARDS
+                for shard in np.unique(shards):
+                    m = shards == shard
+                    doc_buf, tf_buf = encode_postings(d[m], t[m])
+                    doclen_tables.append(pa.table({
+                        "part": pa.array([self._parts + int(shard)],
+                                         pa.int32()),
+                        "term": pa.array([""], pa.string()),
+                        "salt": pa.array([0], pa.int32()),
+                        "df": pa.array([int(m.sum())], pa.int64()),
+                        "cf": pa.array([int(t[m].sum())], pa.int64()),
+                        "doc_ids_enc": pa.array([doc_buf], pa.binary()),
+                        "tfs_enc": pa.array([tf_buf], pa.binary()),
+                    }))
 
         batch = batch.sort_by([("term", "ascending"), ("doc_id", "ascending")])
         terms = batch.column("term").to_pylist()
@@ -141,7 +150,10 @@ class _RunCombiner:
         if self._skip:
             keep = ~np.isin(part, np.fromiter(self._skip, dtype=np.int32))
             table = table.filter(pa.array(keep))
-        if doclen_tables and self._parts not in self._skip:
+            doclen_tables = [t for t in doclen_tables
+                             if int(t.column("part")[0].as_py())
+                             not in self._skip]
+        if doclen_tables:
             table = pa.concat_tables([table] + doclen_tables)
         return table
 
@@ -191,13 +203,15 @@ def _merge_partial(group: pa.Table) -> pa.Table:
 
 
 def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
-                         merge_existing: bool = False) -> pa.Table:
-    """Reserved-part reducer: the '' pseudo-term runs are (doc_id, doc_len)
-    pairs — merge and publish the doclens artifact."""
+                         shard: int, merge_existing: bool = False
+                         ) -> pa.Table:
+    """Reserved-shard reducer: the '' pseudo-term runs are (doc_id, doc_len)
+    pairs — merge and publish this shard's doclens file."""
     d, t = _merge_runs(group.column("doc_ids_enc").to_pylist(),
                        group.column("tfs_enc").to_pylist())
     dl_dir = os.path.join(index_dir, "doclens")
-    existing = os.path.join(dl_dir, "doclens.parquet")
+    fname = f"doclens-{shard:03d}.parquet"
+    existing = os.path.join(dl_dir, fname)
     if merge_existing and os.path.exists(existing):
         old = pq.read_table(existing)
         d = np.concatenate([old.column("doc_id").to_numpy(
@@ -211,7 +225,6 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
         "doc_id": pa.array(d.astype(np.int64)),
         "doc_len": pa.array(t.astype(np.int64)),
     })
-    fname = "doclens.parquet"
     fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=dl_dir)
     os.close(fd)
     pq.write_table(table, tmp, row_group_size=65536)
@@ -251,9 +264,9 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     os.makedirs(seg_dir, exist_ok=True)
     group = group.sort_by([("term", "ascending"), ("salt", "ascending")])
     part = int(group.column("part")[0].as_py())
-    if reserved_part is not None and part == reserved_part:
+    if reserved_part is not None and part >= reserved_part:
         return _write_doclens_group(group, index_dir, input_fingerprint,
-                                    merge_existing)
+                                    part - reserved_part, merge_existing)
     terms = group.column("term").to_pylist()
     dfs = group.column("df").to_numpy(zero_copy_only=False)
     cfs = group.column("cf").to_numpy(zero_copy_only=False)
