@@ -154,24 +154,38 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     }
 
 
+SCALING_REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Each level runs SCALING_REPEATS fresh processes on the SAME input and
+    the fastest run counts: the shared sandbox host shows 2x run-to-run
+    noise (disk/host contention), and min-time per level is the standard
+    way to measure the machine rather than the noise."""
     # warm the corpus cache so generation isn't timed in either child
     _bench_corpus(_sf_from_dir(sf_dir), SCALING_MULT)
     results = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(cpus),
-                   SCALING_MULT=str(SCALING_MULT))
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--child",
-             "--mult", str(SCALING_MULT), "--build-only"],
-            env=env, capture_output=True, text=True, timeout=3600)
-        lines = [l for l in out.stdout.strip().splitlines()
-                 if l.startswith("{")]
-        if not lines:
-            sys.stderr.write(f"scaling child cpus={cpus} failed:\n"
-                             f"{out.stderr[-2000:]}\n")
-            raise RuntimeError(f"scaling child cpus={cpus} produced no JSON")
-        results[cpus] = json.loads(lines[-1])
+        best = None
+        for _ in range(SCALING_REPEATS):
+            env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
+                       RAY_GRAFT_CPUS=str(cpus),
+                       SCALING_MULT=str(SCALING_MULT))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--child",
+                 "--mult", str(SCALING_MULT), "--build-only"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            lines = [l for l in out.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(f"scaling child cpus={cpus} failed:\n"
+                                 f"{out.stderr[-2000:]}\n")
+                raise RuntimeError(
+                    f"scaling child cpus={cpus} produced no JSON")
+            r = json.loads(lines[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[cpus] = best
     tp_lo = results[lo]["turns_per_sec"]
     tp_hi = results[hi]["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
