@@ -111,7 +111,15 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     needs_docs = not (resume and manifest.get("docs_fingerprint") == fp)
 
     def _write_doc_store():
-        with_ids = add_doc_ids_with_offsets(transcripts, offsets_ref)
+        # fan the read out so parquet ENCODE parallelizes across cores (a
+        # single-file source otherwise yields a handful of giant write
+        # tasks, which becomes the build's critical path at high CPU counts)
+        src = transcripts
+        if transcripts_path is not None:
+            src = ray.data.read_parquet(
+                transcripts_path,
+                override_num_blocks=default_pool_max() * 3)
+        with_ids = add_doc_ids_with_offsets(src, offsets_ref)
         shutil.rmtree(docs_dir, ignore_errors=True)
         # small row groups: downstream column-pruned reads split into
         # parallel fragments even when a write task emits one big file
