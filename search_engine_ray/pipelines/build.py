@@ -110,16 +110,23 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     offsets_ref = ray.put(offsets)
     needs_docs = not (resume and manifest.get("docs_fingerprint") == fp)
 
-    def _write_doc_store():
+    def _doc_store_plan():
         # fan the read out so parquet ENCODE parallelizes across cores (a
         # single-file source otherwise yields a handful of giant write
-        # tasks, which becomes the build's critical path at high CPU counts)
+        # tasks, which becomes the build's critical path at high CPU
+        # counts).  Plan construction stays on the caller's thread — lazy
+        # imports inside read_parquet are not thread-safe against a
+        # concurrent plan build (observed fsspec half-import race).
         src = transcripts
         if transcripts_path is not None:
             src = ray.data.read_parquet(
                 transcripts_path,
                 override_num_blocks=default_pool_max() * 3)
-        with_ids = add_doc_ids_with_offsets(src, offsets_ref)
+        return add_doc_ids_with_offsets(src, offsets_ref)
+
+    def _write_doc_store(with_ids=None):
+        if with_ids is None:
+            with_ids = _doc_store_plan()
         shutil.rmtree(docs_dir, ignore_errors=True)
         # small row groups: downstream column-pruned reads split into
         # parallel fragments even when a write task emits one big file
@@ -178,14 +185,16 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         # pipelines share the Ray cluster; neither blocks the other.
         doc_store_error: list[BaseException] = []
 
-        def _docs_thread():
-            try:
-                _write_doc_store()
-            except BaseException as e:   # surfaced after join
-                doc_store_error.append(e)
-
         t = None
         if needs_docs:
+            docs_plan = _doc_store_plan()     # plan built on main thread
+
+            def _docs_thread():
+                try:
+                    _write_doc_store(docs_plan)
+                except BaseException as e:   # surfaced after join
+                    doc_store_error.append(e)
+
             t = threading.Thread(target=_docs_thread, name="doc-store-write")
             t.start()
 
