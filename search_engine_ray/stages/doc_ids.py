@@ -54,43 +54,39 @@ def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
     partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
         _conv_partials, batch_format="pyarrow")
     # partial rows number ~one per (batch, conv) — tiny next to turns; the
-    # final merge is a driver-side dict (no shuffle).  Beyond the broadcast
-    # cap the whole assigner switches to the distributed-join variant anyway
-    # (docstring scale notes), so driver merge and broadcast share a cutover.
-    merged: dict[str, list[int]] = {}
-    n_partial = 0
-    for batch in partials.iter_batches(batch_format="pyarrow"):
-        for c, cnt, mn, mx in zip(batch.column("conv_id").to_pylist(),
-                                  batch.column("cnt").to_pylist(),
-                                  batch.column("min_t").to_pylist(),
-                                  batch.column("max_t").to_pylist()):
-            e = merged.get(c)
-            if e is None:
-                merged[c] = [cnt, mn, mx]
-                n_partial += 1
-                if n_partial > max_broadcast_convs:
-                    raise NotImplementedError(
-                        f"over {max_broadcast_convs} conversations exceeds "
-                        "the broadcast cap; use the distributed-join id "
-                        "assigner (see module docstring scale notes)")
-            else:
-                e[0] += cnt
-                if mn < e[1]:
-                    e[1] = mn
-                if mx > e[2]:
-                    e[2] = mx
-    offsets: dict[str, int] = {}
-    base = 0
-    for conv in sorted(merged):
-        cnt, mn, mx = merged[conv]
-        if mn != 0 or mx != cnt - 1:
-            raise ValueError(
-                f"conv {conv!r}: turn_idx not contiguous from 0 "
-                f"(count={cnt}, min={mn}, max={mx}) — stable-turn-ordering "
-                "invariant violated")
-        offsets[conv] = base
-        base += cnt
-    return offsets, base
+    # final merge is driver-side with Arrow kernels (no shuffle, no Python
+    # row loop).  Beyond the broadcast cap the whole assigner switches to
+    # the distributed-join variant anyway (docstring scale notes), so
+    # driver merge and broadcast share a cutover.
+    import pyarrow.compute as pc
+    chunks = [b for b in partials.iter_batches(batch_format="pyarrow")
+              if len(b)]
+    if not chunks:
+        return {}, 0
+    merged = pa.TableGroupBy(pa.concat_tables(chunks), "conv_id").aggregate(
+        [("cnt", "sum"), ("min_t", "min"), ("max_t", "max")])
+    if merged.num_rows > max_broadcast_convs:
+        raise NotImplementedError(
+            f"{merged.num_rows} conversations exceeds the broadcast cap "
+            f"({max_broadcast_convs}); use the distributed-join id assigner "
+            "(see module docstring scale notes)")
+    order = pc.sort_indices(merged.column("conv_id"))
+    merged = merged.take(order)
+    cnt = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+    mn = merged.column("min_t_min").to_numpy(zero_copy_only=False)
+    mx = merged.column("max_t_max").to_numpy(zero_copy_only=False)
+    bad = np.flatnonzero((mn != 0) | (mx != cnt - 1))
+    if len(bad):
+        i = int(bad[0])
+        conv = merged.column("conv_id")[i].as_py()
+        raise ValueError(
+            f"conv {conv!r}: turn_idx not contiguous from 0 "
+            f"(count={int(cnt[i])}, min={int(mn[i])}, max={int(mx[i])}) — "
+            "stable-turn-ordering invariant violated")
+    bases = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    offsets = dict(zip(merged.column("conv_id").to_pylist(),
+                       bases.tolist()))
+    return offsets, int(cnt.sum())
 
 
 class _AddDocId:
