@@ -35,6 +35,16 @@ import threading
 import ray
 import ray.data
 
+# Pre-warm fsspec's lazily-imported HTTP module: Ray's path resolution
+# imports it on every read/write plan, and Python's import machinery is not
+# safe against two threads triggering the SAME first import (observed
+# half-initialized module -> ImportError when the doc-store write thread
+# races the main index pass).
+try:  # pragma: no cover - import side effect only
+    import fsspec.implementations.http  # noqa: F401
+except Exception:
+    pass
+
 from ..config import EngineConfig
 from ..functions.hashing import hash64
 from ..stages.doc_ids import add_doc_ids_with_offsets, conv_offsets
