@@ -35,15 +35,26 @@ import threading
 import ray
 import ray.data
 
-# Pre-warm fsspec's lazily-imported HTTP module: Ray's path resolution
-# imports it on every read/write plan, and Python's import machinery is not
-# safe against two threads triggering the SAME first import (observed
-# half-initialized module -> ImportError when the doc-store write thread
-# races the main index pass).
+# fsspec's HTTP module fails to import in this environment (no aiohttp).
+# Ray's path resolution imports it on EVERY read/write plan and tolerates
+# ModuleNotFoundError — but when two threads race the first import, Python
+# caches a half-initialized module and later imports raise plain
+# ImportError ("cannot import name"), which Ray does not catch.  Register a
+# complete stub up front so every import resolves consistently and
+# thread-safely; the sentinel class matches nothing, preserving Ray's
+# "not an HTTP filesystem" behavior.
 try:  # pragma: no cover - import side effect only
     import fsspec.implementations.http  # noqa: F401
 except Exception:
-    pass
+    import sys as _sys
+    import types as _types
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    class _StubHTTPFileSystem:  # never instantiated
+        pass
+
+    _stub.HTTPFileSystem = _StubHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _stub
 
 from ..config import EngineConfig
 from ..functions.hashing import hash64
