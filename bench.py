@@ -80,7 +80,10 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     corpus_path, num_turns = _bench_corpus(sf, mult)
     index_dir = os.path.join(CACHE, f"idx-{num_turns}-{num_cpus}")
     shutil.rmtree(index_dir, ignore_errors=True)
-    cfg = EngineConfig(index_dir=index_dir, num_partitions=32,
+    # wider reduce fan-out for multi-million-turn corpora (parallelizes the
+    # shuffle reduce + segment writes)
+    parts = 64 if num_turns > 2_000_000 else 32
+    cfg = EngineConfig(index_dir=index_dir, num_partitions=parts,
                        tokenize_concurrency=num_cpus)
 
     queries: dict[str, float] = {}
