@@ -232,9 +232,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["events_window"] = """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
            count(*) AS n_events,
-           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
     FROM events GROUP BY 1, 2
     """
 
@@ -253,13 +254,15 @@ def oracle_sql() -> dict[str, str]:
       FROM e
     )
     SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
     FROM s GROUP BY user_id, session_id
     """
 
     sql["join_orders_customers"] = """
     SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
-           SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """
@@ -267,8 +270,9 @@ def oracle_sql() -> dict[str, str]:
     sql["lineitem_agg"] = """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_items,
-           SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
-           SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS sum_price_cents
     FROM lineitem GROUP BY 1, 2
     """

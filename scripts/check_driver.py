@@ -22,9 +22,14 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def to_arrow(result) -> pa.Table:
+    import ray
     import ray.data
     if isinstance(result, ray.data.Dataset):
-        return pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
+        # keep Arrow dtypes (to_pandas would coerce timestamps to ns etc.)
+        tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+                  else b for b in ray.get(result.to_arrow_refs())]
+        tables = [t for t in tables if t.num_rows] or tables[:1]
+        return pa.concat_tables(tables, promote_options="default")
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result, preserve_index=False)
     if isinstance(result, pa.Table):
@@ -32,12 +37,13 @@ def to_arrow(result) -> pa.Table:
     raise TypeError(type(result))
 
 
-def canon(t: pa.Table) -> pd.DataFrame:
-    df = t.to_pandas()
-    df = df[sorted(df.columns)]
-    if len(df):
-        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+def canon(t: pa.Table) -> pa.Table:
+    """Name-sorted columns, row-sorted — dtype-preserving (Arrow, not pandas)
+    so the compare sees exactly what the driver's value-hash sees."""
+    t = t.combine_chunks().select(sorted(t.column_names))
+    if t.num_rows:
+        t = t.sort_by([(c, "ascending") for c in t.column_names])
+    return t
 
 
 def main() -> int:
@@ -74,35 +80,29 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            theirs = canon(pa.Table.from_pandas(con.execute(sql).fetchdf(),
-                                                preserve_index=False))
+            theirs = canon(con.execute(sql).arrow())
         except Exception as e:
             print(f"FAIL  {name}: SQL raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        ok_shape = list(ours.columns) == list(theirs.columns) and \
-            len(ours) == len(theirs)
-        ok_vals = ok_shape and ours.equals(theirs)
-        if not ok_vals and ok_shape:
-            # dtype-insensitive retry (int32 vs int64 etc.)
-            try:
-                ok_vals = all(
-                    (ours[c].astype("float64").round(6) ==
-                     theirs[c].astype("float64").round(6)).all()
-                    if pd.api.types.is_numeric_dtype(ours[c])
-                    else (ours[c].astype(str) == theirs[c].astype(str)).all()
-                    for c in ours.columns)
-            except Exception:
-                ok_vals = False
+        # NO lenient retry: dtypes and values must match exactly, like the
+        # driver's value-hash over name-sorted columns.
+        ok_shape = (ours.column_names == theirs.column_names
+                    and ours.num_rows == theirs.num_rows)
+        ok_schema = ok_shape and ours.schema.types == theirs.schema.types
+        ok_vals = ok_schema and ours.equals(theirs)
         if ok_vals:
-            print(f"PASS  {name}: {len(ours)} rows ({dt:.1f}s)")
+            print(f"PASS  {name}: {ours.num_rows} rows ({dt:.1f}s)")
             n_pass += 1
         else:
-            print(f"FAIL  {name}: ours {ours.shape} cols={list(ours.columns)} "
-                  f"vs sql {theirs.shape} cols={list(theirs.columns)}")
-            if ok_shape:
-                diff = ours.compare(theirs) if ours.shape == theirs.shape else None
-                if diff is not None and len(diff):
+            print(f"FAIL  {name}: ours rows={ours.num_rows} "
+                  f"schema={[(f.name, str(f.type)) for f in ours.schema]}")
+            print(f"      sql  rows={theirs.num_rows} "
+                  f"schema={[(f.name, str(f.type)) for f in theirs.schema]}")
+            if ok_schema:
+                a, b = ours.to_pandas(), theirs.to_pandas()
+                diff = a.compare(b)
+                if len(diff):
                     print(diff.head(10))
             n_fail += 1
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")

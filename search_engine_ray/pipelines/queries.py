@@ -286,7 +286,9 @@ def events_window(sf_dir: str) -> "ray.data.Dataset":
 
     def prep(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts")
-        hour = pc.floor_temporal(ts, unit="hour")
+        # emit timestamp[us] explicitly — floor_temporal preserves the source
+        # unit (driver compare is dtype-exact vs the DuckDB TIMESTAMP = us)
+        hour = pc.floor_temporal(ts, unit="hour").cast(pa.timestamp("us"))
         # floor(x*100 + 0.5): same single IEEE expression as the SQL mirror
         # (pc.round is half-even, DuckDB round is half-away — avoid both)
         cents = pc.cast(pc.floor(pc.add(pc.multiply(
@@ -298,7 +300,9 @@ def events_window(sf_dir: str) -> "ray.data.Dataset":
         ["window_start", "event_type"]).aggregate(Count(), Sum("value_cents"))
     return agg.map_batches(
         lambda b: pa.table({
-            "window_start": b.column("window_start"),
+            # re-cast: Ray's multi-block aggregate merge can downcast the
+            # timestamp key to [s]; the driver compare is dtype-exact (us)
+            "window_start": b.column("window_start").cast(pa.timestamp("us")),
             "event_type": b.column("event_type"),
             "n_events": b.column("count()"),
             "sum_value_cents": b.column("sum(value_cents)"),
@@ -516,16 +520,25 @@ ANTIJOIN_PRICE_THRESHOLD = 300_000.0
 
 def customers_without_orders(sf_dir: str) -> pa.Table:
     """Anti-join (reference J5 NOT EXISTS pattern): customers with no order
-    above the price threshold — broadcast the qualifying custkey set and
-    filter against it (no shuffle; the filtered side is the small side).
+    above the price threshold.  The qualifying custkey set is computed by a
+    DISTRIBUTED filter + per-batch distinct + distinct aggregate — only the
+    (small) distinct key set ever reaches the driver, never the orders table —
+    then broadcast and anti-filtered against customers (no shuffle join).
     Returned as an explicit-schema Table so an empty result keeps columns."""
     import ray as _ray
     orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_custkey", "o_totalprice"])
-    keys: set[int] = set()
-    for b in orders.iter_batches(batch_format="pyarrow"):
-        sel = pc.greater(b.column("o_totalprice"), ANTIJOIN_PRICE_THRESHOLD)
-        keys.update(b.filter(sel).column("o_custkey").to_pylist())
+
+    def qualifying_keys(batch: pa.Table) -> pa.Table:
+        sel = pc.greater(batch.column("o_totalprice"),
+                         ANTIJOIN_PRICE_THRESHOLD)
+        keys_col = batch.filter(sel).column("o_custkey")
+        return pa.table({"o_custkey": pc.unique(
+            keys_col.combine_chunks() if isinstance(keys_col, pa.ChunkedArray)
+            else keys_col)})
+
+    keys = set(orders.map_batches(qualifying_keys,
+                                  batch_format="pyarrow").unique("o_custkey"))
     ref = _ray.put(keys)
 
     class AntiJoin:

@@ -115,11 +115,13 @@ class _MinHashBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
+        chashes = hash64_column(texts).astype(np.int64)
         bands: list[int] = []
         keys: list[int] = []
         docs: list[int] = []
+        hashes: list[int] = []
         r = self._rows
-        for text, doc_id in zip(texts, doc_ids):
+        for text, doc_id, ch in zip(texts, doc_ids, chashes.tolist()):
             sig = self.signature(_token_set(text))
             if sig is None:
                 continue
@@ -128,27 +130,55 @@ class _MinHashBatch:
                 bands.append(b)
                 keys.append(hash64(band_bytes) & 0x7FFFFFFFFFFFFFFF)
                 docs.append(doc_id)
+                hashes.append(ch)
         return pa.table({
             "band": pa.array(bands, pa.int32()),
             "band_key": pa.array(keys, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
+            "content_hash": pa.array(hashes, pa.int64()),
         })
 
 
+# Degenerate-bucket guard: a bucket whose (post-collapse) width exceeds this
+# emits only the first MAX_BUCKET_WIDTH reps' pairs and logs an overflow —
+# O(cap^2) bounded, never O(n^2) on mass-duplicated boilerplate.
+MAX_BUCKET_WIDTH = 512
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group.column("doc_id").to_pylist()))
+    """Candidate pairs within one LSH bucket.
+
+    Exact-duplicate classes are first collapsed to their min-doc_id
+    representative (identical text => identical signature => same buckets, so
+    the collapse is globally consistent across buckets); 10k identical docs
+    cost O(n), not O(n^2).  Exact-dup membership is already covered by
+    exact_dedup_groups."""
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    chs = group.column("content_hash").to_numpy(zero_copy_only=False)
+    reps: dict[int, int] = {}
+    for d, c in zip(ids.tolist(), chs.tolist()):
+        if c not in reps or d < reps[c]:
+            reps[c] = d
+    uniq = sorted(set(reps.values()))
+    if len(uniq) > MAX_BUCKET_WIDTH:
+        import logging
+        logging.getLogger(__name__).warning(
+            "LSH bucket overflow: %d reps > cap %d, truncating",
+            len(uniq), MAX_BUCKET_WIDTH)
+        uniq = uniq[:MAX_BUCKET_WIDTH]
     a: list[int] = []
     b: list[int] = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            a.append(uniq[i])
+            b.append(uniq[j])
     return pa.table({"doc_a": pa.array(a, pa.int64()),
                      "doc_b": pa.array(b, pa.int64())})
 
 
 def minhash_candidate_pairs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """LSH candidate pairs (doc_a < doc_b), deduplicated across bands."""
+    """LSH candidate pairs (doc_a < doc_b) over distinct-text representatives,
+    deduplicated across bands."""
     buckets = docs.select_columns(["doc_id", "text"]).map_batches(
         _MinHashBatch, batch_format="pyarrow", concurrency=(1, 8))
     pairs = buckets.groupby(["band", "band_key"]).map_groups(
@@ -195,10 +225,38 @@ class _JaccardVerify:
         })
 
 
-def _texts_map(docs: "ray.data.Dataset") -> dict[int, str]:
+def _candidate_texts_map(docs: "ray.data.Dataset",
+                         pairs: "ray.data.Dataset") -> dict[int, str]:
+    """Semi-join: texts of only the docs that appear in a candidate pair.
+
+    The distinct candidate-id set is computed by a distributed aggregate and
+    is small (near-dup candidates are rare); the doc store is then FILTERED
+    distributedly against that broadcast id set before any text reaches the
+    driver.  Driver memory is O(candidate docs), never O(corpus)."""
+    import ray as _ray
+    ids_ds = pairs.map_batches(
+        lambda b: pa.table({"doc_id": pa.concat_arrays(
+            [b.column("doc_a").combine_chunks(),
+             b.column("doc_b").combine_chunks()])}),
+        batch_format="pyarrow")
+    cand_ids = ids_ds.unique("doc_id")          # distributed distinct, small
+    ids_ref = _ray.put(np.asarray(sorted(cand_ids), dtype=np.int64))
+
+    class KeepCandidates:
+        def __init__(self, ref):
+            ids = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            self._value_set = pa.array(ids, pa.int64())   # built once/actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return batch.filter(_pc.is_in(batch.column("doc_id"),
+                                          value_set=self._value_set))
+
     out: dict[int, str] = {}
-    for batch in docs.select_columns(["doc_id", "text"]).iter_batches(
-            batch_format="pyarrow"):
+    small = docs.select_columns(["doc_id", "text"]).map_batches(
+        KeepCandidates, fn_constructor_args=(ids_ref,),
+        batch_format="pyarrow", concurrency=(1, 8))
+    for batch in small.iter_batches(batch_format="pyarrow"):
         out.update(zip(batch.column("doc_id").to_pylist(),
                        batch.column("text").to_pylist()))
     return out
@@ -208,12 +266,13 @@ def minhash_near_dups(docs: "ray.data.Dataset", *, threshold: float = 0.8,
                       mode: str = "token") -> "ray.data.Dataset":
     """MinHash LSH candidates -> Jaccard-verified near-dup pairs.
 
-    The doc text map is broadcast for verification; at scale this becomes a
-    doc-store lookup per candidate partition instead of a full broadcast
-    (candidates are rare, so the fetch is a k-row read)."""
+    Verification texts are fetched via a distributed semi-join against the
+    candidate-id set (see _candidate_texts_map); only candidate docs' text is
+    ever broadcast, so driver/object-store cost scales with the number of
+    near-dup candidates, not the corpus."""
     import ray as _ray
-    pairs = minhash_candidate_pairs(docs)
-    texts_ref = _ray.put(_texts_map(docs))
+    pairs = minhash_candidate_pairs(docs).materialize()
+    texts_ref = _ray.put(_candidate_texts_map(docs, pairs))
     return pairs.map_batches(
         _JaccardVerify,
         fn_constructor_args=(texts_ref, threshold, mode),
@@ -255,6 +314,12 @@ def simhash_near_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3
     def band_pairs(group: pa.Table) -> pa.Table:
         rows = sorted(set(zip(group.column("doc_id").to_pylist(),
                               group.column("fingerprint").to_pylist())))
+        if len(rows) > MAX_BUCKET_WIDTH:
+            import logging
+            logging.getLogger(__name__).warning(
+                "SimHash band overflow: %d rows > cap %d, truncating",
+                len(rows), MAX_BUCKET_WIDTH)
+            rows = rows[:MAX_BUCKET_WIDTH]
         a, b, h = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):

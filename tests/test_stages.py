@@ -47,26 +47,61 @@ def test_fingerprints_match_scalar(docs_ds, docs_rows):
         assert got[doc_id] == simhash_text(docs_rows[doc_id]["text"])
 
 
-def test_minhash_near_dups_find_planted_twins(docs_ds, docs_rows):
+def test_minhash_near_dups_collapse_and_soundness(docs_ds, docs_rows):
+    """Near-dup pairs are reported over distinct-text REPRESENTATIVES (min
+    doc_id per exact-dup class); exact-dup membership lives in
+    exact_dedup_groups.  Identical-token-set classes must still surface as a
+    jaccard-1.0 pair between their two class representatives."""
     from search_engine_ray.stages.dedup import minhash_near_dups
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
              for r in minhash_near_dups(docs_ds, threshold=0.95).take_all()}
-    # every byte-identical cross-conversation pair must be found (jaccard 1.0)
     groups: dict[str, list[int]] = {}
     for i, r in enumerate(docs_rows):
         if r["text"].strip():
             groups.setdefault(r["text"], []).append(i)
-    planted = [(ids[0], ids[1]) for ids in groups.values() if len(ids) > 1]
-    assert planted, "fixture should contain exact dups"
-    for a, b in planted:
-        assert pairs.get((a, b)) == pytest.approx(1.0)
-    # verification: every reported pair really has Jaccard >= threshold
+    assert any(len(v) > 1 for v in groups.values()), "fixture plants dups"
+    canon = {text: min(ids) for text, ids in groups.items()}
+    # no pair may connect two members of the same exact-dup class, and only
+    # class representatives may appear at all
+    reps = set(canon.values())
+    for a, b in pairs:
+        assert docs_rows[a]["text"] != docs_rows[b]["text"]
+        assert a in reps and b in reps
+    # identical token SETS with different raw text (distinct classes) must be
+    # found as jaccard-1.0 rep pairs
+    by_tokset: dict[frozenset, list[int]] = {}
+    for text, rep in canon.items():
+        ts = frozenset(text.lower().split())
+        if ts:
+            by_tokset.setdefault(ts, []).append(rep)
+    for rep_ids in by_tokset.values():
+        rep_ids.sort()
+        for i in range(1, len(rep_ids)):
+            assert pairs.get((rep_ids[0], rep_ids[i])) == pytest.approx(1.0)
+    # soundness: every reported pair really has Jaccard >= threshold
     for (a, b), j in pairs.items():
         sa = set(docs_rows[a]["text"].lower().split())
         sb = set(docs_rows[b]["text"].lower().split())
         true_j = len(sa & sb) / len(sa | sb)
         assert j == pytest.approx(true_j)
         assert true_j >= 0.95
+
+
+def test_minhash_mass_duplicate_blowup_guard():
+    """10k byte-identical docs collapse to one representative: candidate
+    generation stays O(n), produces zero pairs, and finishes fast."""
+    import time
+    from search_engine_ray.stages.dedup import minhash_candidate_pairs
+    n = 10_000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["the same boilerplate text repeated verbatim"] * n),
+    })
+    t0 = time.time()
+    pairs = minhash_candidate_pairs(
+        ray.data.from_arrow(t).repartition(8)).take_all()
+    assert pairs == []
+    assert time.time() - t0 < 60
 
 
 def test_simhash_near_pairs_sound(docs_ds, docs_rows):
