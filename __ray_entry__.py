@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": Q.term_stats,
         # query path (A6/K1/K2)
         "search_stage1": Q.search_stage1,
+        "search_plain": Q.search_plain,
         "search_reference": Q.search_reference,
         "search_bm25": Q.search_bm25,
         "search_news": Q.search_news,
@@ -134,6 +135,63 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY tf.doc_id
     """
 
+    # Full unstemmed two-stage scoring (intent constant table
+    # search_service.py:174-222) for query "merge sort": words=[merge,sort],
+    # phrase='merge sort', compact='mergesort', total_terms=2.
+    # title := tool, description := text, url := conv_id#turn_idx.
+    sql["search_plain"] = f"""
+    WITH {_TOKS},
+    tr AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('merge','sort') GROUP BY doc_id, term),
+    st AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    s1 AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf * ln((n.n - st.df + 0.5) / (st.df + 0.5) + 1))
+               AS token_score,
+             count(DISTINCT tf.term) AS matched_terms
+      FROM tf JOIN st USING(term), n
+      GROUP BY tf.doc_id
+    ),
+    feat AS (
+      SELECT s1.doc_id, s1.token_score, s1.matched_terms,
+        trim(regexp_replace(lower(tr.tool), '[^a-z0-9]+', ' ', 'g')) AS nt,
+        trim(regexp_replace(lower(tr.text), '[^a-z0-9]+', ' ', 'g')) AS nd,
+        trim(regexp_replace(lower(tr.conv_id || '#' || tr.turn_idx),
+                            '[^a-z0-9]+', ' ', 'g')) AS nu,
+        regexp_replace(lower(tr.conv_id || '#' || tr.turn_idx),
+                       '[^a-z0-9]+', '', 'g') AS cu,
+        len(list_intersect(list_distinct(regexp_extract_all(lower(tr.tool),
+            '\\b[a-z0-9]{{2,}}\\b')), ['merge','sort'])) AS title_hits,
+        len(list_intersect(list_distinct(regexp_extract_all(
+            lower(tr.conv_id || '#' || tr.turn_idx),
+            '\\b[a-z0-9]{{2,}}\\b')), ['merge','sort'])) AS url_hits
+      FROM s1 JOIN tr ON tr.doc_id = s1.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, matched_terms,
+        ln(1 + greatest(token_score, 0)) * 12.0
+        + (matched_terms / 2.0) * 25.0
+        + CASE WHEN matched_terms = 2 THEN 40.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nt) > 0 THEN 140.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nu) > 0 THEN 70.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nd) > 0 THEN 25.0 ELSE 0 END
+        + CASE WHEN position('mergesort' IN cu) > 0 THEN 90.0 ELSE 0 END
+        + title_hits * 22.0 + url_hits * 16.0
+        + ((CASE WHEN position('merge' IN cu) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN position('sort' IN cu) > 0 THEN 1 ELSE 0 END)) * 12.0
+        + CASE WHEN title_hits = 2 THEN 80.0 ELSE 0 END
+        + CASE WHEN url_hits = 2 THEN 55.0 ELSE 0 END
+        + CASE WHEN (CASE WHEN position('merge' IN cu) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN position('sort' IN cu) > 0 THEN 1 ELSE 0 END)
+                    = 2 THEN 45.0 ELSE 0 END
+        AS score
+      FROM feat
+    )
+    SELECT doc_id, round(score, 6) AS score, matched_terms FROM scored
+    """
+
     sql["word_counts"] = f"""
     WITH {_WORDS}
     SELECT word, count(*) AS total_frequency FROM words GROUP BY word
@@ -220,6 +278,122 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, age_days,
            greatest(0.0, 1.0 - least(365, age_days) / 365.0) AS freshness
     FROM a
+    """
+
+    # SimHash fingerprints are md5-lower-64-based (functions/hashing.py
+    # md5_hash64 == DuckDB md5_number_lower) precisely so this mirror exists.
+    _SIMHASH_FP = r"""
+    fs AS (
+      SELECT d.doc_id, w.f, count(*) AS cnt
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(d.text, '\s+'),
+                              x -> x <> '')) AS w(f)
+      GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT fs.doc_id, b.range AS b,
+             SUM(CASE WHEN (md5_number_lower(fs.f) >> b.range) & 1 = 1
+                      THEN fs.cnt ELSE -fs.cnt END) AS v
+      FROM fs CROSS JOIN range(64) b
+      GROUP BY 1, 2
+    ),
+    fpu AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                      ELSE CAST(0 AS HUGEINT) END) AS ufp
+      FROM bits GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT d.doc_id AS doc_id,
+             CAST(CASE WHEN coalesce(fpu.ufp, 0)
+                            >= CAST(9223372036854775808 AS HUGEINT)
+                       THEN coalesce(fpu.ufp, 0)
+                            - CAST(18446744073709551616 AS HUGEINT)
+                       ELSE coalesce(fpu.ufp, 0) END AS BIGINT) AS fingerprint
+      FROM documents d LEFT JOIN fpu ON fpu.doc_id = d.doc_id
+    )
+    """
+
+    sql["simhash_fingerprints"] = f"""
+    WITH {_SIMHASH_FP}
+    SELECT doc_id, fingerprint FROM fp
+    """
+
+    # All-pairs Hamming mirror is complete for the engine's banded blocking:
+    # any pair with <=3 differing bits shares at least one 16-bit band.
+    sql["simhash_near_pairs"] = f"""
+    WITH {_SIMHASH_FP},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+               AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+    _ROLL_MOD = (1 << 61) - 1
+    _ROLL_BASE = 1_000_003
+    _pows = [pow(_ROLL_BASE, 7 - i, _ROLL_MOD) for i in range(8)]
+    _terms = " + ".join(
+        f"CAST(hl[j+{i + 1}] AS HUGEINT) * CAST({_pows[i]} AS HUGEINT)"
+        for i in range(8))
+    sql["rolling_fingerprints"] = rf"""
+    WITH lists AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(l) AS n,
+             list_transform(l, x -> md5_number_lower(x) % {_ROLL_MOD}) AS hl
+      FROM lists
+    ),
+    wins AS (
+      SELECT doc_id, n,
+             CASE WHEN n >= 8 THEN
+               [CAST(({_terms}) % {_ROLL_MOD} AS BIGINT) FOR j IN range(n - 7)]
+             ELSE [] END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS fp_count,
+           CAST(coalesce(list_min(fps), 0) AS BIGINT) AS fp_min
+    FROM wins
+    """
+
+    _pr_parts = [
+        "n AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        "edges AS MATERIALIZED (SELECT doc_id AS src, (doc_id*7+13) % n.n AS "
+        "dst FROM documents CROSS JOIN n WHERE doc_id % 3 = 0)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY "
+        "src)",
+        "pr0 AS MATERIALIZED (SELECT doc_id, 1.0/n.n AS r FROM documents "
+        "CROSS JOIN n)",
+    ]
+    for _k in range(20):
+        _pr_parts.append(
+            f"c{_k} AS MATERIALIZED (SELECT e.dst AS doc_id, "
+            f"sum(0.85 * p.r / deg.d) AS s FROM edges e "
+            f"JOIN pr{_k} p ON p.doc_id = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)")
+        _pr_parts.append(
+            f"pr{_k + 1} AS MATERIALIZED (SELECT d.doc_id, "
+            f"(1.0-0.85)/n.n + coalesce(c.s, 0) AS r "
+            f"FROM documents d CROSS JOIN n "
+            f"LEFT JOIN c{_k} c ON c.doc_id = d.doc_id)")
+    sql["graph_pagerank"] = ("WITH " + ",\n".join(_pr_parts) +
+                             "\nSELECT doc_id, round(r, 6) AS pagerank "
+                             "FROM pr20")
+
+    sql["embedding_near_dups"] = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.98
     """
 
     sql["graph_inlinks"] = """

@@ -39,6 +39,33 @@ def hash64_column(values, *, seed: int = 0) -> np.ndarray:
     return out
 
 
+def md5_hash64(data: bytes | str) -> int:
+    """Lower 64 bits of MD5, little-endian — bit-identical to DuckDB's
+    ``md5_number_lower``, so any stage hashed with this is SQL-mirrorable.
+    Used where an ANSI-SQL oracle must recompute the hash (simhash features,
+    rolling fingerprints); NOT for partitioning (blake2b hash64 stays the
+    shuffle/identity hash)."""
+    from hashlib import md5
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(md5(data).digest()[8:16], "little")
+
+
+def md5_hash64_column(values) -> np.ndarray:
+    """uint64 ndarray of md5_hash64 per value; None -> hash of empty string."""
+    from hashlib import md5
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        if v is None:
+            b = b""
+        elif isinstance(v, str):
+            b = v.encode("utf-8")
+        else:
+            b = v
+        out[i] = int.from_bytes(md5(b).digest()[8:16], "little")
+    return out
+
+
 def splitmix64(x: int) -> int:
     """Deterministic 64-bit mixer (public splitmix64 finalizer)."""
     x = (x + 0x9E3779B97F4A7C15) & _MASK64

@@ -5,10 +5,11 @@ The reference computes ``Simhash((content or '').split()).value`` with the
 and wraps it to signed BIGINT (:11-14).  That package is not available here,
 so the standard Charikar construction is implemented directly: hash each
 feature to 64 bits, sum +1/-1 per bit weighted by feature count, sign -> bit.
-Feature hashing uses the repo-pinned blake2b hash64 (functions/hashing.py);
-fingerprint VALUES therefore differ from the PyPI library, but the semantics
-(near-dup Hamming proximity over whitespace features) are identical, and the
-in-repo oracle pins the same construction.
+Feature hashing uses md5-lower-64 (functions/hashing.py md5_hash64 ==
+DuckDB ``md5_number_lower``) so the whole fingerprint is recomputable by an
+ANSI-SQL oracle; fingerprint VALUES therefore differ from the PyPI library,
+but the semantics (near-dup Hamming proximity over whitespace features) are
+identical, and the in-repo oracle pins the same construction.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ from collections import Counter
 
 import numpy as np
 
-from .hashing import hash64, to_signed64
+from .hashing import md5_hash64, to_signed64
 
 
 def simhash64(features: list[str]) -> int:
@@ -26,7 +27,7 @@ def simhash64(features: list[str]) -> int:
         return 0
     counts = Counter(features)
     hashes = np.fromiter(
-        (hash64(f) for f in counts), dtype=np.uint64, count=len(counts)
+        (md5_hash64(f) for f in counts), dtype=np.uint64, count=len(counts)
     )
     weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     # bit matrix: (n_features, 64) of {0,1}

@@ -127,6 +127,43 @@ def search_reference(sf_dir: str) -> pa.Table:
     })
 
 
+SEARCH_PLAIN_QUERY = "merge sort"
+
+
+def search_plain(sf_dir: str) -> pa.Table:
+    """Unstemmed two-stage search with NO candidate truncation: the full
+    intent re-rank constant table (search_service.py:174-222) applied to
+    every stage-1 match for a fixed query.  Stemming is the only piece of
+    search_reference ANSI-SQL can't express, so this variant IS the SQL
+    oracle surface for the whole scoring path (title=tool,
+    description=text, url=conv_id#turn_idx)."""
+    from ..functions.text import (TOKEN_RE, STOPWORDS, extract_query_words,
+                                  intent_score, normalize_text)
+    eng = get_engine(sf_dir, stem=False)
+    q = SEARCH_PLAIN_QUERY
+    terms = []
+    for t in TOKEN_RE.findall(q.lower()):
+        if t not in STOPWORDS and t not in terms:
+            terms.append(t)
+    words = extract_query_words(q)
+    phrase = normalize_text(q)
+    compact = "".join(words)
+    out = []
+    for doc_id, tscore, mt in eng.score_terms(terms):
+        meta = eng.doc_meta(doc_id)
+        s = intent_score(
+            token_score=tscore, matched_terms=mt, total_terms=len(terms),
+            query_phrase=phrase, query_compact=compact, query_words=words,
+            title=meta["tool"] or "", description=meta["text"] or "",
+            url=f"{meta['conv_id']}#{meta['turn_idx']}")
+        out.append((doc_id, round(s, 6), mt))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in out], pa.int64()),
+        "score": pa.array([r[1] for r in out], pa.float64()),
+        "matched_terms": pa.array([r[2] for r in out], pa.int64()),
+    })
+
+
 def search_news(sf_dir: str) -> pa.Table:
     """Second-corpus scoring variant (reference J3/news: flat +8.0 intent
     bias, no field weights — search_service.py:84-88,:297)."""
@@ -271,9 +308,12 @@ def graph_pagerank(sf_dir: str) -> pa.Table:
                                  columns=["doc_id"])
     n = docs.count()
     pr = pagerank(_synthetic_edges(sf_dir), n)
+    # round-6 (not 9): damping 0.85 over this synthetic graph yields
+    # terminating decimals that land EXACTLY on round-9 tie boundaries,
+    # where engine-vs-DuckDB summation order flips the digit
     return pa.table({
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
-        "pagerank": pa.array(np.round(pr, 9), pa.float64()),
+        "pagerank": pa.array(np.round(pr, 6), pa.float64()),
     })
 
 

@@ -8,9 +8,10 @@
   * cosine_near_dup_pairs — embedding near-dup pairs (cosine >= threshold)
     via LSH band blocking.
 
-All stages stream over ``list<float>`` Arrow columns; vectors are converted
-zero-copy-ish via ``np.asarray(column.to_pylist())`` per batch (fixed-size
-lists; at scale a FixedSizeListArray view avoids even that copy).
+All stages stream over ``list<float>`` / ``fixed_size_list<float>`` Arrow
+columns; ``_batch_matrix`` reshapes the flat Arrow child buffer zero-copy
+(one ``astype`` only when the storage type isn't float64) — no per-row
+``to_pylist`` in any hot path.
 """
 
 from __future__ import annotations
@@ -25,7 +26,35 @@ import ray.data
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    return np.asarray(batch.column(col).to_pylist(), dtype=np.float64)
+    """(n, dim) float64 matrix from an Arrow list column, zero-copy where the
+    layout allows (constant-width lists, no nulls, float64 storage)."""
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        d = arr.type.list_size
+        return flat[arr.offset * d:(arr.offset + len(arr)) * d].reshape(
+            len(arr), d).astype(np.float64, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        if len(off) > 1:
+            widths = np.diff(off)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                flat = arr.values.to_numpy(zero_copy_only=False)
+                return flat[off[0]:off[-1]].reshape(
+                    len(arr), int(widths[0])).astype(np.float64, copy=False)
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+# byte-wise popcount lookup: Hamming distance over uint64 signatures without
+# a per-bit Python loop
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+                 ].sum(axis=1).astype(np.int64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -141,13 +170,7 @@ def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
             sigs = _signatures(vecs, self._planes)
             out_q, out_v, out_s = [], [], []
             for qi in range(len(self._qids)):
-                xor = sigs ^ self._qsigs[qi]
-                # popcount via bit manipulation over uint64
-                ham = np.zeros(len(sigs), dtype=np.int64)
-                x = xor.copy()
-                while x.any():
-                    ham += (x & np.uint64(1)).astype(np.int64)
-                    x >>= np.uint64(1)
+                ham = _popcount64(sigs ^ self._qsigs[qi])
                 mask = ham <= self._probe
                 if not mask.any():
                     continue
@@ -218,6 +241,15 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", *,
         })
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        # degenerate-bucket guard: in-bucket work is O(width^2); a bucket
+        # wider than the cap is truncated (by vec_id) with a logged overflow
+        MAX_SIG_BUCKET = 4096
+        if group.num_rows > MAX_SIG_BUCKET:
+            import logging
+            logging.getLogger(__name__).warning(
+                "cosine near-dup bucket overflow: %d rows > cap %d, "
+                "truncating", group.num_rows, MAX_SIG_BUCKET)
+            group = group.sort_by("vec_id").slice(0, MAX_SIG_BUCKET)
         ids = group.column("vec_id").to_pylist()
         vecs = _normalize(_batch_matrix(group))
         sims = vecs @ vecs.T

@@ -35,6 +35,15 @@ import ray
 import ray.data
 
 
+class BroadcastCapExceeded(RuntimeError):
+    """Conversation count exceeds the conv-offset broadcast cap; the caller
+    must switch to the distributed-join assigner (assign_doc_ids_join)."""
+
+    def __init__(self, n: int):
+        super().__init__(f"{n} conversation partials exceed the broadcast cap")
+        self.n = n
+
+
 def _conv_partials(batch: pa.Table) -> pa.Table:
     agg = pa.TableGroupBy(batch, "conv_id").aggregate([
         ("turn_idx", "count"), ("turn_idx", "min"), ("turn_idx", "max")])
@@ -59,17 +68,23 @@ def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
     # the distributed-join variant anyway (docstring scale notes), so
     # driver merge and broadcast share a cutover.
     import pyarrow.compute as pc
-    chunks = [b for b in partials.iter_batches(batch_format="pyarrow")
-              if len(b)]
+    chunks = []
+    seen_convs = 0
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        if not len(b):
+            continue
+        chunks.append(b)
+        seen_convs += len(b)
+        # bail BEFORE driver memory grows past the cap (partial rows are an
+        # overcount of distinct convs, so this errs on the early side)
+        if seen_convs > max_broadcast_convs * 4:
+            raise BroadcastCapExceeded(seen_convs)
     if not chunks:
         return {}, 0
     merged = pa.TableGroupBy(pa.concat_tables(chunks), "conv_id").aggregate(
         [("cnt", "sum"), ("min_t", "min"), ("max_t", "max")])
     if merged.num_rows > max_broadcast_convs:
-        raise NotImplementedError(
-            f"{merged.num_rows} conversations exceeds the broadcast cap "
-            f"({max_broadcast_convs}); use the distributed-join id assigner "
-            "(see module docstring scale notes)")
+        raise BroadcastCapExceeded(merged.num_rows)
     order = pc.sort_indices(merged.column("conv_id"))
     merged = merged.take(order)
     cnt = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
@@ -127,6 +142,95 @@ def add_doc_ids_with_offsets(ds: "ray.data.Dataset", offsets_ref, *,
     )
 
 
+def conv_offsets_dataset(ds: "ray.data.Dataset"
+                         ) -> tuple["ray.data.Dataset", int]:
+    """Distributed conv-offset computation: (conv_id, base) Dataset + N.
+
+    Same math as ``conv_offsets`` with no driver-held conv map:
+      1. per-batch partials -> groupby(conv_id) merge (distributed);
+         contiguity validated per conv row inside the aggregate's consumers;
+      2. sort by conv_id -> ordered blocks;
+      3. two-phase distributed prefix sum: per-block turn totals (one number
+         per block reaches the driver), exclusive prefix over block totals,
+         then a per-block task adds the block base to the within-block
+         exclusive cumsum.
+    Raw ray tasks are used only for step 3 — Dataset API has no prefix-sum."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        _conv_partials, batch_format="pyarrow")
+    merged = partials.groupby("conv_id").aggregate(
+        Sum("cnt"), Min("min_t"), Max("max_t"))
+
+    def validate(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        mn = batch.column("min(min_t)").to_numpy(zero_copy_only=False)
+        mx = batch.column("max(max_t)").to_numpy(zero_copy_only=False)
+        bad = np.flatnonzero((mn != 0) | (mx != cnt - 1))
+        if len(bad):
+            i = int(bad[0])
+            conv = batch.column("conv_id")[i].as_py()
+            raise ValueError(
+                f"conv {conv!r}: turn_idx not contiguous from 0 "
+                f"(count={int(cnt[i])}, min={int(mn[i])}, max={int(mx[i])}) "
+                "— stable-turn-ordering invariant violated")
+        return pa.table({"conv_id": batch.column("conv_id"),
+                         "cnt": batch.column("sum(cnt)")})
+
+    stats = merged.map_batches(validate, batch_format="pyarrow").sort(
+        "conv_id").materialize()
+    refs = stats.to_arrow_refs()     # ordered blocks of a sorted dataset
+
+    @ray.remote
+    def block_total(t) -> int:
+        t = pa.Table.from_batches([t]) if isinstance(t, pa.RecordBatch) else t
+        s = pc.sum(t.column("cnt")).as_py()
+        return int(s) if s is not None else 0
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+
+    @ray.remote
+    def with_base(t, base: int) -> pa.Table:
+        t = pa.Table.from_batches([t]) if isinstance(t, pa.RecordBatch) else t
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        excl = np.concatenate(([0], np.cumsum(cnt)[:-1])).astype(np.int64)
+        return pa.table({"conv_id": t.column("conv_id"),
+                         "base": pa.array(excl + base, pa.int64())})
+
+    offset_refs = [with_base.remote(r, int(b)) for r, b in zip(refs, bases)]
+    return ray.data.from_arrow_refs(offset_refs), int(sum(totals))
+
+
+def assign_doc_ids_join(ds: "ray.data.Dataset", *,
+                        num_partitions: int | None = None,
+                        conv_stats_source: "ray.data.Dataset | None" = None
+                        ) -> tuple["ray.data.Dataset", int]:
+    """Distributed-join doc_id assigner: no driver conv map, no broadcast —
+    the scale path beyond ``max_broadcast_convs`` (module docstring).  The
+    conv-offset Dataset is hash-joined onto the input on conv_id and
+    doc_id = base + turn_idx.  Property-tested id-identical to the broadcast
+    path.
+
+    ``num_partitions`` defaults to ~1 per million turns (each hash-join
+    partition is an aggregator ACTOR; at 10^12 turns you want thousands, at
+    fixture scale 64 of them would starve a 4-CPU box)."""
+    offsets_ds, n = conv_offsets_dataset(conv_stats_source or ds)
+    if num_partitions is None:
+        num_partitions = max(2, min(1024, n // 1_000_000))
+    joined = ds.join(offsets_ds, "inner", num_partitions, on=("conv_id",))
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        doc_id = pa.array(
+            batch.column("base").to_numpy(zero_copy_only=False)
+            + batch.column("turn_idx").to_numpy(
+                zero_copy_only=False).astype(np.int64), pa.int64())
+        return batch.drop_columns(["base"]).append_column("doc_id", doc_id)
+
+    return joined.map_batches(add_id, batch_format="pyarrow"), n
+
+
 def assign_doc_ids(ds: "ray.data.Dataset", *,
                    max_broadcast_convs: int = 5_000_000,
                    concurrency: int | None = None,
@@ -134,12 +238,18 @@ def assign_doc_ids(ds: "ray.data.Dataset", *,
                    ) -> tuple["ray.data.Dataset", int]:
     """Append a deterministic dense ``doc_id`` column; returns (ds, N).
 
+    Uses the broadcast assigner up to ``max_broadcast_convs`` conversations,
+    then cuts over to the distributed-join assigner (assign_doc_ids_join).
+
     ``conv_stats_source`` lets the caller supply a column-pruned read of the
     same table for the counting pass (Ray doesn't push ``select_columns``
     into an already-constructed parquet read, so a fresh
     ``read_parquet(path, columns=["conv_id", "turn_idx"])`` is ~5x faster)."""
-    offsets, n = conv_offsets(conv_stats_source or ds,
-                              max_broadcast_convs=max_broadcast_convs)
+    try:
+        offsets, n = conv_offsets(conv_stats_source or ds,
+                                  max_broadcast_convs=max_broadcast_convs)
+    except BroadcastCapExceeded:
+        return assign_doc_ids_join(ds, conv_stats_source=conv_stats_source)
     ref = ray.put(offsets)
     # elastic (1, k) pool: a fixed-size pool equal to the CPU count reserves
     # every core and starves downstream task operators (observed deadlock);

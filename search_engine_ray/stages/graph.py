@@ -21,6 +21,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -136,24 +137,56 @@ def inlink_counts(resolved: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow")
 
 
+def _out_degrees(edges: "ray.data.Dataset", num_nodes: int) -> np.ndarray:
+    """Distributed out-degree: per-batch partial bincount -> tiny groupby sum;
+    only the aggregated (src, deg) result — O(nodes with outlinks), never the
+    edge table — reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_doc_id").to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(src, return_counts=True)
+        return pa.table({"src_doc_id": pa.array(ids, pa.int64()),
+                         "deg": pa.array(counts.astype(np.int64))})
+
+    agg = edges.map_batches(partial, batch_format="pyarrow").groupby(
+        "src_doc_id").aggregate(Sum("deg"))
+    out_deg = np.zeros(num_nodes, dtype=np.int64)
+    for batch in agg.iter_batches(batch_format="pyarrow"):
+        out_deg[batch.column("src_doc_id").to_numpy(zero_copy_only=False)] = \
+            batch.column("sum(deg)").to_numpy(zero_copy_only=False)
+    return out_deg
+
+
+# Beyond this many nodes the dense driver-held rank vector is replaced by the
+# fully distributed rank-as-Dataset join path (pagerank_dataset).
+MAX_DENSE_NODES = 50_000_000
+
+
 def pagerank(resolved: "ray.data.Dataset", num_nodes: int, *,
-             damping: float = DAMPING, iterations: int = ITERATIONS
-             ) -> np.ndarray:
-    """Dense PageRank over doc_ids 0..num_nodes-1, reference loop semantics
+             damping: float = DAMPING, iterations: int = ITERATIONS,
+             max_dense_nodes: int = MAX_DENSE_NODES) -> np.ndarray:
+    """PageRank over doc_ids 0..num_nodes-1, reference loop semantics
     (pagerank.py:29-38): dangling mass NOT redistributed, unknown endpoints
     dropped (resolution already guarantees known endpoints).
 
-    Each iteration: one distributed contribution pass over the edges Dataset
-    (groupby dst, partial-aggregated per batch) against the broadcast rank
-    vector."""
+    Small graphs use the dense broadcast-vector fast path; beyond
+    ``max_dense_nodes`` the rank vector itself becomes a Dataset and every
+    step is a distributed join/aggregate (pagerank_dataset) — property-tested
+    equal to the dense path."""
     if num_nodes == 0:
         return np.zeros(0)
+    if num_nodes > max_dense_nodes:
+        ranks_ds = pagerank_dataset(resolved, num_nodes, damping=damping,
+                                    iterations=iterations)
+        out = np.zeros(num_nodes)
+        for batch in ranks_ds.iter_batches(batch_format="pyarrow"):
+            out[batch.column("doc_id").to_numpy(zero_copy_only=False)] = \
+                batch.column("pagerank").to_numpy(zero_copy_only=False)
+        return out
 
     edges = resolved.materialize()   # reused every iteration; edge list only
-    out_deg = np.zeros(num_nodes, dtype=np.int64)
-    for batch in edges.iter_batches(batch_format="pyarrow"):
-        np.add.at(out_deg, batch.column("src_doc_id").to_numpy(
-            zero_copy_only=False), 1)
+    out_deg = _out_degrees(edges, num_nodes)
 
     pr = np.full(num_nodes, 1.0 / num_nodes)
     base = (1.0 - damping) / num_nodes
@@ -167,13 +200,13 @@ def pagerank(resolved: "ray.data.Dataset", num_nodes: int, *,
             src = batch.column("src_doc_id").to_numpy(zero_copy_only=False)
             dst = batch.column("dst_doc_id").to_numpy(zero_copy_only=False)
             share = damping * ranks[src] / degs[src]
-            # partial per-batch aggregation before the shuffle
-            agg: dict[int, float] = {}
-            for d, s in zip(dst.tolist(), share.tolist()):
-                agg[d] = agg.get(d, 0.0) + s
+            # vectorized per-batch partial aggregation before the shuffle
+            ids, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(ids))
+            np.add.at(sums, inv, share)
             return pa.table({
-                "dst_doc_id": pa.array(list(agg.keys()), pa.int64()),
-                "contrib": pa.array(list(agg.values()), pa.float64()),
+                "dst_doc_id": pa.array(ids, pa.int64()),
+                "contrib": pa.array(sums, pa.float64()),
             })
 
         from ray.data.aggregate import Sum
@@ -186,3 +219,83 @@ def pagerank(resolved: "ray.data.Dataset", num_nodes: int, *,
             new_pr[ids] += vals
         pr = new_pr
     return pr
+
+
+def pagerank_dataset(resolved: "ray.data.Dataset", num_nodes: int, *,
+                     damping: float = DAMPING, iterations: int = ITERATIONS,
+                     num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Fully distributed PageRank: the rank vector IS a Dataset (doc_id,
+    pagerank); every step is a hash join / groupby-aggregate — no dense
+    driver-held vector, no full-table driver iteration.  Same semantics as
+    the dense path (property-tested equal).
+
+    Per iteration: edges⋈deg (built once) ⋈ ranks on src -> per-batch
+    vectorized contribution partials -> groupby(dst).sum -> left-outer join
+    back onto the node list so rank = base + damping·Σ contrib (nodes with no
+    inlinks keep base).  Ranks are materialized each iteration to keep the
+    lineage flat (20 chained joins would otherwise re-execute on consume).
+
+    ``num_partitions`` defaults to ~1 per 100k nodes (each join spawns that
+    many hash-shuffle aggregator actors PER ITERATION — at small scale the
+    actor startup dominates, at 10^12 nodes you want thousands)."""
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        num_partitions = max(2, min(1024, num_nodes // 100_000))
+    edges = resolved
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_doc_id").to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(src, return_counts=True)
+        return pa.table({"src_doc_id": pa.array(ids, pa.int64()),
+                         "deg": pa.array(counts.astype(np.int64))})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow").groupby(
+        "src_doc_id").aggregate(Sum("deg")).map_batches(
+        lambda b: pa.table({"deg_src": b.column("src_doc_id"),
+                            "out_deg": b.column("sum(deg)")}),
+        batch_format="pyarrow")
+    edges_deg = edges.join(deg, "inner", num_partitions,
+                           on=("src_doc_id",),
+                           right_on=("deg_src",)).materialize()
+
+    nodes = ray.data.range(num_nodes).map_batches(
+        lambda b: pa.table({"doc_id": b.column("id").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    ranks = nodes.map_batches(
+        lambda b, _n=num_nodes: pa.table({
+            "rank_id": b.column("doc_id"),
+            "rank": pa.array(np.full(b.num_rows, 1.0 / _n))}),
+        batch_format="pyarrow").materialize()
+
+    base = (1.0 - damping) / num_nodes
+    for _ in range(iterations):
+        joined = edges_deg.join(ranks, "inner", num_partitions,
+                                on=("src_doc_id",), right_on=("rank_id",))
+
+        def contribs(batch: pa.Table) -> pa.Table:
+            dst = batch.column("dst_doc_id").to_numpy(zero_copy_only=False)
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            d = batch.column("out_deg").to_numpy(zero_copy_only=False)
+            share = damping * r / d
+            ids, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(ids))
+            np.add.at(sums, inv, share)
+            return pa.table({"dst_doc_id": pa.array(ids, pa.int64()),
+                             "contrib": pa.array(sums)})
+
+        summed = joined.map_batches(contribs, batch_format="pyarrow").groupby(
+            "dst_doc_id").aggregate(Sum("contrib"))
+        merged = nodes.join(summed, "left_outer", num_partitions,
+                            on=("doc_id",), right_on=("dst_doc_id",))
+        ranks = merged.map_batches(
+            lambda b, _base=base: pa.table({
+                "rank_id": b.column("doc_id"),
+                "rank": pc.add(pc.coalesce(b.column("sum(contrib)"),
+                                           pa.scalar(0.0)), _base),
+            }), batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"doc_id": b.column("rank_id"),
+                            "pagerank": b.column("rank")}),
+        batch_format="pyarrow")

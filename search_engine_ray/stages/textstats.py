@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..functions.hashing import hash64
+from ..functions.hashing import md5_hash64
 from ..functions.text import STOPWORDS, TOKEN_RE, quality_score
 
 WORD_RE = re.compile(r"[a-z]{2,32}")
@@ -141,7 +141,7 @@ def rolling_fingerprints(docs: "ray.data.Dataset", *, window: int = 8
                 n_out.append(0)
                 min_out.append(0)
                 continue
-            h = [hash64(x) % MOD for x in toks]
+            h = [md5_hash64(x) % MOD for x in toks]
             power = pow(BASE, window - 1, MOD)
             cur = 0
             fps = []

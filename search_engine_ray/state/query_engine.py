@@ -198,13 +198,16 @@ class QueryEngine:
             return None
         return rec[0], rec[1], rec[2]
 
-    def score_terms(self, terms: list[str], *, candidate_limit: int | None = None
+    def score_terms(self, terms: list[str], *, candidate_limit: int | None = None,
+                    doc_range: tuple[int, int] | None = None
                     ) -> list[tuple[int, float, int]]:
         """Accumulate stage-1 scores for an explicit term list (no query
         tokenization); ordered (score DESC, doc_id ASC).  Used by
-        SQL-mirrored driver pipelines."""
+        SQL-mirrored driver pipelines and (with ``doc_range``) by the
+        sharded engine's per-shard candidate generation."""
         return self._accumulate(sorted(set(terms)),
-                                candidate_limit or self.doc_total)
+                                candidate_limit or self.doc_total,
+                                doc_range=doc_range)
 
     def candidates(self, q: str, *, limit: int = 20, offset: int = 0
                    ) -> tuple[list[tuple[int, float, int]], dict] | None:
@@ -217,7 +220,8 @@ class QueryEngine:
         return (self._accumulate(sorted(set(ctx["query_terms"])),
                                  ctx["candidate_limit"]), ctx)
 
-    def _accumulate(self, sorted_terms: list[str], cl: int
+    def _accumulate(self, sorted_terms: list[str], cl: int,
+                    doc_range: tuple[int, int] | None = None
                     ) -> list[tuple[int, float, int]]:
         # reuse per-engine accumulators: allocating + zeroing 2 x N arrays
         # per query dominates short-query latency; instead zero only the
@@ -252,6 +256,12 @@ class QueryEngine:
         # reset only what this query touched (buffer reuse)
         scores[touched] = 0.0
         matched[touched] = 0
+        if doc_range is not None:
+            lo, hi = doc_range
+            keep = (nz >= lo) & (nz < hi)
+            nz, s, m = nz[keep], s[keep], m[keep]
+            if len(nz) == 0:
+                return []
         if len(nz) > cl:
             # pre-prune with a partial selection, keeping every score tied
             # with the cl-th so the exact (score, doc_id) sort below breaks
@@ -415,7 +425,8 @@ class QueryEngine:
                 url=url) + intent_bias
             ranked.append({
                 "conv_id": meta["conv_id"], "turn_idx": meta["turn_idx"],
-                "role": meta["role"], "tool": meta["tool"], "url": url,
+                "role": meta["role"], "tool": meta["tool"],
+                "text": meta["text"], "url": url,
                 "score": score, "token_score": token_score,
                 "matched_terms": matched_terms,
             })

@@ -1,0 +1,105 @@
+"""ShardedQueryEngine: N query actors, each owning a contiguous doc-id
+range, with a driver-side top-k merge — the multi-node serving shape the
+QueryEngine docstring promises (state/query_engine.py "Scale notes").
+
+Each shard runs the same deterministic stage-1 accumulation restricted to
+its [lo, hi) range and returns its local top-``candidate_limit`` rows WITH
+doc metadata, so the merge + stage-2 intent re-rank needs no further index
+access.  Because per-doc scores are independent of sharding (same sorted
+term order, same per-element float ops), the merged global top-cl equals the
+single-engine top-cl — property-tested rank identity in
+tests/test_build_and_search.py.
+
+At sandbox scale every shard loads the full segment set and masks by range;
+a real deployment writes doc-range-partitioned segments at build time so a
+shard only loads its slice (stages/postings.py partitions by term hash for
+build-side balance; serving-side doc-range partitioning is the documented
+re-layout).
+"""
+
+from __future__ import annotations
+
+import ray
+
+from ..functions.text import intent_score, search_context
+from ..stages.stats import read_stats
+from .query_engine import QueryEngine
+
+
+@ray.remote
+class _ShardActor:
+    """Query shard owning doc ids [lo, hi); index loaded once in __init__."""
+
+    def __init__(self, index_dir: str, lo: int, hi: int, *,
+                 scoring: str = "reference", k1: float = 1.2,
+                 b: float = 0.75):
+        self._eng = QueryEngine(index_dir, scoring=scoring, k1=k1, b=b)
+        self._lo, self._hi = lo, hi
+
+    def score_range(self, sorted_terms: list[str], cl: int) -> list[tuple]:
+        """Local top-cl (doc_id, token_score, matched, conv_id, turn_idx,
+        role, tool, text) within this shard's range."""
+        rows = self._eng.score_terms(sorted_terms, candidate_limit=cl,
+                                     doc_range=(self._lo, self._hi))
+        out = []
+        for doc_id, score, matched in rows:
+            meta = self._eng.doc_meta(doc_id)
+            out.append((doc_id, score, matched, meta["conv_id"],
+                        meta["turn_idx"], meta["role"], meta["tool"],
+                        meta["text"]))
+        return out
+
+
+class ShardedQueryEngine:
+    """Facade: fan a query out to shard actors, merge stage-1 candidates,
+    apply the identical stage-2 intent re-rank.  API mirrors
+    QueryEngine.search."""
+
+    def __init__(self, index_dir: str, *, num_shards: int = 2,
+                 scoring: str = "reference", k1: float = 1.2,
+                 b: float = 0.75):
+        n = int(read_stats(index_dir)["doc_total"])
+        bounds = [round(i * n / num_shards) for i in range(num_shards + 1)]
+        self._actors = [
+            _ShardActor.remote(index_dir, bounds[i], bounds[i + 1],
+                               scoring=scoring, k1=k1, b=b)
+            for i in range(num_shards)
+        ]
+
+    def search(self, q: str, *, limit: int = 20, offset: int = 0,
+               intent_bias: float = 0.0) -> list[dict]:
+        ctx = search_context(q, limit, offset)
+        if ctx is None:
+            return []
+        cl = ctx["candidate_limit"]
+        terms = sorted(set(ctx["query_terms"]))
+        futs = [a.score_range.remote(terms, cl) for a in self._actors]
+        rows = [r for part in ray.get(futs) for r in part]
+        # global stage-1 order: (score DESC, doc_id ASC); each shard returned
+        # its full local top-cl, so the global top-cl is contained in rows
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:cl]
+        ranked = []
+        for doc_id, token_score, matched, conv_id, turn_idx, role, tool, \
+                text in rows:
+            url = f"{conv_id}#{turn_idx}"
+            score = intent_score(
+                token_score=token_score, matched_terms=matched,
+                total_terms=ctx["total_terms"],
+                query_phrase=ctx["query_phrase"],
+                query_compact=ctx["query_compact"],
+                query_words=ctx["query_words"],
+                title=tool or "", description=text or "",
+                url=url) + intent_bias
+            ranked.append({
+                "conv_id": conv_id, "turn_idx": turn_idx, "role": role,
+                "tool": tool, "text": text, "url": url, "score": score,
+                "token_score": token_score, "matched_terms": matched,
+            })
+        ranked.sort(key=lambda r: (-r["score"], r["url"]))
+        return ranked[offset:offset + limit]
+
+    def shutdown(self) -> None:
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []

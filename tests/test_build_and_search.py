@@ -277,3 +277,23 @@ def test_empty_corpus(tmp_path):
     assert info["stats"]["doc_total"] == 1   # bm25_stats.py:13 default
     qe = QueryEngine(cfg.index_dir, load_docs=False)
     assert qe.candidates("anything", limit=10, offset=0)[0] == []
+
+
+def test_sharded_engine_rank_identity(built_index):
+    """N-shard fan-out + merge must be rank- and score-identical to the
+    single engine for every query shape (incl. paging and all-stopword)."""
+    from search_engine_ray.state.sharded import ShardedQueryEngine
+    cfg, _ = built_index
+    single = QueryEngine(cfg.index_dir)
+    for shards in (2, 3):
+        sharded = ShardedQueryEngine(cfg.index_dir, num_shards=shards)
+        for q, limit, offset in (("word0001 word0002", 10, 0),
+                                 ("word0003", 5, 3),
+                                 ("the and of", 10, 0),
+                                 ("", 10, 0)):
+            a = single.search(q, limit=limit, offset=offset)
+            b = sharded.search(q, limit=limit, offset=offset)
+            assert [(r["url"], r["score"], r["matched_terms"]) for r in a] \
+                == [(r["url"], r["score"], r["matched_terms"]) for r in b], \
+                (shards, q)
+        sharded.shutdown()

@@ -149,6 +149,85 @@ def test_graph_edges_and_pagerank_vs_oracle(docs_ds, docs_rows):
     assert np.allclose(pr, [o_pr[i] for i in range(n)], rtol=1e-9, atol=1e-12)
 
 
+def test_pagerank_dataset_path_equals_dense(docs_ds):
+    """The fully distributed rank-as-Dataset path (used beyond
+    MAX_DENSE_NODES) must match the dense broadcast path bit-for-bit-ish;
+    also exercised via the lowered-cap cutover inside pagerank()."""
+    from search_engine_ray.stages.graph import (extract_mention_edges,
+                                                pagerank, pagerank_dataset,
+                                                resolve_edges)
+    resolved = resolve_edges(extract_mention_edges(docs_ds),
+                             docs_ds).materialize()
+    n = docs_ds.count()
+    dense = pagerank(resolved, n)
+    ds_path = np.zeros(n)
+    for r in pagerank_dataset(resolved, n, num_partitions=2).take_all():
+        ds_path[r["doc_id"]] = r["pagerank"]
+    assert np.allclose(dense, ds_path, rtol=1e-12, atol=1e-15)
+    # cutover inside pagerank() with an artificially lowered cap
+    via_cutover = pagerank(resolved, n, max_dense_nodes=1)
+    assert np.allclose(dense, via_cutover, rtol=1e-12, atol=1e-15)
+
+
+# -- embedding near-dups ----------------------------------------------------
+
+def test_cosine_near_dup_pairs_finds_planted():
+    """Planted near-identical vectors must surface as pairs; random vectors
+    must not (threshold 0.95)."""
+    from search_engine_ray.stages.ann import cosine_near_dup_pairs
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 32))
+    vecs[150] = vecs[50] + 0.01 * rng.standard_normal(32)   # planted twin
+    vecs[151] = vecs[50]                                     # exact dup
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs])})
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in cosine_near_dup_pairs(
+                 ray.data.from_arrow(t).repartition(4),
+                 threshold=0.95).take_all()}
+    assert (50, 150) in pairs and pairs[(50, 150)] > 0.99
+    assert (50, 151) in pairs and pairs[(50, 151)] == pytest.approx(1.0)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for (a, b), c in pairs.items():
+        assert c == pytest.approx(sims[a, b])
+        assert c >= 0.95
+
+
+# -- doc ids ----------------------------------------------------------------
+
+def test_doc_id_join_path_equals_broadcast(tiny_transcripts):
+    """Distributed-join assigner (the beyond-broadcast-cap scale path) must
+    produce identical ids to the broadcast path, including via the automatic
+    cutover with an artificially lowered cap."""
+    from search_engine_ray.stages.doc_ids import (assign_doc_ids,
+                                                  assign_doc_ids_join)
+    src = ray.data.from_arrow(tiny_transcripts).repartition(4)
+
+    def ids_of(ds):
+        return sorted((r["conv_id"], r["turn_idx"], r["doc_id"])
+                      for r in ds.take_all())
+
+    bcast_ds, n_b = assign_doc_ids(src)
+    join_ds, n_j = assign_doc_ids_join(src, num_partitions=4)
+    assert n_b == n_j
+    assert ids_of(bcast_ds) == ids_of(join_ds)
+    # automatic cutover when the broadcast cap is exceeded
+    cut_ds, n_c = assign_doc_ids(src, max_broadcast_convs=1)
+    assert n_c == n_b
+    assert ids_of(cut_ds) == ids_of(bcast_ds)
+
+
+def test_doc_id_join_path_contiguity_guard():
+    from search_engine_ray.stages.doc_ids import assign_doc_ids_join
+    import pyarrow as _pa
+    bad = _pa.table({"conv_id": ["c1", "c1"], "turn_idx": _pa.array(
+        [0, 2], _pa.int32()), "text": ["a", "b"]})
+    # Ray wraps worker-side ValueError in RayTaskError(UserCodeException)
+    with pytest.raises(Exception, match="not contiguous"):
+        assign_doc_ids_join(ray.data.from_arrow(bad))[0].take_all()
+
+
 # -- spellcheck -------------------------------------------------------------
 
 def test_word_counts_vs_oracle(docs_ds, docs_rows):
