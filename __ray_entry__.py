@@ -192,6 +192,82 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, round(score, 6) AS score, matched_terms FROM scored
     """
 
+    # Unified web+news index (J3): news docs occupy tail ids [N, N+N_news);
+    # df/idf computed over the UNION; stage-1 restricted to news ids; intent
+    # scoring over news meta (title='feed', url='news-XXXXXX#k') + 8.0 bias.
+    sql["search_news"] = f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    newsd AS (
+      SELECT CAST(nn.n + row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+               AS doc_id,
+             'news digest ' || text AS text,
+             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS r
+      FROM documents CROSS JOIN nn WHERE doc_id % 3 = 0
+    ),
+    uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM newsd
+    ),
+    utoks AS (
+      SELECT u.doc_id, t.term
+      FROM uni u,
+           unnest(regexp_extract_all(lower(u.text),
+                  '\\b[a-zA-Z0-9]{{2,}}\\b')) AS t(term)
+      WHERE t.term NOT IN {_STOP}
+    ),
+    un AS (SELECT count(*) AS n FROM uni),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM utoks
+           WHERE term IN ('merge','sort') GROUP BY doc_id, term),
+    st AS (SELECT term, count(DISTINCT doc_id) AS df FROM utoks
+           GROUP BY term),
+    s1 AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf * ln((un.n - st.df + 0.5) / (st.df + 0.5) + 1))
+               AS token_score,
+             count(DISTINCT tf.term) AS matched_terms
+      FROM tf JOIN st USING(term), un, nn
+      WHERE tf.doc_id >= nn.n
+      GROUP BY tf.doc_id
+    ),
+    feat AS (
+      SELECT s1.doc_id, s1.token_score, s1.matched_terms,
+        'feed' AS nt,
+        trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')) AS nd,
+        trim(regexp_replace(lower('news-' || lpad(CAST(d.r // 4 AS VARCHAR),
+             6, '0') || '#' || (d.r % 4)), '[^a-z0-9]+', ' ', 'g')) AS nu,
+        regexp_replace(lower('news-' || lpad(CAST(d.r // 4 AS VARCHAR), 6,
+             '0') || '#' || (d.r % 4)), '[^a-z0-9]+', '', 'g') AS cu,
+        len(list_intersect(list_distinct(regexp_extract_all('feed',
+            '\\b[a-z0-9]{{2,}}\\b')), ['merge','sort'])) AS title_hits,
+        len(list_intersect(list_distinct(regexp_extract_all(
+            lower('news-' || lpad(CAST(d.r // 4 AS VARCHAR), 6, '0') || '#'
+                  || (d.r % 4)),
+            '\\b[a-z0-9]{{2,}}\\b')), ['merge','sort'])) AS url_hits
+      FROM s1 JOIN newsd d ON d.doc_id = s1.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, matched_terms,
+        ln(1 + greatest(token_score, 0)) * 12.0
+        + (matched_terms / 2.0) * 25.0
+        + CASE WHEN matched_terms = 2 THEN 40.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nt) > 0 THEN 140.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nu) > 0 THEN 70.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nd) > 0 THEN 25.0 ELSE 0 END
+        + CASE WHEN position('mergesort' IN cu) > 0 THEN 90.0 ELSE 0 END
+        + title_hits * 22.0 + url_hits * 16.0
+        + ((CASE WHEN position('merge' IN cu) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN position('sort' IN cu) > 0 THEN 1 ELSE 0 END)) * 12.0
+        + CASE WHEN title_hits = 2 THEN 80.0 ELSE 0 END
+        + CASE WHEN url_hits = 2 THEN 55.0 ELSE 0 END
+        + CASE WHEN (CASE WHEN position('merge' IN cu) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN position('sort' IN cu) > 0 THEN 1 ELSE 0 END)
+                    = 2 THEN 45.0 ELSE 0 END
+        + 8.0 AS score
+      FROM feat
+    )
+    SELECT doc_id, round(score, 6) AS score, matched_terms FROM scored
+    """
+
     sql["word_counts"] = f"""
     WITH {_WORDS}
     SELECT word, count(*) AS total_frequency FROM words GROUP BY word

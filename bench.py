@@ -90,10 +90,13 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
 
     t0 = time.time()
     ds = ray.data.read_parquet(corpus_path)
+    timings: dict = {}
     build_index(ds, cfg, source_desc=f"bench-{num_turns}",
-                transcripts_path=corpus_path)
+                transcripts_path=corpus_path, timings=timings)
     build_sec = time.time() - t0
     queries["index_build"] = round(build_sec, 3)
+    for phase, sec in timings.items():
+        queries[f"build.{phase}"] = sec
 
     if build_only:
         ray.shutdown()

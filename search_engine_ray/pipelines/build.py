@@ -56,9 +56,12 @@ except Exception:
     _stub.HTTPFileSystem = _StubHTTPFileSystem
     _sys.modules["fsspec.implementations.http"] = _stub
 
+import time
+
 from ..config import EngineConfig
 from ..functions.hashing import hash64
-from ..stages.doc_ids import add_doc_ids_with_offsets, conv_offsets
+from ..stages.doc_ids import (add_doc_ids_with_offsets, conv_offsets,
+                              conv_offsets_arrays)
 from ..stages.postings import build_segments, load_manifest, save_manifest
 from ..stages.stats import corpus_stats, write_stats
 from ..stages.tokenize import tokenize_docs
@@ -83,16 +86,26 @@ def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
 
 def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
                 source_desc: str = "", resume: bool = False,
-                transcripts_path: str | None = None) -> dict:
+                transcripts_path: str | None = None,
+                timings: dict | None = None) -> dict:
     """Build all index artifacts under cfg.index_dir; returns build info.
 
     ``transcripts_path`` (optional) lets the counting and tokenize passes
     use column-pruned, fan-out-controlled re-reads of the source (Ray does
-    not push ``select_columns`` into an already-constructed parquet read)."""
+    not push ``select_columns`` into an already-constructed parquet read).
+    ``timings`` (optional dict) receives per-phase wall seconds."""
     index_dir = cfg.index_dir
     fp = _fingerprint(source_desc, cfg)
     manifest = load_manifest(index_dir) if resume else {"entries": {}}
     os.makedirs(index_dir, exist_ok=True)
+    _t = timings if timings is not None else {}
+    _t0 = time.time()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = time.time()
+        _t[phase] = round(_t.get(phase, 0.0) + (now - _t0), 3)
+        _t0 = now
 
     docs_dir = os.path.join(index_dir, "docs")
     triples_dir = os.path.join(index_dir, "triples")
@@ -106,12 +119,16 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             kwargs["override_num_blocks"] = default_pool_max() * 3
         return ray.data.read_parquet(transcripts_path, **kwargs)
 
-    # 1) one conv-count pass -> offsets broadcast (+ contiguity validation)
-    offsets, n = conv_offsets(_pruned(["conv_id", "turn_idx"]),
-                              max_broadcast_convs=cfg.max_broadcast_convs)
+    # 1) one conv-count pass -> offsets broadcast (+ contiguity validation);
+    # broadcast is a (sorted conv array, base array) pair — memcpy put,
+    # near-zero-copy per-actor get (a 1M+-entry dict costs seconds/actor)
+    (convs, bases), n = conv_offsets_arrays(
+        _pruned(["conv_id", "turn_idx"]),
+        max_broadcast_convs=cfg.max_broadcast_convs)
     manifest["doc_total"] = n
-    manifest["max_conv"] = max(offsets) if offsets else ""
+    manifest["max_conv"] = str(convs[-1]) if len(convs) else ""
     save_manifest(index_dir, manifest)
+    _mark("conv_offsets")
 
     if n == 0:
         # empty corpus: publish empty-but-valid artifacts (doc_total defaults
@@ -128,7 +145,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         return {"index_dir": index_dir, "doc_total": 0, "stats": stats,
                 "manifest": manifest}
 
-    offsets_ref = ray.put(offsets)
+    offsets_ref = ray.put((convs, bases))
     needs_docs = not (resume and manifest.get("docs_fingerprint") == fp)
 
     def _doc_store_plan():
@@ -230,9 +247,11 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             num_partitions=cfg.num_partitions, salt=cfg.salt,
             block_size=cfg.block_size, input_fingerprint=fp, resume=resume,
             with_doclens=True)
+        _mark("segments_pipeline")
 
         if t is not None:
             t.join()
+            _mark("doc_store_tail")
             if doc_store_error:
                 raise doc_store_error[0]
             manifest = load_manifest(index_dir)
@@ -245,6 +264,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
                  "total_tokens": total_tokens,
                  "avgdl": (total_tokens / n) if n > 0 else 0.0}
         write_stats(index_dir, stats)
+        _mark("finalize")
 
     return {"index_dir": index_dir, "doc_total": n, "stats": stats,
             "manifest": seg_manifest}

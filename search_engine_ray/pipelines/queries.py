@@ -57,6 +57,27 @@ def get_engine(sf_dir: str, *, stem: bool) -> QueryEngine:
     return eng
 
 
+def get_unified_engine(sf_dir: str, *, stem: bool) -> tuple[QueryEngine, int]:
+    """Unified web+news index (reference J3: one tokens table, source_type
+    discriminator -> here the news docs occupy the tail doc-id range because
+    'news-' conv ids sort after 'conv-').  Returns (engine, n_web)."""
+    key = (os.path.abspath(sf_dir), stem, "unified")
+    if key in _engines:
+        return _engines[key]
+    from ..sources.transcripts import news_from_documents
+    tag = f"{hash64(key[0]):08x}-uni-{'stem' if stem else 'plain'}"
+    cfg = EngineConfig(index_dir=os.path.join(_CACHE_ROOT, tag),
+                       num_partitions=16, do_stem=stem)
+    web = transcripts_from_documents(sf_dir)
+    news = news_from_documents(sf_dir)
+    n_web = web.count()
+    build_index(web.union(news), cfg, source_desc=f"{sf_dir}:{stem}:uni",
+                resume=True)
+    eng = QueryEngine(cfg.index_dir)
+    _engines[key] = (eng, n_web)
+    return eng, n_web
+
+
 def _docs_with_ids(sf_dir: str) -> "ray.data.Dataset":
     """Transcript docs + deterministic doc_id (== documents.doc_id by
     construction of the derivation)."""
@@ -165,21 +186,38 @@ def search_plain(sf_dir: str) -> pa.Table:
 
 
 def search_news(sf_dir: str) -> pa.Table:
-    """Second-corpus scoring variant (reference J3/news: flat +8.0 intent
-    bias, no field weights — search_service.py:84-88,:297)."""
-    eng = get_engine(sf_dir, stem=True)
+    """Second-corpus search (reference J3 for real): a genuinely separate
+    news corpus (sources/transcripts.py news_from_documents) is indexed
+    UNIFIED with the web corpus (shared df/idf statistics, the reference's
+    0007_unify_news_tokens.py design); news queries restrict stage-1 to the
+    news doc-id range and add the flat +8.0 intent bias
+    (search_service.py:297).  Unstemmed + no candidate truncation so the
+    whole path is SQL-mirrored; rows change whenever the news corpus does."""
+    from ..functions.text import (TOKEN_RE, STOPWORDS, extract_query_words,
+                                  intent_score, normalize_text)
+    eng, n_web = get_unified_engine(sf_dir, stem=False)
+    q = SEARCH_PLAIN_QUERY
+    terms = []
+    for t in TOKEN_RE.findall(q.lower()):
+        if t not in STOPWORDS and t not in terms:
+            terms.append(t)
+    words = extract_query_words(q)
+    phrase = normalize_text(q)
+    compact = "".join(words)
     out = []
-    for qid, q in enumerate(("merge sort", "window batch stream")):
-        for rank, r in enumerate(eng.search(q, limit=20, intent_bias=8.0),
-                                 start=1):
-            out.append((qid, rank, r["conv_id"], r["turn_idx"],
-                        round(r["score"], 6)))
+    for doc_id, tscore, mt in eng.score_terms(
+            terms, doc_range=(n_web, eng.doc_total)):
+        meta = eng.doc_meta(doc_id)
+        s = intent_score(
+            token_score=tscore, matched_terms=mt, total_terms=len(terms),
+            query_phrase=phrase, query_compact=compact, query_words=words,
+            title=meta["tool"] or "", description=meta["text"] or "",
+            url=f"{meta['conv_id']}#{meta['turn_idx']}") + 8.0
+        out.append((doc_id, round(s, 6), mt))
     return pa.table({
-        "query_id": pa.array([r[0] for r in out], pa.int64()),
-        "rank": pa.array([r[1] for r in out], pa.int64()),
-        "conv_id": pa.array([r[2] for r in out], pa.string()),
-        "turn_idx": pa.array([r[3] for r in out], pa.int32()),
-        "score": pa.array([r[4] for r in out], pa.float64()),
+        "doc_id": pa.array([r[0] for r in out], pa.int64()),
+        "score": pa.array([r[1] for r in out], pa.float64()),
+        "matched_terms": pa.array([r[2] for r in out], pa.int64()),
     })
 
 

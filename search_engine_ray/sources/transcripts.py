@@ -79,6 +79,51 @@ def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(_docs_batch_to_transcripts, batch_format="pyarrow")
 
 
+NEWS_TURNS_PER_CONV = 4
+
+# DuckDB mirror of news_from_documents(); the unified-index oracle builds on
+# it.  r = dense rank of the filtered docs (row_number over doc_id ASC).
+NEWS_FROM_DOCUMENTS_SQL = """
+SELECT
+  'news-' || lpad(CAST((row_number() OVER (ORDER BY doc_id) - 1) // 4
+                       AS VARCHAR), 6, '0') AS conv_id,
+  CAST((row_number() OVER (ORDER BY doc_id) - 1) % 4 AS INTEGER) AS turn_idx,
+  'news' AS role,
+  'news digest ' || text AS text,
+  'feed' AS tool,
+  TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def news_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Second corpus (reference J3 news): every 3rd document becomes a news
+    item, 4 turns per news conversation, 'news digest ' text prefix.  The
+    'news-' conv prefix sorts AFTER 'conv-', so in a unified build the news
+    docs occupy the tail doc-id range [N_web, N_web + N_news) — the engine's
+    analogue of the reference's source_type discriminator column
+    (/root/reference/alembic/versions/0007_unify_news_tokens.py:18-31)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"]).sort_by("doc_id")
+    doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+    sel = doc_id % 3 == 0
+    doc_id = doc_id[sel]
+    texts = np.asarray(t.column("text").to_pylist(), dtype=object)[sel]
+    r = np.arange(len(doc_id))
+    base_us = int(_EPOCH.timestamp()) * 1_000_000
+    out = pa.table({
+        "conv_id": pa.array([f"news-{c:06d}"
+                             for c in r // NEWS_TURNS_PER_CONV], pa.string()),
+        "turn_idx": pa.array((r % NEWS_TURNS_PER_CONV).astype(np.int32)),
+        "role": pa.array(["news"] * len(r), pa.string()),
+        "text": pa.array([f"news digest {x}" for x in texts], pa.string()),
+        "tool": pa.array(["feed"] * len(r), pa.string()),
+        "ts": pa.array(base_us + doc_id * 60_000_000).cast(pa.timestamp("us")),
+    })
+    return ray.data.from_arrow(out)
+
+
 # ---------------------------------------------------------------------------
 # Synthetic generator (FIXTURES.md F1)
 # ---------------------------------------------------------------------------

@@ -55,19 +55,18 @@ def _conv_partials(batch: pa.Table) -> pa.Table:
     })
 
 
-def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
-                 ) -> tuple[dict[str, int], int]:
-    """conv_id -> exclusive base offset, plus total turn count N.
+def _merged_conv_stats(ds: "ray.data.Dataset", max_broadcast_convs: int
+                       ) -> pa.Table | None:
+    """Sorted, contiguity-validated (conv_id, cnt_sum) driver-side merge of
+    the distributed per-batch partials; None for an empty input.
 
-    Validates turn contiguity (min==0, max==cnt-1) for every conversation."""
+    Partial rows number ~one per (batch, conv) — tiny next to turns; the
+    merge is Arrow kernels only (no shuffle, no Python row loop).  Beyond
+    the broadcast cap the whole assigner switches to the distributed-join
+    variant, so driver merge and broadcast share a cutover."""
+    import pyarrow.compute as pc
     partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
         _conv_partials, batch_format="pyarrow")
-    # partial rows number ~one per (batch, conv) — tiny next to turns; the
-    # final merge is driver-side with Arrow kernels (no shuffle, no Python
-    # row loop).  Beyond the broadcast cap the whole assigner switches to
-    # the distributed-join variant anyway (docstring scale notes), so
-    # driver merge and broadcast share a cutover.
-    import pyarrow.compute as pc
     chunks = []
     seen_convs = 0
     for b in partials.iter_batches(batch_format="pyarrow"):
@@ -80,7 +79,7 @@ def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
         if seen_convs > max_broadcast_convs * 4:
             raise BroadcastCapExceeded(seen_convs)
     if not chunks:
-        return {}, 0
+        return None
     merged = pa.TableGroupBy(pa.concat_tables(chunks), "conv_id").aggregate(
         [("cnt", "sum"), ("min_t", "min"), ("max_t", "max")])
     if merged.num_rows > max_broadcast_convs:
@@ -98,30 +97,79 @@ def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
             f"conv {conv!r}: turn_idx not contiguous from 0 "
             f"(count={int(cnt[i])}, min={int(mn[i])}, max={int(mx[i])}) — "
             "stable-turn-ordering invariant violated")
+    return merged
+
+
+def conv_offsets(ds: "ray.data.Dataset", *, max_broadcast_convs: int = 5_000_000
+                 ) -> tuple[dict[str, int], int]:
+    """conv_id -> exclusive base offset, plus total turn count N.
+
+    Validates turn contiguity (min==0, max==cnt-1) for every conversation."""
+    merged = _merged_conv_stats(ds, max_broadcast_convs)
+    if merged is None:
+        return {}, 0
+    cnt = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
     bases = np.concatenate(([0], np.cumsum(cnt)[:-1]))
     offsets = dict(zip(merged.column("conv_id").to_pylist(),
                        bases.tolist()))
     return offsets, int(cnt.sum())
 
 
+def conv_offsets_arrays(ds: "ray.data.Dataset", *,
+                        max_broadcast_convs: int = 5_000_000
+                        ) -> tuple[tuple[np.ndarray, np.ndarray], int]:
+    """Array form of ``conv_offsets``: ((sorted conv_id array, base array), N).
+
+    Broadcasting two numpy arrays instead of a python dict makes the
+    ``ray.put`` a memcpy and the per-actor ``ray.get`` near-zero-copy — at
+    ~1M+ conversations the dict pickle/unpickle costs seconds per actor and
+    is pure serial ramp-up time.  Built straight from the sorted Arrow merge
+    (no intermediate dict).  Same validation as ``conv_offsets``."""
+    merged = _merged_conv_stats(ds, max_broadcast_convs)
+    if merged is None:
+        return (np.zeros(0, dtype=np.str_), np.zeros(0, dtype=np.int64)), 0
+    cnt = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
+    bases = np.concatenate(([0], np.cumsum(cnt)[:-1])).astype(np.int64)
+    convs = np.asarray(merged.column("conv_id").to_pylist(), dtype=np.str_)
+    return (convs, bases), int(cnt.sum())
+
+
 class _AddDocId:
     """Actor-pool batch fn: doc_id = offsets[conv_id] + turn_idx.
 
-    The offsets dict is fetched from the object store once per actor
+    The offsets broadcast is fetched from the object store once per actor
     (``ray.get`` of a ``ray.put`` handle in __init__), never re-shipped per
-    batch."""
+    batch.  Accepts either the legacy dict or the (sorted conv array, base
+    array) pair from ``conv_offsets_arrays`` (searchsorted lookup)."""
 
     def __init__(self, offsets_ref):
-        self._offsets = ray.get(offsets_ref) if isinstance(
+        off = ray.get(offsets_ref) if isinstance(
             offsets_ref, ray.ObjectRef) else offsets_ref
+        if isinstance(off, tuple):
+            self._convs, self._bases = off
+            self._offsets = None
+        else:
+            self._offsets = off
+            self._convs = self._bases = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # dictionary-encode: one dict lookup per DISTINCT conv in the batch,
+        # dictionary-encode: one lookup per DISTINCT conv in the batch,
         # then a vectorized gather for the per-row offsets
         conv_col = batch.column("conv_id").combine_chunks().dictionary_encode()
         uniques = conv_col.dictionary.to_pylist()
-        off = self._offsets
-        base = np.asarray([off[c] for c in uniques], dtype=np.int64)
+        if self._offsets is not None:
+            base = np.asarray([self._offsets[c] for c in uniques],
+                              dtype=np.int64)
+        else:
+            pos = np.searchsorted(self._convs, np.asarray(uniques,
+                                                          dtype=np.str_))
+            if (pos >= len(self._convs)).any() or \
+                    (self._convs[pos] != np.asarray(uniques,
+                                                    dtype=np.str_)).any():
+                missing = [u for p, u in zip(pos, uniques)
+                           if p >= len(self._convs) or self._convs[p] != u]
+                raise KeyError(f"conv_ids not in offset map: {missing[:3]}")
+            base = self._bases[pos]
         idx = conv_col.indices.to_numpy(zero_copy_only=False)
         turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
         doc_id = base[idx] + turn.astype(np.int64)

@@ -297,3 +297,42 @@ def test_sharded_engine_rank_identity(built_index):
                 == [(r["url"], r["score"], r["matched_terms"]) for r in b], \
                 (shards, q)
         sharded.shutdown()
+
+
+def test_unified_news_corpus_range_and_sensitivity(tiny_transcripts, tmp_path):
+    """J3 second corpus: news docs occupy the tail doc-id range of a unified
+    build; news-range search hits only news docs, and its results change
+    when the news corpus changes."""
+    import numpy as np
+    import pyarrow as pa
+
+    def news_table(suffix):
+        n = 12 if suffix == "alpha" else 16
+        return pa.table({
+            "conv_id": pa.array([f"news-{i // 4:06d}" for i in range(n)]),
+            "turn_idx": pa.array([i % 4 for i in range(n)], pa.int32()),
+            "role": pa.array(["news"] * n),
+            "text": pa.array([f"news digest word000{i % 3} {suffix}"
+                              for i in range(n)]),
+            "tool": pa.array(["feed"] * n),
+            "ts": pa.array(np.arange(n, dtype=np.int64)).cast(
+                pa.timestamp("us")),
+        })
+
+    results = []
+    for tag, suffix in (("a", "alpha"), ("b", "beta")):
+        cfg = EngineConfig(index_dir=str(tmp_path / f"uni-{tag}"),
+                           num_partitions=4)
+        web = ray.data.from_arrow(tiny_transcripts)
+        n_web = tiny_transcripts.num_rows
+        build_index(web.union(ray.data.from_arrow(news_table(suffix))), cfg,
+                    source_desc=f"uni-{tag}")
+        qe = QueryEngine(cfg.index_dir)
+        rows = qe.score_terms(["word0001", suffix],
+                              doc_range=(n_web, qe.doc_total))
+        assert rows, "news range must match"
+        for doc_id, _, _ in rows:
+            assert doc_id >= n_web          # only news docs
+            assert qe.doc_meta(doc_id)["conv_id"].startswith("news-")
+        results.append(rows)
+    assert results[0] != results[1]         # second corpus drives the rows
