@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query path (A6/K1/K2)
         "search_stage1": Q.search_stage1,
         "search_plain": Q.search_plain,
+        "search_bm25_plain": Q.search_bm25_plain,
         "search_reference": Q.search_reference,
         "search_bm25": Q.search_bm25,
         "search_news": Q.search_news,
@@ -190,6 +191,29 @@ def oracle_sql() -> dict[str, str]:
       FROM feat
     )
     SELECT doc_id, round(score, 6) AS score, matched_terms FROM scored
+    """
+
+    # Native BM25 scorer over the unstemmed index for query "merge sort";
+    # doc_len = stopword-filtered token count (rides the build shuffle),
+    # avgdl = total_tokens / doc_total — exactly the engine's constants.
+    sql["search_bm25_plain"] = f"""
+    WITH {_TOKS},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('merge','sort') GROUP BY doc_id, term),
+    st AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    n AS (SELECT count(*) AS n FROM documents),
+    ad AS (SELECT (SELECT count(*) FROM toks) * 1.0
+                  / (SELECT count(*) FROM documents) AS avgdl)
+    SELECT tf.doc_id,
+           round(SUM(ln((n.n - st.df + 0.5) / (st.df + 0.5) + 1) * tf.tf
+                     * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / ad.avgdl))), 6)
+             AS score,
+           count(DISTINCT tf.term) AS matched_terms
+    FROM tf JOIN st USING(term) JOIN dl ON dl.doc_id = tf.doc_id, n, ad
+    GROUP BY tf.doc_id
     """
 
     # Unified web+news index (J3): news docs occupy tail ids [N, N+N_news);

@@ -221,6 +221,26 @@ def search_news(sf_dir: str) -> pa.Table:
     })
 
 
+def search_bm25_plain(sf_dir: str) -> pa.Table:
+    """Unstemmed BM25(k1=1.2, b=0.75) scoring of every matching doc for the
+    fixed query — the SQL-mirrorable surface of the native BM25 scorer
+    (doc-length normalization + idf + saturation all in the oracle; stemming
+    is the only piece SQL can't express)."""
+    from ..functions.text import TOKEN_RE, STOPWORDS
+    eng = get_engine(sf_dir, stem=False)
+    qe = QueryEngine(eng.index_dir, scoring="bm25", load_docs=False)
+    terms = []
+    for t in TOKEN_RE.findall(SEARCH_PLAIN_QUERY.lower()):
+        if t not in STOPWORDS and t not in terms:
+            terms.append(t)
+    rows = qe.score_terms(terms)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([round(r[1], 6) for r in rows], pa.float64()),
+        "matched_terms": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def search_bm25(sf_dir: str) -> pa.Table:
     """Native BM25(k1=1.2, b=0.75) top-k for the same query set."""
     eng_ref = get_engine(sf_dir, stem=True)

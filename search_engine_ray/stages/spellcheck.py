@@ -170,15 +170,21 @@ def load_meta_file(path: str) -> "SpellcheckLexicon":
 
 
 class SpellcheckLexicon:
-    """Query-side lexicon actor state: length-banded buckets + OSA scan
-    (replaces pg_trgm lookup J4; final acceptance is the reference's
-    choose_correction contract either way)."""
+    """Query-side lexicon actor state: the reference's pg_trgm candidate
+    generation (J4, app/api/main.py:36-66) reproduced exactly — length band
+    ±2, trigram-similarity > 0.3 (`word % input`), popularity floor 2.0,
+    ORDER BY similarity DESC / popularity DESC, top-120 per word, with the
+    first-letter fallback when the trigram set is empty — then the OSA
+    acceptance contract (choose_correction)."""
 
-    MAX_CANDIDATES = 120    # per word, like app/api/main.py:69
+    MAX_CANDIDATES = 120     # SPELLCHECK_MAX_CANDIDATES_PER_WORD
+    MIN_POPULARITY = 2.0     # SPELLCHECK_MIN_CANDIDATE_POPULARITY
 
     def __init__(self, dictionary: pa.Table):
+        from ..functions.trigram import trigrams
         self._entries: dict[str, LexiconEntry] = {}
         self._by_len: dict[int, list[LexiconEntry]] = {}
+        self._tris: dict[str, frozenset] = {}
         for w, d, t, e, p in zip(
                 dictionary.column("word").to_pylist(),
                 dictionary.column("doc_frequency").to_pylist(),
@@ -188,18 +194,40 @@ class SpellcheckLexicon:
             entry = LexiconEntry(w, int(d), int(t), int(e), float(p))
             self._entries[w] = entry
             self._by_len.setdefault(len(w), []).append(entry)
-        # popularity-desc order within each band => truncation keeps the most
-        # popular candidates, mirroring the trgm query's ORDER BY popularity
+            self._tris[w] = trigrams(w)     # built once per actor (T3 cache)
         for band in self._by_len.values():
             band.sort(key=lambda x: (-x.popularity_score, x.word))
 
-    def candidates(self, word: str) -> list[LexiconEntry]:
-        n = len(word)
+    def _band(self, n: int) -> list[LexiconEntry]:
         out: list[LexiconEntry] = []
         for l in range(max(2, n - 2), n + 3):       # length band ±2
             out.extend(self._by_len.get(l, ()))
-        out.sort(key=lambda x: (-x.popularity_score, x.word))
-        return out[:self.MAX_CANDIDATES]
+        return out
+
+    def candidates(self, word: str) -> list[LexiconEntry]:
+        from ..functions.trigram import (SIMILARITY_THRESHOLD, trigrams)
+        wt = trigrams(word)
+        scored: list[tuple[float, LexiconEntry]] = []
+        for e in self._band(len(word)):
+            if e.popularity_score < self.MIN_POPULARITY:
+                continue
+            et = self._tris[e.word]
+            union = len(wt | et)
+            sim = (len(wt & et) / union) if union else 0.0
+            if sim > SIMILARITY_THRESHOLD:
+                scored.append((sim, e))
+        if scored:
+            # reference ORDER BY similarity DESC, popularity DESC (word ASC
+            # added for determinism; Postgres leaves that tie unstable)
+            scored.sort(key=lambda t: (-t[0], -t[1].popularity_score,
+                                       t[1].word))
+            return [e for _, e in scored[:self.MAX_CANDIDATES]]
+        # SPELLCHECK_FALLBACK_SQL: first letter match, popularity DESC
+        fb = [e for e in self._band(len(word))
+              if e.popularity_score >= self.MIN_POPULARITY
+              and e.word[:1] == word[:1]]
+        fb.sort(key=lambda x: (-x.popularity_score, x.word))
+        return fb[:self.MAX_CANDIDATES]
 
     def correct_word(self, word: str) -> str | None:
         norm = normalize_word(word)

@@ -206,3 +206,16 @@ def test_registrable_domain():
     assert registrable_domain("https://www.example.co.uk/x") == "example.co.uk"
     assert registrable_domain("https://a.b.example.com") == "example.com"
     assert registrable_domain("https://example.com") == "example.com"
+
+
+def test_trigram_similarity_pg_trgm_semantics():
+    """Pinned against values computed by PostgreSQL pg_trgm's similarity()
+    (padding '  w ', Jaccard over trigram sets)."""
+    from search_engine_ray.functions.trigram import similarity, trigrams
+    # trigrams('word') per pg_trgm docs: {'  w',' wo','wor','ord','rd '}
+    assert trigrams("word") == {"  w", " wo", "wor", "ord", "rd "}
+    assert similarity("word", "word") == 1.0
+    # similarity('word','words') = |{  w, wo,wor,ord}∩...| -> 4/7
+    assert abs(similarity("word", "words") - 4 / 7) < 1e-12
+    assert similarity("abc", "xyz") == 0.0
+    assert similarity("word", "") == 0.0
