@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": Q.simhash_fingerprints,
         "simhash_near_pairs": Q.simhash_near_pairs,
         "minhash_near_dups": Q.minhash_near_dups,
+        "ngram_jaccard_near_dups": Q.ngram_jaccard_near_dups,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,

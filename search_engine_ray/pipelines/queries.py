@@ -308,6 +308,19 @@ def minhash_near_dups(sf_dir: str) -> pa.Table:
     })
 
 
+def ngram_jaccard_near_dups(sf_dir: str) -> pa.Table:
+    """Character-3-gram Jaccard near-dups over MinHash LSH candidates."""
+    from ..stages.dedup import ngram_jaccard_near_dups as njd
+    t = njd(_docs_with_ids(sf_dir), threshold=0.9).take_all()
+    t.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.table({
+        "doc_a": pa.array([r["doc_a"] for r in t], pa.int64()),
+        "doc_b": pa.array([r["doc_b"] for r in t], pa.int64()),
+        "jaccard": pa.array([round(r["jaccard"], 6) for r in t],
+                            pa.float64()),
+    })
+
+
 def simhash_near_pairs(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.dedup import simhash_near_pairs as snp
     return snp(_docs_with_ids(sf_dir))

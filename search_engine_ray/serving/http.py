@@ -5,10 +5,18 @@ Mirrors the reference's FastAPI endpoints
 (FastAPI/uvicorn are not in this container; the handler and response shapes
 are the contract, the transport is interchangeable):
 
+  GET /                                      -> minimal search HTML page
+                                                (main.py:203-205 FileResponse)
   GET /search?q=...&limit=20&offset=0        -> {"results": [...], "count": n}
   GET /search/news?q=...&limit=20&offset=0   -> same, +8.0 intent bias
                                                 (search_service.py:297)
   GET /spellcheck?q=...                      -> {"suggestion": str | null}
+  POST /mcp {"tool": "search_web"|"search_news", "query", "limit", "offset"}
+       -> {"content": "<markdown result list>"} — the reference's MCP tool
+          surface (/root/reference/app/mcp/server.py:31-64: same tool names,
+          same [url](title)\\ndescription markdown rendering, same
+          limit/offset bounding) over plain JSON-RPC-less POST (fastmcp is
+          not in this container; the tool contract is what's mirrored)
 
 Each result item is {"title", "description", "url", "score"}
 (search_service.py:122-127 WebSearchItem): title := tool, description :=
@@ -29,6 +37,28 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from ..state.query_engine import QueryEngine
+
+_SEARCH_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>search_engine_ray</title></head>
+<body><h1>search_engine_ray</h1>
+<form action="/search" method="get">
+  <input name="q" type="text" autofocus>
+  <button type="submit">Search</button>
+</form></body></html>
+"""
+
+
+def _bounded(limit: int, offset: int) -> tuple[int, int]:
+    """(/root/reference/app/mcp/server.py:27-28)"""
+    return max(1, min(limit, 100)), max(0, offset)
+
+
+def _mcp_markdown(results: list[dict]) -> str:
+    """[url](title)\\ndescription blocks (app/mcp/server.py:37-46)."""
+    out = ""
+    for r in results:
+        out += f"[{r['url']}]({r['title']})\n{r['description']}\n\n"
+    return out.strip()
 
 
 def make_handler(engine, lexicon=None):
@@ -51,22 +81,57 @@ def make_handler(engine, lexicon=None):
             if not q:
                 self._json(422, {"detail": "q required"})
                 return
-            limit = max(1, min(100, int((qs.get("limit") or ["20"])[0])))
-            offset = max(0, int((qs.get("offset") or ["0"])[0]))
+            limit, offset = _bounded(int((qs.get("limit") or ["20"])[0]),
+                                     int((qs.get("offset") or ["0"])[0]))
+            results = self._search_rows(q, limit, offset, intent_bias)
+            self._json(200, {"results": results,
+                             "count": offset + len(results)})
+
+        def _search_rows(self, q: str, limit: int, offset: int,
+                         intent_bias: float = 0.0) -> list[dict]:
             with lock:
                 rows = engine.search(q, limit=limit, offset=offset,
                                      intent_bias=intent_bias)
-            results = [{"title": r["tool"] or "",
-                        "description": r.get("text") or "",
-                        "url": r["url"], "score": r["score"]} for r in rows]
-            self._json(200, {"results": results,
-                             "count": offset + len(results)})
+            return [{"title": r["tool"] or "",
+                     "description": r.get("text") or "",
+                     "url": r["url"], "score": r["score"]} for r in rows]
+
+        def do_POST(self):  # noqa: N802 (stdlib API)
+            u = urlparse(self.path)
+            try:
+                if u.path != "/mcp":
+                    self._json(404, {"detail": "not found"})
+                    return
+                length = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(length) or b"{}")
+                tool = req.get("tool")
+                if tool not in ("search_web", "search_news"):
+                    self._json(422, {"detail": f"unknown tool {tool!r}"})
+                    return
+                limit, offset = _bounded(
+                    int(req.get("limit") or (10 if tool == "search_web"
+                                             else 20)),
+                    int(req.get("offset") or 0))
+                bias = 8.0 if tool == "search_news" else 0.0
+                rows = self._search_rows(str(req.get("query") or ""), limit,
+                                         offset, bias)
+                self._json(200, {"content": _mcp_markdown(rows)})
+            except Exception as e:  # pragma: no cover - defensive 500
+                self._json(500, {"detail": str(e)})
 
         def do_GET(self):  # noqa: N802 (stdlib API)
             u = urlparse(self.path)
             qs = parse_qs(u.query)
             try:
-                if u.path == "/search":
+                if u.path == "/":
+                    body = _SEARCH_HTML.encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif u.path == "/search":
                     self._search(qs)
                 elif u.path == "/search/news":
                     self._search(qs, intent_bias=8.0)

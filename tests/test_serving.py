@@ -77,3 +77,41 @@ def test_spellcheck_endpoint(server):
     srv, _ = server
     status, body = _get(srv.port, "/spellcheck?q=word0001")
     assert status == 200 and body["suggestion"] is None
+
+
+def test_root_html_page(server):
+    srv, _ = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/",
+                                timeout=10) as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        assert b"<form" in r.read()
+
+
+def test_mcp_tool_surface(server):
+    """POST /mcp mirrors the reference MCP tools: same names, same markdown
+    rendering ([url](title) + description), same limit bounding."""
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/mcp",
+        data=json.dumps({"tool": "search_web", "query": "word0001",
+                         "limit": 3}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = json.loads(r.read())
+    _, plain = _get(srv.port, "/search?q=word0001&limit=3")
+    expected = "\n\n".join(
+        f"[{x['url']}]({x['title']})\n{x['description']}"
+        for x in plain["results"]).strip()
+    assert body["content"] == expected
+    # unknown tool -> 422
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/mcp",
+        data=json.dumps({"tool": "nope"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        ok = False
+    except urllib.error.HTTPError as e:
+        ok = e.code == 422
+    assert ok
