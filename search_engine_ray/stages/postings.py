@@ -202,6 +202,36 @@ def _merge_partial(group: pa.Table) -> pa.Table:
     })
 
 
+def _commit_part_sidecar(index_dir: str, part: int, entry: dict) -> None:
+    """Per-part manifest commit FROM the reduce task (atomic sidecar file):
+    a build killed mid-reduce resumes from every already-published part
+    instead of losing all progress to the post-barrier driver commit.
+    ``load_manifest`` merges sidecars whose artifact file still exists; the
+    final driver commit consolidates and removes them."""
+    import json as _json
+    side_dir = os.path.join(index_dir, "manifest.parts")
+    os.makedirs(side_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=f"part-{part}.", dir=side_dir)
+    with os.fdopen(fd, "w") as f:
+        _json.dump({"part": part, **entry}, f)
+    os.replace(tmp, os.path.join(side_dir, f"part-{part:05d}.json"))
+
+
+def _entry_from_row(row: dict) -> dict:
+    elapsed = float(row.get("elapsed_s", 0.0) or 0.0)
+    n_post = int(row["num_postings"])
+    return {
+        "file": row["file"],
+        "num_terms": int(row["num_terms"]),
+        "num_postings": n_post,
+        "total_tokens": int(row["total_tokens"]),
+        "reduce_elapsed_s": elapsed,
+        "postings_per_sec": round(n_post / elapsed, 1) if elapsed > 0
+        else None,
+        "input_fingerprint": row["input_fingerprint"],
+    }
+
+
 def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
                          shard: int, merge_existing: bool = False
                          ) -> pa.Table:
@@ -234,12 +264,23 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
     os.close(fd)
     pq.write_table(table, tmp, row_group_size=65536)
     os.replace(tmp, os.path.join(dl_dir, fname))
+    part = int(group.column("part")[0].as_py())
+    row = {
+        "part": part,
+        "file": "doclens/" + fname,
+        "num_terms": 0,
+        "num_postings": len(d),
+        "total_tokens": int(t.sum()),
+        "elapsed_s": 0.0,
+        "input_fingerprint": fp,
+    }
+    _commit_part_sidecar(index_dir, part, _entry_from_row(row))
     return pa.table({
-        "part": pa.array([int(group.column("part")[0].as_py())], pa.int32()),
-        "file": pa.array(["doclens/" + fname], pa.string()),
+        "part": pa.array([part], pa.int32()),
+        "file": pa.array([row["file"]], pa.string()),
         "num_terms": pa.array([0], pa.int64()),
         "num_postings": pa.array([len(d)], pa.int64()),
-        "total_tokens": pa.array([int(t.sum())], pa.int64()),
+        "total_tokens": pa.array([row["total_tokens"]], pa.int64()),
         "elapsed_s": pa.array([0.0], pa.float64()),
         "input_fingerprint": pa.array([fp], pa.string()),
     })
@@ -385,14 +426,24 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     pq.write_table(seg, tmp)
     os.replace(tmp, fpath)
 
+    elapsed = round(_time.time() - t_start, 4)
+    row = {
+        "part": part,
+        "file": fname,
+        "num_terms": len(o_terms),
+        "num_postings": int(sum(o_df)),
+        "total_tokens": 0,
+        "elapsed_s": elapsed,
+        "input_fingerprint": input_fingerprint,
+    }
+    _commit_part_sidecar(index_dir, part, _entry_from_row(row))
     return pa.table({
         "part": pa.array([part], pa.int32()),
         "file": pa.array([fname], pa.string()),
         "num_terms": pa.array([len(o_terms)], pa.int64()),
         "num_postings": pa.array([int(sum(o_df))], pa.int64()),
         "total_tokens": pa.array([0], pa.int64()),
-        "elapsed_s": pa.array([round(_time.time() - t_start, 4)],
-                              pa.float64()),
+        "elapsed_s": pa.array([elapsed], pa.float64()),
         "input_fingerprint": pa.array([input_fingerprint], pa.string()),
     })
 
@@ -404,9 +455,36 @@ def manifest_path(index_dir: str) -> str:
 def load_manifest(index_dir: str) -> dict:
     path = manifest_path(index_dir)
     if not os.path.exists(path):
-        return {"entries": {}}
-    with open(path) as f:
-        return json.load(f)
+        manifest = {"entries": {}}
+    else:
+        with open(path) as f:
+            manifest = json.load(f)
+    # merge per-part sidecar commits from reduce tasks (crash mid-build):
+    # only entries whose published artifact still exists count
+    side_dir = os.path.join(index_dir, "manifest.parts")
+    if os.path.isdir(side_dir):
+        for fn in sorted(os.listdir(side_dir)):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(side_dir, fn)) as f:
+                    row = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            part = str(int(row.pop("part")))
+            rel = row.get("file", "")
+            fpath = os.path.join(index_dir, rel) if "/" in rel else \
+                os.path.join(index_dir, "segments", rel)
+            if part not in manifest["entries"] and os.path.exists(fpath):
+                manifest["entries"][part] = row
+    return manifest
+
+
+def clear_part_sidecars(index_dir: str) -> None:
+    """Remove sidecars after the consolidated driver commit."""
+    import shutil as _shutil
+    _shutil.rmtree(os.path.join(index_dir, "manifest.parts"),
+                   ignore_errors=True)
 
 
 def save_manifest(index_dir: str, manifest: dict) -> None:
@@ -495,4 +573,5 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
     manifest["input_fingerprint"] = input_fingerprint
     manifest["completed_parts"] = sorted(int(p) for p in manifest["entries"])
     save_manifest(index_dir, manifest)
+    clear_part_sidecars(index_dir)
     return manifest
