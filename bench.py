@@ -214,7 +214,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        lo = int(os.environ.get("SCALING_LO", "8"))
+        hi = int(os.environ.get("SCALING_HI", "32"))
+        print(json.dumps(run_scaling(SF_DIR, lo, hi)))
     else:
         mult = 1
         if "--mult" in sys.argv:
