@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings (similarity search additions)
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_near_dups": Q.embedding_near_dups,
         # validation filter (M5) + anti-join (J5) + suggestion path (J4)
         "validate_turns": Q.validate_turns,

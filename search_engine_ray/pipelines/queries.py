@@ -606,6 +606,13 @@ def ann_lsh_topk(sf_dir: str) -> pa.Table:
     return _round_col(t, "cosine")
 
 
+def ann_ivf_topk(sf_dir: str) -> pa.Table:
+    from ..stages.ann import ivf_topk
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ivf_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir), k=ANN_K)
+    return _round_col(t, "cosine")
+
+
 def embedding_near_dups(sf_dir: str) -> pa.Table:
     from ..stages.ann import cosine_near_dup_pairs
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))

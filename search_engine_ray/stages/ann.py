@@ -3,8 +3,10 @@
   * brute_force_topk — exact cosine top-k: per-batch numpy matmul against a
     broadcast query matrix (ray.put once, read per actor), per-batch partial
     top-k, final merge over (num_batches x k) partials.
-  * lsh_topk — random-hyperplane LSH bucketing as the scale path: probe only
+  * lsh_topk — random-hyperplane LSH bucketing as a scale path: probe only
     buckets within a Hamming radius of each query's sign signature.
+  * ivf_topk — IVF scale path: seeded k-means coarse quantizer, queries
+    probe only the n_probe nearest centroid lists.
   * cosine_near_dup_pairs — embedding near-dup pairs (cosine >= threshold)
     via LSH band blocking.
 
@@ -103,28 +105,7 @@ def brute_force_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
         _BruteForceScorer, fn_constructor_args=(ref, k),
         batch_format="pyarrow", concurrency=(1, 8))
     # merge partials: tiny (num_batches x num_queries x k rows)
-    heaps: dict[int, list] = {}
-    for batch in partials.iter_batches(batch_format="pyarrow"):
-        for q, v, s in zip(batch.column("query_id").to_pylist(),
-                           batch.column("vec_id").to_pylist(),
-                           batch.column("cosine").to_pylist()):
-            heapq.heappush(heaps.setdefault(q, []), (s, -v))
-            if len(heaps[q]) > k:
-                heapq.heappop(heaps[q])
-    out_q, out_v, out_s, out_r = [], [], [], []
-    for q in sorted(heaps):
-        ranked = sorted(((-s, -nv) for s, nv in heaps[q]))
-        for rank, (ns, v) in enumerate(ranked, start=1):
-            out_q.append(q)
-            out_v.append(int(v))
-            out_s.append(-ns)
-            out_r.append(rank)
-    return pa.table({
-        "query_id": pa.array(out_q, pa.int64()),
-        "vec_id": pa.array(out_v, pa.int64()),
-        "cosine": pa.array(out_s, pa.float64()),
-        "rank": pa.array(out_r, pa.int64()),
-    })
+    return _merge_topk_partials(partials, k)
 
 
 # -- LSH (random hyperplanes) ----------------------------------------------
@@ -192,6 +173,92 @@ def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         Scorer, fn_constructor_args=(ref, k, probe_hamming),
         batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk_partials(partials, k)
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Deterministic seeded Lloyd's k-means over unit vectors (coarse
+    quantizer for IVF); returns (k, dim) normalized centroids."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
+             query_vecs: np.ndarray, k: int = 10, *, n_lists: int = 16,
+             n_probe: int = 4, train_sample: int = 2048,
+             seed: int = 42) -> pa.Table:
+    """IVF approximate cosine top-k — the inverted-file scale path: a coarse
+    k-means quantizer (trained once on a driver-side sample, broadcast)
+    assigns every vector to its nearest centroid list; queries score only
+    vectors whose list is among the query's ``n_probe`` closest centroids.
+
+    At 100 TB the centroid assignment is the partitioning key: vectors are
+    written bucketed by list id and a query reads only n_probe/n_lists of
+    the data.  Here the probe filter runs inside the same streaming pass
+    (per-batch mask), which preserves the scan-fraction semantics without a
+    re-layout.  Same output shape as brute_force_topk; recall pytest."""
+    sample = embeddings.select_columns(["embedding"]).limit(
+        train_sample).take_all()
+    train = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    cents = _kmeans(train, n_lists, seed=seed)
+    qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe_lists = np.argsort(-(qv @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put({"ids": list(query_ids), "qmat": qv, "cents": cents,
+                   "probe": probe_lists})
+
+    class Scorer:
+        def __init__(self, ref, k):
+            q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self._qids = q["ids"]
+            self._qmat = q["qmat"]
+            self._cents = q["cents"]
+            self._probe = [set(p.tolist()) for p in q["probe"]]
+            self._k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            assign = np.argmax(vecs @ self._cents.T, axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self._qids)):
+                mask = np.isin(assign, list(self._probe[qi]))
+                if not mask.any():
+                    continue
+                row = self._qmat[qi] @ vecs[mask].T
+                sel_ids = ids[mask]
+                kk = min(self._k, len(row))
+                top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) \
+                    else np.arange(len(row))
+                for j in top:
+                    out_q.append(int(self._qids[qi]))
+                    out_v.append(int(sel_ids[j]))
+                    out_s.append(float(row[j]))
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            })
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        Scorer, fn_constructor_args=(ref, k),
+        batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk_partials(partials, k)
+
+
+def _merge_topk_partials(partials: "ray.data.Dataset", k: int) -> pa.Table:
+    """Tiny driver merge of per-batch partial top-ks (num_batches x k rows),
+    deterministic (cosine DESC, vec_id ASC) ranking."""
     heaps: dict[int, list] = {}
     for batch in partials.iter_batches(batch_format="pyarrow"):
         for q, v, s in zip(batch.column("query_id").to_pylist(),

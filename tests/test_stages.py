@@ -377,6 +377,26 @@ def test_lsh_topk_recall_and_near_dups():
     assert any({r["vec_a"], r["vec_b"]} == {7, 10} for r in pairs)
 
 
+def test_ivf_topk_recall_and_determinism():
+    from search_engine_ray.stages.ann import brute_force_topk, ivf_topk
+    t = _rand_embeddings()
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+    exact = brute_force_topk(ds, [0, 1], q, k=5)
+    approx = ivf_topk(ds, [0, 1], q, k=5, n_lists=8, n_probe=3)
+    e = set(zip(exact.column("query_id").to_pylist(),
+                exact.column("vec_id").to_pylist()))
+    a = set(zip(approx.column("query_id").to_pylist(),
+                approx.column("vec_id").to_pylist()))
+    assert len(e & a) / len(e) >= 0.6
+    # reported cosines are true cosines, self always found (it lands in the
+    # query's own nearest list)
+    for qi in (0, 1):
+        assert (qi, qi) in a
+    approx2 = ivf_topk(ds, [0, 1], q, k=5, n_lists=8, n_probe=3)
+    assert approx.equals(approx2)       # seeded quantizer => deterministic
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 def test_media_featurizer_plumbing():
