@@ -572,6 +572,32 @@ def oracle_sql() -> dict[str, str]:
                         AND o.o_totalprice > 300000.0)
     """
 
+    # Multimodal featurization over text-derived payloads: high-nibble
+    # histogram == hex-string char counts at even positions; divisions are
+    # exact-int -> bit-equal without rounding.
+    _nibbles = ["0", "1", "2", "3", "4", "5", "6", "7", "8", "9",
+                "A", "B", "C", "D", "E", "F"]
+    _feat_cols = ",\n      ".join(
+        f"CASE WHEN n = 0 THEN 0.0 ELSE "
+        f"len(list_filter([substr(hx, 2*j + 1, 1) FOR j IN range(n)], "
+        f"c -> c = '{d}')) * 1.0 / n END AS f{i:02d}"
+        for i, d in enumerate(_nibbles))
+    sql["media_features"] = f"""
+    WITH m AS (
+      SELECT doc_id, text, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+        END AS media_type,
+      CAST(n AS BIGINT) AS n_bytes,
+      CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT)
+        AS payload_hash,
+      {_feat_cols}
+    FROM m
+    """
+
     sql["ann_topk"] = """
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

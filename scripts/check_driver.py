@@ -39,10 +39,14 @@ def to_arrow(result) -> pa.Table:
 
 def canon(t: pa.Table) -> pa.Table:
     """Name-sorted columns, row-sorted — dtype-preserving (Arrow, not pandas)
-    so the compare sees exactly what the driver's value-hash sees."""
+    so the compare sees exactly what the driver's value-hash sees.  Nested
+    (list) columns can't key an Arrow sort; rows sort by the scalar columns
+    (unique in every mirrored query)."""
     t = t.combine_chunks().select(sorted(t.column_names))
-    if t.num_rows:
-        t = t.sort_by([(c, "ascending") for c in t.column_names])
+    keys = [c for c in t.column_names
+            if not pa.types.is_nested(t.schema.field(c).type)]
+    if t.num_rows and keys:
+        t = t.sort_by([(c, "ascending") for c in keys])
     return t
 
 

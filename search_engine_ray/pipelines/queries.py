@@ -698,10 +698,25 @@ def spellcheck_suggestions(sf_dir: str) -> pa.Table:
 # -- multimodal plumbing ----------------------------------------------------
 
 def media_features(sf_dir: str) -> "ray.data.Dataset":
-    from ..stages.multimodal import featurize_media, synth_media_table
-    import pyarrow.parquet as pq
-    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id"]).column("doc_id").to_pylist()
-    media = ray.data.from_arrow(synth_media_table(ids[:200]))
-    return featurize_media(media).map_batches(
-        lambda b: b.drop_columns(["feature"]), batch_format="pyarrow")
+    """Multimodal featurization over text-derived payloads — fully
+    SQL-mirrored (n_bytes, md5-based payload_hash, nibble-histogram feature
+    compare bit-exactly: exact-int divisions on both sides).  The 16-d
+    feature is emitted as scalar columns f00..f15 (driver value-hash
+    compatibility)."""
+    from ..stages.multimodal import featurize_media, media_from_documents
+    media = ray.data.from_arrow(media_from_documents(sf_dir, limit=200))
+    feats = featurize_media(media)
+
+    def widen(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        mat = _np.asarray(b.column("feature").to_pylist(), dtype=_np.float64)
+        if mat.size == 0:
+            mat = mat.reshape(0, 16)
+        cols = {name: b.column(name)
+                for name in ("doc_id", "media_type", "n_bytes",
+                             "payload_hash")}
+        for i in range(16):
+            cols[f"f{i:02d}"] = pa.array(mat[:, i], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(widen, batch_format="pyarrow")

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.hashing import hash64
+from ..functions.hashing import md5_hash64
 
 MEDIA_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
@@ -73,7 +73,10 @@ class MediaFeaturizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         feats = [_fake_feature(p or b"").tolist() for p in payloads]
-        hashes = [int(hash64(p or b"") & 0x7FFFFFFFFFFFFFFF) for p in payloads]
+        # md5-lower-64 (== DuckDB md5_number_lower) so the whole stage is
+        # SQL-mirrorable when payloads are text-derived
+        hashes = [int(md5_hash64(p or b"") & 0x7FFFFFFFFFFFFFFF)
+                  for p in payloads]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "media_type": batch.column("media_type"),
@@ -94,6 +97,35 @@ def featurize_media(media: "ray.data.Dataset", *, batch_size: int = 16,
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+def media_from_documents(sf_dir: str, *, limit: int = 200) -> pa.Table:
+    """Deterministic media payloads derived from the documents table
+    (payload = utf8 text bytes) so the featurization stage has an ANSI-SQL
+    oracle: n_bytes = octet_length, payload_hash = md5_number_lower & 2^63-1,
+    feature = high-nibble histogram of the payload (= hex-string character
+    counts at even positions)."""
+    import os
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"]).sort_by("doc_id")
+    t = t.filter(pa.compute.less(t.column("doc_id"), limit))
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    types = [("image", "audio", "video")[d % 3] for d in doc_ids]
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array([(x or "").encode("utf-8") for x in texts],
+                            pa.binary()),
+        "width": pa.array([640 if mt != "audio" else 0 for mt in types],
+                          pa.int32()),
+        "height": pa.array([480 if mt != "audio" else 0 for mt in types],
+                           pa.int32()),
+        "duration_ms": pa.array(
+            [500 + d % 59_500 if mt != "image" else 0
+             for d, mt in zip(doc_ids, types)], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
 
 
 def synth_media_table(doc_ids: list[int], *, seed: int = 42) -> pa.Table:
