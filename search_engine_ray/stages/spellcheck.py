@@ -85,42 +85,62 @@ def build_dictionary(docs: "ray.data.Dataset",
     tf = word_counts(docs)
     df = doc_frequencies(docs)
 
-    # outer merge via union + groupby (D3 pattern)
+    # outer merge via union + groupby (D3 pattern); the external wordlist
+    # joins as a third tagged branch so no driver-side word-set union exists
     tagged_tf = tf.map_batches(
         lambda b: pa.table({"word": b.column("word"),
                             "tf": b.column("total_frequency"),
-                            "df": pa.array([0] * len(b), pa.int64())}),
+                            "df": pa.array([0] * len(b), pa.int64()),
+                            "ext": pa.array([0] * len(b), pa.int64())}),
         batch_format="pyarrow")
     tagged_df = df.map_batches(
         lambda b: pa.table({"word": b.column("word"),
                             "tf": pa.array([0] * len(b), pa.int64()),
-                            "df": b.column("doc_frequency")}),
+                            "df": b.column("doc_frequency"),
+                            "ext": pa.array([0] * len(b), pa.int64())}),
         batch_format="pyarrow")
-    merged = tagged_tf.union(tagged_df).groupby("word").aggregate(
-        Sum("tf"), Sum("df"))
+    merged = tagged_tf.union(tagged_df)
+    if ext:
+        ext_words = sorted(ext)
+        merged = merged.union(ray.data.from_arrow(pa.table({
+            "word": pa.array(ext_words, pa.string()),
+            "tf": pa.array([0] * len(ext_words), pa.int64()),
+            "df": pa.array([0] * len(ext_words), pa.int64()),
+            "ext": pa.array([int(ext[w]) for w in ext_words], pa.int64()),
+        })))
+    merged = merged.groupby("word").aggregate(Sum("tf"), Sum("df"),
+                                              Sum("ext"))
 
-    rows = merged.take_all()
-    words = {r["word"]: (int(r["sum(df)"]), int(r["sum(tf)"])) for r in rows}
-    all_words = set(words) | set(ext)
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        words_col = b.column("word").to_pylist()
+        d = b.column("sum(df)").to_numpy(zero_copy_only=False)
+        t = b.column("sum(tf)").to_numpy(zero_copy_only=False)
+        e = b.column("sum(ext)").to_numpy(zero_copy_only=False)
+        keep = _np.array([2 <= len(w) <= 32 and w.isalpha()
+                          for w in words_col], dtype=bool)
+        keep &= (d > 0) | (t > 0) | (e > 0)
+        idx = _np.flatnonzero(keep)
+        # vectorized popularity: same log1p kernel as the scalar formula
+        pop = (_np.log1p(_np.maximum(d[idx], 0)) * 4.0
+               + _np.log1p(_np.maximum(t[idx], 0)) * 2.0
+               + _np.log1p(_np.maximum(e[idx], 0)) * 3.0)
+        return pa.table({
+            "word": pa.array([words_col[i] for i in idx], pa.string()),
+            "doc_frequency": pa.array(d[idx], pa.int64()),
+            "total_frequency": pa.array(t[idx], pa.int64()),
+            "external_frequency": pa.array(e[idx], pa.int64()),
+            "popularity_score": pa.array(pop, pa.float64()),
+        })
 
-    out = []
-    for word in all_words:
-        if len(word) < 2 or len(word) > 32 or not word.isalpha():
-            continue
-        d, t = words.get(word, (0, 0))
-        e = int(ext.get(word, 0))
-        if d == 0 and t == 0 and e == 0:
-            continue
-        out.append((word, d, t, e, popularity_score(d, t, e)))
-    out.sort(key=lambda r: r[4], reverse=True)
-    out = out[:top_n]
-    return pa.table({
-        "word": pa.array([r[0] for r in out], pa.string()),
-        "doc_frequency": pa.array([r[1] for r in out], pa.int64()),
-        "total_frequency": pa.array([r[2] for r in out], pa.int64()),
-        "external_frequency": pa.array([r[3] for r in out], pa.int64()),
-        "popularity_score": pa.array([r[4] for r in out], pa.float64()),
-    })
+    # distributed deterministic top-N: (popularity DESC, word ASC); only the
+    # <= top_n surviving rows ever reach the driver
+    top = merged.map_batches(score, batch_format="pyarrow").sort(
+        ["popularity_score", "word"], descending=[True, False]).limit(top_n)
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+              else b for b in ray.get(top.to_arrow_refs())]
+    tables = [t_ for t_ in tables if t_.num_rows] or tables[:1]
+    return pa.concat_tables(tables, promote_options="default")
 
 
 def write_meta_file(dictionary: pa.Table, path: str, *,
