@@ -254,8 +254,15 @@ def generate_bench_transcripts(num_turns: int, *, seed: int = 42,
     flat = vocab[rng.choice(n_vocab, size=int(ends[-1]), p=probs)]
     pool = [" ".join(flat[a:b]) for a, b in zip(starts, ends)]
     text_idx = rng.integers(0, pool_n, size=num_turns).astype(np.int32)
-    text_col = pa.DictionaryArray.from_arrays(
-        pa.array(text_idx), pa.array(pool, pa.string())).cast(pa.string())
+    text_dict = pa.DictionaryArray.from_arrays(
+        pa.array(text_idx), pa.array(pool, pa.string()))
+    # cast to plain string in bounded chunks: a single cast overflows the
+    # 2 GiB int32 offset limit beyond ~10M turns of expanded text
+    _CHUNK = 2_000_000
+    text_col = pa.chunked_array([
+        text_dict.slice(i, _CHUNK).cast(pa.string())
+        for i in range(0, num_turns, _CHUNK)] or
+        [pa.array([], pa.string())])
 
     num_convs = (num_turns + turns_per_conv - 1) // turns_per_conv
     conv_names = [f"conv-{c:06d}" for c in range(num_convs)]

@@ -146,6 +146,11 @@ class QueryEngine:
                                     idf_fn(self.doc_total, dfs[i]), dbufs[i],
                                     tbufs[i], meta)
 
+        # tombstone mask (delete support over immutable artifacts;
+        # state/tombstones.py) — empty arrays when no deletes exist
+        from .tombstones import load_tombstones
+        self._tomb_lo, self._tomb_hi = load_tombstones(index_dir)
+
         # doc lengths (dense doc_id -> direct array indexing)
         self._doc_len = np.zeros(self.doc_total, dtype=np.int64)
         dl_dir = os.path.join(index_dir, "doclens")
@@ -260,6 +265,12 @@ class QueryEngine:
         # reset only what this query touched (buffer reuse)
         scores[touched] = 0.0
         matched[touched] = 0
+        if len(self._tomb_lo):
+            from .tombstones import mask_tombstoned
+            keep = mask_tombstoned(nz, self._tomb_lo, self._tomb_hi)
+            nz, s, m = nz[keep], s[keep], m[keep]
+            if len(nz) == 0:
+                return []
         if doc_range is not None:
             lo, hi = doc_range
             keep = (nz >= lo) & (nz < hi)
@@ -300,10 +311,18 @@ class QueryEngine:
         Produces results identical to the exhaustive ``candidates`` —
         including float-sum order (contributions are summed in sorted term
         order) and the (score DESC, doc_id ASC) tie-break (strict heap
-        replacement keeps the earlier doc on ties)."""
+        replacement keeps the earlier doc on ties).
+
+        With tombstones present the exhaustive path is used instead (the
+        DAAT heap would need per-advance mask checks; deletes are rare and
+        cleared at the next rebuild, so this trades a little latency for
+        identical semantics)."""
         ctx = search_context(q, limit, offset)
         if ctx is None:
             return None
+        if len(self._tomb_lo):
+            return (self._accumulate(sorted(set(ctx["query_terms"])),
+                                     ctx["candidate_limit"]), ctx)
         return (self._wand(sorted(set(ctx["query_terms"])),
                            ctx["candidate_limit"]), ctx)
 
@@ -319,7 +338,7 @@ class QueryEngine:
             return None
         terms = sorted(set(ctx["query_terms"]))
         sum_df = sum((self._dict[t][0] for t in terms if t in self._dict))
-        if sum_df * 8 < self.doc_total:
+        if sum_df * 8 < self.doc_total and not len(self._tomb_lo):
             return (self._wand(terms, ctx["candidate_limit"]), ctx)
         return (self._accumulate(terms, ctx["candidate_limit"]), ctx)
 

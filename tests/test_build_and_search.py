@@ -372,3 +372,36 @@ def test_crash_resume_from_part_sidecars(tiny_transcripts, tmp_path,
     assert _segments_digest(cfg.index_dir) == \
         _segments_digest(cfg_ref.index_dir)
     assert not os.path.isdir(side)      # consolidated commit clears sidecars
+
+
+def test_tombstone_deletes(tiny_transcripts, tmp_path):
+    """Delete path: tombstoned conversations vanish from every query path;
+    surviving docs keep their exact pre-delete scores (df/idf intentionally
+    unchanged until the next truncate-rebuild, reference batch semantics);
+    deletes merge and are idempotent."""
+    from search_engine_ray.state.tombstones import (delete_conversations,
+                                                    load_tombstones)
+    cfg = EngineConfig(index_dir=str(tmp_path / "tomb"), num_partitions=4)
+    build_index(ray.data.from_arrow(tiny_transcripts).repartition(4), cfg,
+                source_desc="tomb")
+    qe0 = QueryEngine(cfg.index_dir)
+    before = qe0.search("word0001 word0002", limit=2000)
+    victims = sorted({r["conv_id"] for r in before})[:2]
+    n = delete_conversations(cfg.index_dir, victims)
+    assert n > 0
+    assert delete_conversations(cfg.index_dir, victims) == 0   # idempotent
+    qe = QueryEngine(cfg.index_dir)
+    after = qe.search("word0001 word0002", limit=2000)
+    assert all(r["conv_id"] not in victims for r in after)
+    kept = [r for r in before if r["conv_id"] not in victims]
+    assert [(r["url"], r["score"]) for r in after] == \
+        [(r["url"], r["score"]) for r in kept]
+    # WAND/auto planner also honors tombstones (routes to exhaustive)
+    a = qe.candidates_auto("word0001", limit=50, offset=0)
+    w = qe.candidates_wand("word0001", limit=50, offset=0)
+    lo, hi = load_tombstones(cfg.index_dir)
+    from search_engine_ray.state.tombstones import mask_tombstoned
+    import numpy as np
+    for res in (a, w):
+        ids = np.array([d for d, _, _ in res[0]], dtype=np.int64)
+        assert mask_tombstoned(ids, lo, hi).all()
