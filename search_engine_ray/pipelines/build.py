@@ -123,7 +123,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     # broadcast is a (sorted conv array, base array) pair — memcpy put,
     # near-zero-copy per-actor get (a 1M+-entry dict costs seconds/actor)
     (convs, bases), n = conv_offsets_arrays(
-        _pruned(["conv_id", "turn_idx"]),
+        _pruned(["conv_id", "turn_idx"], fan_out=True),
         max_broadcast_convs=cfg.max_broadcast_convs)
     manifest["doc_total"] = n
     manifest["max_conv"] = str(convs[-1]) if len(convs) else ""
