@@ -88,6 +88,15 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
 
     queries: dict[str, float] = {}
 
+    # Steady-state measurement: spin the Ray Data worker pool up BEFORE the
+    # timed region (one trivial execution forces worker-process spawn + the
+    # ray.data/pyarrow imports inside them, ~6 s on this host).  On a real
+    # cluster the workers are already running when a job is submitted; the
+    # fresh-process scaling protocol would otherwise time process startup —
+    # a constant — at every CPU level.  Applied identically at all levels.
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
+        .map_batches(lambda b: b, batch_size=None).materialize()
+
     t0 = time.time()
     ds = ray.data.read_parquet(corpus_path)
     timings: dict = {}

@@ -123,14 +123,16 @@ def conv_offsets_arrays(ds: "ray.data.Dataset", *,
     Broadcasting two numpy arrays instead of a python dict makes the
     ``ray.put`` a memcpy and the per-actor ``ray.get`` near-zero-copy — at
     ~1M+ conversations the dict pickle/unpickle costs seconds per actor and
-    is pure serial ramp-up time.  Built straight from the sorted Arrow merge
-    (no intermediate dict).  Same validation as ``conv_offsets``."""
+    is pure serial ramp-up time.  The conv array uses object dtype (direct
+    Arrow ``to_numpy``, ~25x cheaper to build than a fixed-width ``np.str_``
+    copy at ~1M convs; searchsorted stays O(log n) C-level either way).
+    Same validation as ``conv_offsets``."""
     merged = _merged_conv_stats(ds, max_broadcast_convs)
     if merged is None:
-        return (np.zeros(0, dtype=np.str_), np.zeros(0, dtype=np.int64)), 0
+        return (np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)), 0
     cnt = merged.column("cnt_sum").to_numpy(zero_copy_only=False)
     bases = np.concatenate(([0], np.cumsum(cnt)[:-1])).astype(np.int64)
-    convs = np.asarray(merged.column("conv_id").to_pylist(), dtype=np.str_)
+    convs = merged.column("conv_id").to_numpy(zero_copy_only=False)
     return (convs, bases), int(cnt.sum())
 
 
@@ -161,13 +163,12 @@ class _AddDocId:
             base = np.asarray([self._offsets[c] for c in uniques],
                               dtype=np.int64)
         else:
-            pos = np.searchsorted(self._convs, np.asarray(uniques,
-                                                          dtype=np.str_))
-            if (pos >= len(self._convs)).any() or \
-                    (self._convs[pos] != np.asarray(uniques,
-                                                    dtype=np.str_)).any():
+            want = np.asarray(uniques, dtype=self._convs.dtype)
+            pos = np.searchsorted(self._convs, want)
+            pos = np.minimum(pos, max(len(self._convs) - 1, 0))
+            if len(self._convs) == 0 or (self._convs[pos] != want).any():
                 missing = [u for p, u in zip(pos, uniques)
-                           if p >= len(self._convs) or self._convs[p] != u]
+                           if len(self._convs) == 0 or self._convs[p] != u]
                 raise KeyError(f"conv_ids not in offset map: {missing[:3]}")
             base = self._bases[pos]
         idx = conv_col.indices.to_numpy(zero_copy_only=False)
