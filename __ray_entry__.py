@@ -101,6 +101,178 @@ words AS (
 """
 
 
+# -- MinHash+LSH mirror ------------------------------------------------------
+# The engine's MinHash base hash is md5_hash64 (== DuckDB md5_number_lower)
+# and the permutations are splitmix64 re-mixes — plain 64-bit arithmetic,
+# reproduced below mod 2^64 (HUGEINT with 32-bit-split multiplication so no
+# INT128 overflow).  Banding groups by the literal 8-value band tuple; the
+# engine's blake2b band_key is only a compaction of that tuple, so the pair
+# sets agree (modulo 2^-63 hash-collision probability).
+
+_M64 = "18446744073709551616"   # 2^64
+_M32 = "4294967296"             # 2^32
+_GOLDEN = 11400714819323198485  # splitmix64 increment / seed multiplier
+_SM_C2 = 13787848793156543929
+_SM_C3 = 10723151780598845931
+
+
+def _mulmod64(a: str, b: int) -> str:
+    """(a * b) mod 2^64 for a HUGEINT expression a in [0, 2^64)."""
+    return (f"((((({a}) // {_M32}) * {b}) % {_M32}) * {_M32} + "
+            f"((({a}) % {_M32}) * {b})) % {_M64}")
+
+
+def _xorshift(z: str, s: int) -> str:
+    """xor(z, z >> s) in the unsigned-64 domain, returned as HUGEINT."""
+    return (f"CAST(xor(CAST(({z}) AS UBIGINT), CAST(({z}) AS UBIGINT) >> {s})"
+            f" AS HUGEINT)")
+
+
+def _minhash_sql(mode: str, threshold: float) -> str:
+    """DuckDB mirror of stages/dedup.py minhash_near_dups: exact-dup classes
+    collapse to min-doc_id reps, 64-perm MinHash signatures (md5 base +
+    splitmix64 mixes), 8x8 LSH banding, then true-Jaccard verification of
+    bucket-mate candidates (token sets or char-3-grams per ``mode``)."""
+    if mode == "ngram":
+        feat = """
+    feat AS (
+      SELECT rep_id, f FROM (
+        SELECT rep_id,
+               CASE WHEN length(t) < 3 THEN [t]
+                    ELSE [substring(t, i, 3) FOR i IN range(1, length(t)-1)]
+               END AS fl
+        FROM rep
+      ), unnest(list_distinct(fl)) AS u(f)
+    ),"""
+    else:
+        feat = """
+    feat AS (
+      SELECT DISTINCT rep_id, tk AS f
+      FROM rep, unnest(regexp_split_to_array(t, '\\s+')) AS u(tk)
+      WHERE tk <> ''
+    ),"""
+    return f"""
+    WITH doc AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+    ),
+    rep AS (
+      SELECT min(doc_id) AS rep_id, t FROM doc GROUP BY t
+    ),
+    tok AS (
+      SELECT DISTINCT rep_id, tk AS token
+      FROM rep, unnest(regexp_split_to_array(t, '\\s+')) AS u(tk)
+      WHERE tk <> ''
+    ),
+    base AS (
+      SELECT rep_id, CAST(md5_number_lower(token) AS HUGEINT) AS b FROM tok
+    ),
+    perm AS (
+      SELECT p, (CAST(p AS HUGEINT) * {_GOLDEN}) % {_M64} AS seed
+      FROM range(1, 65) r(p)
+    ),
+    x0 AS (
+      SELECT rep_id, p,
+             CAST(xor(CAST(b AS UBIGINT), CAST(seed AS UBIGINT)) AS HUGEINT)
+               AS z
+      FROM base CROSS JOIN perm
+    ),
+    z1 AS (SELECT rep_id, p, (z + {_GOLDEN}) % {_M64} AS z FROM x0),
+    z2 AS (SELECT rep_id, p, {_mulmod64(_xorshift('z', 30), _SM_C2)} AS z
+           FROM z1),
+    z3 AS (SELECT rep_id, p, {_mulmod64(_xorshift('z', 27), _SM_C3)} AS z
+           FROM z2),
+    sig AS (
+      SELECT rep_id, p, min({_xorshift('z', 31)}) AS h FROM z3
+      GROUP BY rep_id, p
+    ),
+    band AS (
+      SELECT rep_id, (p-1)//8 AS band, list(h ORDER BY p) AS bsig
+      FROM sig GROUP BY rep_id, (p-1)//8
+    ),
+    cand AS (
+      SELECT DISTINCT x.rep_id AS doc_a, y.rep_id AS doc_b
+      FROM band x JOIN band y
+        ON x.band = y.band AND x.bsig = y.bsig AND x.rep_id < y.rep_id
+    ),{feat}
+    n AS (SELECT rep_id, count(*) AS nf FROM feat GROUP BY rep_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN feat fa ON fa.rep_id = c.doc_a
+      JOIN feat fb ON fb.rep_id = c.doc_b AND fb.f = fa.f
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             COALESCE(i.ni, 0) * 1.0
+               / (na.nf + nb.nf - COALESCE(i.ni, 0)) AS j
+      FROM cand c
+      JOIN n na ON na.rep_id = c.doc_a
+      JOIN n nb ON nb.rep_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(j, 6) AS jaccard
+    FROM scored WHERE j >= {threshold}
+    """
+
+
+# -- ANN LSH mirror ----------------------------------------------------------
+
+def _lsh_sql(n_bits: int = 12, probe: int = 2, k: int = 10) -> str:
+    """DuckDB mirror of stages/ann.py lsh_topk: the seeded hyperplanes are
+    algorithm PARAMETERS (numpy default_rng(42), fixed before any data is
+    seen), embedded as DOUBLE[] literals; signatures, Hamming probe filter
+    and cosine top-k are recomputed independently.  Sign tests on raw
+    vectors equal the engine's sign tests on normalized vectors (positive
+    scaling preserves sign; float32->DOUBLE widening is exact)."""
+    import numpy as np
+    planes = np.random.default_rng(42).standard_normal((n_bits, 64))
+    rows = ",\n      ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            b, ", ".join(repr(float(x)) for x in planes[b]))
+        for b in range(n_bits))
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN (0, 1)
+    ),
+    planes(b, pv) AS (
+      VALUES {rows}
+    ),
+    dbits AS (
+      SELECT e.vec_id, p.b,
+             (list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pv) > 0)
+               AS bit
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    qbits AS (
+      SELECT qq.query_id, p.b, (list_inner_product(qq.qe, p.pv) > 0) AS bit
+      FROM q qq CROSS JOIN planes p
+    ),
+    ham AS (
+      SELECT qb.query_id, db.vec_id,
+             sum(CASE WHEN db.bit <> qb.bit THEN 1 ELSE 0 END) AS h
+      FROM dbits db JOIN qbits qb ON db.b = qb.b
+      GROUP BY qb.query_id, db.vec_id
+    ),
+    sims AS (
+      SELECT hm.query_id, hm.vec_id,
+             round(list_cosine_similarity(qq.qe,
+                   CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      FROM ham hm
+      JOIN q qq ON qq.query_id = hm.query_id
+      JOIN embeddings e ON e.vec_id = hm.vec_id
+      WHERE hm.h <= {probe}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -616,5 +788,9 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
     """
+
+    sql["minhash_near_dups"] = _minhash_sql("token", 0.8)
+    sql["ngram_jaccard_near_dups"] = _minhash_sql("ngram", 0.9)
+    sql["ann_lsh_topk"] = _lsh_sql()
 
     return sql

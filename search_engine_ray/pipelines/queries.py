@@ -569,13 +569,10 @@ def _query_vecs(sf_dir: str) -> np.ndarray:
     return np.asarray([by_id[q] for q in ANN_QUERY_IDS], dtype=np.float64)
 
 
-def ann_topk(sf_dir: str) -> pa.Table:
-    """Exact cosine top-k; over-fetch then deterministic re-rank on (rounded
-    cosine DESC, vec_id ASC) so the DuckDB mirror agrees at ulp boundaries."""
-    from ..stages.ann import brute_force_topk
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    t = brute_force_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
-                         k=ANN_K + 10)
+def _rerank_topk(t: pa.Table, k: int = ANN_K) -> pa.Table:
+    """Deterministic re-rank of an over-fetched top-k table on (rounded
+    cosine DESC, vec_id ASC), truncated to k — so a DuckDB mirror ranking on
+    round-6 cosines agrees at ulp boundaries."""
     rows = sorted(zip(t.column("query_id").to_pylist(),
                       t.column("vec_id").to_pylist(),
                       t.column("cosine").to_pylist()),
@@ -585,7 +582,7 @@ def ann_topk(sf_dir: str) -> pa.Table:
     for q, v, c in rows:
         rank = rank + 1 if q == last_q else 1
         last_q = q
-        if rank > ANN_K:
+        if rank > k:
             continue
         out_q.append(q)
         out_v.append(v)
@@ -599,18 +596,30 @@ def ann_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def ann_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-k; over-fetch then deterministic re-rank on (rounded
+    cosine DESC, vec_id ASC) so the DuckDB mirror agrees at ulp boundaries."""
+    from ..stages.ann import brute_force_topk
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = brute_force_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
+                         k=ANN_K + 10)
+    return _rerank_topk(t)
+
+
 def ann_lsh_topk(sf_dir: str) -> pa.Table:
     from ..stages.ann import lsh_topk
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    t = lsh_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir), k=ANN_K)
-    return _round_col(t, "cosine")
+    t = lsh_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
+                 k=ANN_K + 10)
+    return _rerank_topk(t)
 
 
 def ann_ivf_topk(sf_dir: str) -> pa.Table:
     from ..stages.ann import ivf_topk
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    t = ivf_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir), k=ANN_K)
-    return _round_col(t, "cosine")
+    t = ivf_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
+                 k=ANN_K + 10)
+    return _rerank_topk(t)
 
 
 def embedding_near_dups(sf_dir: str) -> pa.Table:

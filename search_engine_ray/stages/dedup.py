@@ -26,7 +26,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from ..functions.hashing import hash64, hash64_column, splitmix64_array
+from ..functions.hashing import (hash64, hash64_column, md5_hash64_column,
+                                 splitmix64_array)
 from ..functions.simhash import simhash_text
 
 
@@ -94,8 +95,12 @@ def _token_set(text: str) -> list[str]:
 class _MinHashBatch:
     """Emit (band, band_key, doc_id) LSH bucket rows per doc.
 
-    MinHash via one base blake2b hash per token + NUM_PERMS splitmix64
-    re-mixes (vectorized) — standard one-hash + k-mix construction."""
+    MinHash via one base md5 hash per token + NUM_PERMS splitmix64
+    re-mixes (vectorized) — standard one-hash + k-mix construction.  The
+    base hash is ``md5_hash64`` (lower 64 bits of MD5, little-endian ==
+    DuckDB ``md5_number_lower``) rather than blake2b so the whole
+    signature/banding pipeline is recomputable by an ANSI-SQL oracle
+    (splitmix64 is plain 64-bit arithmetic, expressible mod 2^64)."""
 
     def __init__(self, num_perms: int = NUM_PERMS, num_bands: int = NUM_BANDS):
         self._perms = num_perms
@@ -107,7 +112,7 @@ class _MinHashBatch:
     def signature(self, tokens: list[str]) -> np.ndarray | None:
         if not tokens:
             return None
-        base = hash64_column(tokens)                       # (n,)
+        base = md5_hash64_column(tokens)                   # (n,)
         with np.errstate(over="ignore"):
             mixed = splitmix64_array(base[:, None] ^ self._seeds[None, :])
         return mixed.min(axis=0)                           # (num_perms,)
