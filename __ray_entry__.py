@@ -273,6 +273,94 @@ def _lsh_sql(n_bits: int = 12, probe: int = 2, k: int = 10) -> str:
     """
 
 
+# -- ANN IVF mirror ----------------------------------------------------------
+
+def _ivf_sql(n_lists: int = 16, n_probe: int = 4, iters: int = 10,
+             train: int = 2048, dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of stages/ann.py ivf_topk: the seeded-Lloyd coarse
+    quantizer is recomputed as ``iters`` chained CTE triples (assign ->
+    element-wise mean -> normalize+round-6) over the deterministic training
+    sample (vec_id < train, vec_id order; stride init).  Centroids are
+    rounded to 6 dp each iteration on BOTH sides, so assignments never
+    diverge at ulp level.  Probe lists, vector assignment and cosine top-k
+    mirror the engine's tie rules (dot DESC, cid/vec_id ASC)."""
+    prev = "c0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT ridx, v, cid FROM (
+        SELECT s.ridx, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.ridx
+                 ORDER BY list_inner_product(s.v, c.c) DESC, c.cid) AS rn
+        FROM samp s CROSS JOIN {prev} c) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT a.cid, d.di, avg(a.v[d.di]) AS mx
+      FROM a{i} a CROSS JOIN range(1, {dim + 1}) d(di)
+      GROUP BY a.cid, d.di
+    ),
+    r{i} AS (SELECT cid, list(mx ORDER BY di) AS c FROM m{i} GROUP BY cid),
+    c{i} AS MATERIALIZED (
+      SELECT p.cid,
+             list_transform(COALESCE(r.c, p.c),
+               x -> round(x / sqrt(list_inner_product(COALESCE(r.c, p.c),
+                                                      COALESCE(r.c, p.c))),
+                          6)) AS c
+      FROM {prev} p LEFT JOIN r{i} r ON r.cid = p.cid
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    en AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+      FROM e
+    ),
+    samp AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ridx, v
+      FROM en WHERE vec_id < {train}
+    ),
+    ns AS (SELECT count(*) AS n FROM samp),
+    c0 AS MATERIALIZED (
+      SELECT t.cid, list_transform(s.v, x -> round(x, 6)) AS c
+      FROM range(0, {n_lists}) t(cid), ns
+      JOIN samp s ON s.ridx = (t.cid * ns.n) // {n_lists}
+    ),{",".join(its)},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM en WHERE vec_id IN (0, 1)),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT qq.query_id, c.cid,
+               row_number() OVER (PARTITION BY qq.query_id
+                 ORDER BY list_inner_product(qq.qv, c.c) DESC, c.cid) AS rn
+        FROM q qq CROSS JOIN {prev} c) WHERE rn <= {n_probe}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY list_inner_product(en.v, c.c) DESC, c.cid) AS rn
+        FROM en CROSS JOIN {prev} c) WHERE rn = 1
+    ),
+    sims AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_inner_product(qq.qv, en.v), 6) AS cosine
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid
+      JOIN q qq ON qq.query_id = p.query_id
+      JOIN en ON en.vec_id = a.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -792,5 +880,6 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_near_dups"] = _minhash_sql("token", 0.8)
     sql["ngram_jaccard_near_dups"] = _minhash_sql("ngram", 0.9)
     sql["ann_lsh_topk"] = _lsh_sql()
+    sql["ann_ivf_topk"] = _ivf_sql()
 
     return sql

@@ -178,19 +178,27 @@ def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
             seed: int = 42) -> np.ndarray:
-    """Deterministic seeded Lloyd's k-means over unit vectors (coarse
-    quantizer for IVF); returns (k, dim) normalized centroids."""
-    rng = np.random.default_rng(seed)
+    """Deterministic Lloyd's k-means over unit vectors (coarse quantizer
+    for IVF); returns (k, dim) normalized centroids rounded to 6 dp.
+
+    Init is an even stride over the (vec_id-ordered) training sample, and
+    every iteration re-normalizes then rounds centroids to 6 decimals, so
+    the whole quantizer is recomputable by an ANSI-SQL oracle as chained
+    CTEs without ulp divergence: both sides compute assignments from
+    identical 6-dp centroids (an argmax flip would need two centroid dots
+    within ~1e-15).  ``seed`` is kept for API compatibility but unused —
+    a data-order init is reproducible by SQL, an rng draw is not."""
     sample = _normalize(sample)
-    cents = sample[rng.choice(len(sample), size=min(k, len(sample)),
-                              replace=False)]
+    k = min(k, len(sample))
+    cents = np.round(sample[(np.arange(k) * len(sample)) // k], 6)
     for _ in range(iters):
         assign = np.argmax(sample @ cents.T, axis=1)
+        new = cents.copy()
         for c in range(len(cents)):
             members = sample[assign == c]
             if len(members):
-                cents[c] = members.mean(axis=0)
-        cents = _normalize(cents)
+                new[c] = members.mean(axis=0)
+        cents = np.round(_normalize(new), 6)
     return cents
 
 
@@ -207,9 +215,18 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     written bucketed by list id and a query reads only n_probe/n_lists of
     the data.  Here the probe filter runs inside the same streaming pass
     (per-batch mask), which preserves the scan-fraction semantics without a
-    re-layout.  Same output shape as brute_force_topk; recall pytest."""
-    sample = embeddings.select_columns(["embedding"]).limit(
-        train_sample).take_all()
+    re-layout.  Same output shape as brute_force_topk; recall pytest.
+
+    The training sample is ``vec_id < train_sample`` in vec_id order — a
+    deterministic predicate (not ``limit``, whose block order Ray does not
+    guarantee) that a SQL oracle can reproduce; assumes dense-ish ids as in
+    the driver tables.  At scale substitute any deterministic id predicate
+    (e.g. ``hash(vec_id) % m == 0``)."""
+    import pyarrow.compute as pc
+    sample = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.field("vec_id") < train_sample),
+        batch_format="pyarrow").take_all()
+    sample.sort(key=lambda r: r["vec_id"])
     train = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
     cents = _kmeans(train, n_lists, seed=seed)
     qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
