@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_near_dups": Q.embedding_near_dups,
+        "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # validation filter (M5) + anti-join (J5) + suggestion path (J4)
         "validate_turns": Q.validate_turns,
         "customers_without_orders": Q.customers_without_orders,
@@ -578,6 +579,100 @@ def oracle_sql() -> dict[str, str]:
     FROM agg
     """
 
+    # Full J4 suggestion path: pg_trgm candidate generation (length band ±2,
+    # trigram-Jaccard > 0.3, popularity floor 2.0, top-120, first-letter
+    # fallback) + OSA acceptance (engine.py:110-162 thresholds).  DuckDB has
+    # no OSA kernel; damerau_levenshtein stands in — OSA >= DL always, and
+    # they diverge only when an edit lands INSIDE a transposed pair, which
+    # needs candidate/input shapes absent from this lexicon (verified equal
+    # across all 8 inputs x full dictionary at sf0.01).
+    sql["spellcheck_suggestions"] = f"""
+    WITH {_WORDS},
+    dict AS (
+      SELECT word, count(DISTINCT doc_id) AS df, count(*) AS tf,
+             4.0 * ln(1 + count(DISTINCT doc_id))
+               + 2.0 * ln(1 + count(*)) AS pop
+      FROM words GROUP BY word
+    ),
+    inputs(input) AS (VALUES ('tabel'),('jion'),('mrge'),('windwo'),('batc'),
+                             ('strem'),('customer'),('zzzzqqq')),
+    itri AS (
+      SELECT input,
+             list_distinct(list_transform(generate_series(1, length(input) + 1),
+                 i -> substr('  ' || input || ' ', i, 3))) AS tris
+      FROM inputs
+    ),
+    dtri AS (
+      SELECT word, pop, df, tf,
+             list_distinct(list_transform(generate_series(1, length(word) + 1),
+                 i -> substr('  ' || word || ' ', i, 3))) AS tris
+      FROM dict WHERE pop >= 2.0
+    ),
+    band AS (
+      SELECT i.input, d.word, d.pop, d.df, d.tf, i.tris AS it, d.tris AS dt
+      FROM itri i JOIN dtri d
+        ON length(d.word) BETWEEN greatest(2, length(i.input) - 2)
+                              AND length(i.input) + 2
+    ),
+    sim AS (
+      SELECT input, word, pop, df, tf,
+             CASE WHEN len(list_distinct(list_concat(it, dt))) = 0 THEN 0.0
+                  ELSE len(list_intersect(it, dt)) * 1.0
+                       / len(list_distinct(list_concat(it, dt))) END AS s
+      FROM band
+    ),
+    prim AS (
+      SELECT input, word, pop, df, tf,
+             row_number() OVER (PARTITION BY input
+                                ORDER BY s DESC, pop DESC, word ASC) AS rn
+      FROM sim WHERE s > 0.3
+    ),
+    fall AS (
+      SELECT input, word, pop, df, tf,
+             row_number() OVER (PARTITION BY input
+                                ORDER BY pop DESC, word ASC) AS rn
+      FROM sim WHERE substr(word, 1, 1) = substr(input, 1, 1)
+    ),
+    cand AS (
+      SELECT * FROM prim WHERE rn <= 120
+      UNION ALL
+      SELECT f.* FROM fall f
+      WHERE f.rn <= 120
+        AND NOT EXISTS (SELECT 1 FROM prim p WHERE p.input = f.input)
+    ),
+    dist AS (
+      SELECT input, word, pop, df, tf,
+             damerau_levenshtein(input, word) AS d
+      FROM cand WHERE word <> input
+    ),
+    valid AS (
+      SELECT * FROM dist
+      WHERE d <= 2 AND NOT (length(input) <= 3 AND d > 1)
+    ),
+    best AS (
+      SELECT input, word, pop, d,
+             row_number() OVER (PARTITION BY input
+                                ORDER BY d ASC, pop DESC, df DESC, tf DESC,
+                                         word ASC) AS rn
+      FROM valid
+    ),
+    known AS (
+      SELECT i.input, coalesce(d.pop, 0.0) AS kp
+      FROM inputs i LEFT JOIN dict d ON d.word = i.input
+    )
+    SELECT k.input AS word,
+           CASE WHEN b.word IS NULL THEN ''
+                WHEN k.kp > 0.0 THEN
+                  CASE WHEN b.pop >= k.kp
+                            * (CASE WHEN b.d = 1 THEN 1.8 ELSE 4.0 END)
+                       THEN b.word ELSE '' END
+                ELSE
+                  CASE WHEN b.pop >= (CASE WHEN b.d = 1 THEN 0.5 ELSE 2.5 END)
+                       THEN b.word ELSE '' END
+           END AS suggestion
+    FROM known k LEFT JOIN best b ON b.input = k.input AND b.rn = 1
+    """
+
     sql["dedup_exact_groups"] = """
     SELECT min(doc_id) AS canonical_doc_id, count(*) AS dup_count
     FROM documents GROUP BY text
@@ -756,6 +851,24 @@ def oracle_sql() -> dict[str, str]:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.98
+    """
+
+    # x*1.5 inside a double then CAST to FLOAT reproduces the engine's
+    # float32 multiply exactly (the double product of a float32 and 1.5 is
+    # exact, so both sides round the same exact value to float32).
+    sql["embedding_near_dups_aug"] = """
+    WITH aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding,
+                            x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE))
+      FROM embeddings WHERE vec_id < 25
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.98
     """
 
     sql["graph_inlinks"] = """

@@ -635,6 +635,48 @@ def embedding_near_dups(sf_dir: str) -> pa.Table:
     })
 
 
+def embedding_near_dups_aug(sf_dir: str) -> pa.Table:
+    """embedding_near_dups with the threshold path actually exercised: the
+    synthetic embeddings table has no natural near-dups (max pairwise cosine
+    ~0.51 at sf0.01), so this entry deterministically augments it with scaled
+    copies (x1.5, float32 rounding) of the first 25 vectors at vec_id+100000.
+    A positive scaling keeps the direction, hence the LSH signature, identical
+    — recall of the injected pairs is guaranteed, cosine rounds to 1.0 — while
+    every other in-bucket pair exercises the threshold-reject branch."""
+    from ..stages.ann import cosine_near_dup_pairs
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def scaled_copies(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        sel = batch.filter(pc.less(batch.column("vec_id"), 25))
+        if sel.num_rows == 0:
+            return sel
+        emb_col = sel.column("embedding").combine_chunks()
+        flat = emb_col.values.to_numpy(zero_copy_only=False)
+        scaled = (flat.astype(np.float32) * np.float32(1.5))
+        out_emb = pa.ListArray.from_arrays(emb_col.offsets,
+                                           pa.array(scaled, pa.float32()))
+        cols = {}
+        for name in sel.column_names:
+            if name == "vec_id":
+                cols[name] = pc.add(sel.column("vec_id"), 100000)
+            elif name == "embedding":
+                cols[name] = out_emb
+            else:
+                cols[name] = sel.column(name)
+        return pa.table(cols)
+
+    aug = emb.union(emb.map_batches(scaled_copies, batch_format="pyarrow"))
+    rows = cosine_near_dup_pairs(aug, threshold=0.98).take_all()
+    rows.sort(key=lambda r: (r["vec_a"], r["vec_b"]))
+    return pa.table({
+        "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),
+        "vec_b": pa.array([r["vec_b"] for r in rows], pa.int64()),
+        "cosine": pa.array([round(r["cosine"], 6) for r in rows],
+                           pa.float64()),
+    })
+
+
 def validate_turns(sf_dir: str) -> "ray.data.Dataset":
     """Validation filter M5: surviving (non-whitespace-text) doc_ids."""
     from ..stages.textstats import validate_turns as vt
