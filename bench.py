@@ -52,8 +52,12 @@ def _sf_from_dir(sf_dir: str) -> float:
 # --scaling corpus multiplier: the fused build finishes 600k turns in ~20s,
 # which is fixed-cost-dominated — strong-scaling measurements need enough
 # work per core, so the scaling protocol runs a larger corpus (same input at
-# BOTH cpu levels; override with SCALING_MULT)
-SCALING_MULT = int(os.environ.get("SCALING_MULT", "16"))
+# BOTH cpu levels; override with SCALING_MULT).  Sized (38.4M turns, ~3 min
+# of work at 32 CPUs) so the measured fixed residue — Ray startup, shuffle
+# barrier, shared-single-disk artifact bandwidth, ~26 s + 0.8 s/M turns on
+# this host — stays well under the per-level work, as it would on a real
+# cluster where jobs run minutes-to-hours and disks scale with nodes.
+SCALING_MULT = int(os.environ.get("SCALING_MULT", "64"))
 
 
 def _bench_corpus(sf: float, mult: int = 1) -> tuple[str, int]:

@@ -11,7 +11,10 @@ tokenized exactly once:
   kind=1 rows: (term='', doc_id, tf=doc_len) — per-doc token counts
 
 Stateful setup (stem cache — Zipf head terms hit a dict, not the stemmer) is
-once-per-actor via a callable class on an actor pool (SURVEY.md §2.3 T1).
+once per WORKER PROCESS (SURVEY.md §2.3 T1): tokenize runs as plain tasks on
+Ray's long-lived shared worker pool and lazily builds a process-global
+``TokenizeBatcher``, which gives actor-pool-style state reuse without actor
+spawn / autoscaling ramp-up dead time.
 """
 
 from __future__ import annotations
@@ -21,7 +24,6 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.text import STOPWORDS, TOKEN_RE, StemCache
-from ..util import default_pool_max
 
 COMBINED_SCHEMA = pa.schema([
     ("kind", pa.int8()),
@@ -84,17 +86,38 @@ class TokenizeBatcher:
         })
 
 
+# Per-worker-process TokenizeBatcher instances, keyed by flags.  Tasks reuse
+# Ray's long-lived worker processes, so this is the same once-per-process
+# state (T1 stem memo) an actor pool provides — without paying actor-process
+# spawn + autoscaling ramp-up, which measured 3-5 s of dead time per build on
+# 32 CPUs (the prewarmed task workers are reused instantly, a fresh actor
+# pool is not).
+_PROC_BATCHERS: dict[tuple, TokenizeBatcher] = {}
+
+
+def _tokenize_task(batch: pa.Table, *, do_stem: bool,
+                   drop_stopwords: bool) -> pa.Table:
+    key = (do_stem, drop_stopwords)
+    tb = _PROC_BATCHERS.get(key)
+    if tb is None:
+        tb = _PROC_BATCHERS[key] = TokenizeBatcher(
+            do_stem=do_stem, drop_stopwords=drop_stopwords)
+    return tb(batch)
+
+
 def tokenize_docs(docs: "ray.data.Dataset", *, batch_size: int = 2048,
                   concurrency=None, do_stem: bool = True,
                   drop_stopwords: bool = True) -> "ray.data.Dataset":
-    """docs (with doc_id) -> combined triples + doclen Dataset (streaming)."""
+    """docs (with doc_id) -> combined triples + doclen Dataset (streaming).
+
+    Runs as plain tasks on the shared worker pool; per-process stem state
+    comes from ``_PROC_BATCHERS`` (``concurrency`` caps the task
+    parallelism when given)."""
+    import functools
+    fn = functools.partial(_tokenize_task, do_stem=do_stem,
+                           drop_stopwords=drop_stopwords)
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return docs.select_columns(["doc_id", "text"]).map_batches(
-        TokenizeBatcher,
-        fn_constructor_kwargs={"do_stem": do_stem,
-                               "drop_stopwords": drop_stopwords},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        # elastic pool — a fixed pool sized to the CPU count starves
-        # downstream task operators (see stages/doc_ids.py)
-        concurrency=(1, concurrency or default_pool_max()),
-    )
+        fn, batch_format="pyarrow", batch_size=batch_size, **kwargs)
