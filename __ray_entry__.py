@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": Q.simhash_near_pairs,
         "minhash_near_dups": Q.minhash_near_dups,
         "ngram_jaccard_near_dups": Q.ngram_jaccard_near_dups,
+        "minhash_clusters": Q.minhash_clusters,
+        "near_dedup_survivors": Q.near_dedup_survivors,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -992,6 +994,52 @@ def oracle_sql() -> dict[str, str]:
 
     sql["minhash_near_dups"] = _minhash_sql("token", 0.8)
     sql["ngram_jaccard_near_dups"] = _minhash_sql("ngram", 0.9)
+
+    # Connected components over the mirrored pair graph: recursive
+    # reachability closure, component rep = min reachable node.  The engine
+    # side is distributed min-label propagation — same fixpoint.
+    sql["minhash_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql("token", 0.8)}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_rep
+    FROM reach GROUP BY src
+    """
+
+    sql["near_dedup_survivors"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql("token", 0.8)}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+    ),
+    exact_survivors AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    )
+    SELECT s.doc_id FROM exact_survivors s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp c
+      WHERE c.doc_id = s.doc_id AND c.cluster_rep <> c.doc_id
+    )
+    """
     sql["ann_lsh_topk"] = _lsh_sql()
     sql["ann_ivf_topk"] = _ivf_sql()
 

@@ -321,6 +321,51 @@ def ngram_jaccard_near_dups(sf_dir: str) -> pa.Table:
     })
 
 
+def minhash_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERS: connected components over the verified MinHash
+    pair graph (distributed min-label propagation, stages/dedup.py
+    connected_components).  (doc_id, cluster_rep) for every doc that
+    appears in at least one near-dup pair; cluster_rep = component min."""
+    from ..stages.dedup import connected_components, minhash_near_dups as mnd
+    pairs = mnd(_docs_with_ids(sf_dir), threshold=0.8)
+    t = connected_components(pairs).take_all()
+    t.sort(key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in t], pa.int64()),
+        "cluster_rep": pa.array([r["cluster_rep"] for r in t], pa.int64()),
+    })
+
+
+def near_dedup_survivors(sf_dir: str) -> pa.Table:
+    """Full dedup story end-to-end: exact-dup groups collapse to their min
+    doc_id, then near-dup clusters (MinHash pairs -> connected components)
+    keep only the component minimum.  Returns surviving doc_ids.
+
+    The drop set (near-dup cluster members that are not their component's
+    min) is O(near-dup docs) — broadcast as an Arrow value_set and
+    anti-filtered against the exact survivors, never shuffled."""
+    from ..stages.dedup import (connected_components, exact_dedup_survivors,
+                                minhash_near_dups as mnd)
+    docs = _docs_with_ids(sf_dir)
+    pairs = mnd(docs, threshold=0.8)
+    clusters = connected_components(pairs)
+    drop = clusters.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("doc_id"),
+                                        b.column("cluster_rep"))).select(
+            ["doc_id"]),
+        batch_format="pyarrow").take_all()
+    drop_set = pa.array(sorted(r["doc_id"] for r in drop), pa.int64())
+
+    def anti(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(b.column("doc_id"), value_set=drop_set))
+        return b.filter(keep).select(["doc_id"])
+
+    t = exact_dedup_survivors(docs).map_batches(
+        anti, batch_format="pyarrow").take_all()
+    ids = sorted(r["doc_id"] for r in t)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def simhash_near_pairs(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.dedup import simhash_near_pairs as snp
     return snp(_docs_with_ids(sf_dir))

@@ -344,3 +344,78 @@ def simhash_near_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3
             "doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"),
             "hamming": t.column("min(hamming)")}),
         batch_format="pyarrow")
+
+
+# -- near-dup clustering (pairs -> connected components) ---------------------
+
+def connected_components(pairs: "ray.data.Dataset", *,
+                         max_iterations: int = 64) -> "ray.data.Dataset":
+    """(doc_a, doc_b) pairs -> (doc_id, cluster_rep) via distributed
+    min-label propagation: every node starts labeled with its own id, each
+    iteration sends labels along (bidirectional) edges and keeps the
+    per-node minimum — a join + groupby-min per round, converging in
+    O(component diameter) rounds.  Labels only ever decrease, so the global
+    label sum is a monotone convergence witness: when it stops falling, the
+    components are final (checked per round; no driver-side graph state).
+
+    Completes the dedup story the pair stages start: MinHash/SimHash emit
+    candidate pairs, this turns them into canonical clusters so survivors =
+    cluster minima.  Everything stays keyed on node id — at 100 TB each
+    round is one hash-shuffle of the PAIR-derived node set (near-dup nodes,
+    not the corpus)."""
+    import pyarrow.compute as pc
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").combine_chunks()
+        bb = b.column("doc_b").combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays(
+                [a.cast(pa.int64()), bb.cast(pa.int64())]),
+            "dst": pa.concat_arrays(
+                [bb.cast(pa.int64()), a.cast(pa.int64())]),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    labels = edges.groupby("src").aggregate(Min("dst")).map_batches(
+        lambda b: pa.table({
+            "node": b.column("src"),
+            "label": pc.min_element_wise(b.column("src"),
+                                         b.column("min(dst)")),
+        }), batch_format="pyarrow").materialize()
+
+    def _label_sum(ds: "ray.data.Dataset") -> int:
+        return int(ds.sum("label"))
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iterations):
+        # propagate: neighbor labels arrive via the edge join; keep the min
+        # of (own label, best neighbor label)
+        msgs = edges.join(labels, "inner", num_partitions=max(
+            2, edges.num_blocks() // 4), on=("src",), right_on=("node",))
+        msgs = msgs.map_batches(
+            lambda b: pa.table({"node": b.column("dst"),
+                                "cand": b.column("label")}),
+            batch_format="pyarrow")
+        merged = msgs.groupby("node").aggregate(Min("cand"))
+        new_labels = labels.join(
+            merged, "left_outer", num_partitions=max(
+                2, edges.num_blocks() // 4),
+            on=("node",)).map_batches(
+            lambda b: pa.table({
+                "node": b.column("node"),
+                "label": pc.min_element_wise(
+                    b.column("label"),
+                    pc.fill_null(b.column("min(cand)"),
+                                 pa.scalar(2**62, pa.int64()))),
+            }), batch_format="pyarrow").materialize()
+        new_sum = _label_sum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"),
+                            "cluster_rep": b.column("label")}),
+        batch_format="pyarrow")

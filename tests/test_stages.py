@@ -420,3 +420,50 @@ def test_media_featurizer_plumbing():
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         MediaFeaturizer(fake_decode=False)
+
+
+def test_connected_components_vs_union_find():
+    """Distributed min-label propagation == naive union-find on random
+    graphs (sparse ids, chains, cliques, singleton edges)."""
+    import random
+
+    from search_engine_ray.stages.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(2):
+        nodes = rng.sample(range(100_000), 120)
+        edges = []
+        # random edges + a long chain (worst-case diameter) + a clique
+        edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+        chain = rng.sample(range(200_000, 300_000), 10)
+        edges += list(zip(chain, chain[1:]))
+        clique = rng.sample(range(300_000, 400_000), 6)
+        edges += [(a, b) for a in clique for b in clique if a < b]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict[int, list[int]] = {}
+        for n in {x for e in edges for x in e}:
+            members.setdefault(find(n), []).append(n)
+        want = {n: min(ms) for ms in members.values() for n in ms}
+
+        pairs = pa.table({
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        })
+        got_rows = connected_components(
+            ray.data.from_arrow(pairs)).take_all()
+        got = {r["doc_id"]: r["cluster_rep"] for r in got_rows}
+        assert got == want
