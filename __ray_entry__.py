@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dups": Q.ngram_jaccard_near_dups,
         "minhash_clusters": Q.minhash_clusters,
         "near_dedup_survivors": Q.near_dedup_survivors,
+        "pack_shards": Q.pack_shards,
+        "sample_stratified": Q.sample_stratified,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -673,6 +675,60 @@ def oracle_sql() -> dict[str, str]:
                        THEN b.word ELSE '' END
            END AS suggestion
     FROM known k LEFT JOIN best b ON b.input = k.input AND b.rn = 1
+    """
+
+    # token-budget shard packing == window cumsum; the engine computes the
+    # same quantity with a two-phase distributed prefix sum (no global sort)
+    sql["pack_shards"] = """
+    WITH tc AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\\b[a-zA-Z0-9]{2,}\\b'))
+               AS n
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c0
+      FROM tc
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS token_count,
+           CAST(c0 // 2048 AS BIGINT) AS shard_id
+    FROM cum
+    """
+
+    # md5_number_lower == engine md5_hash64 (verified bit-identical), so the
+    # per-stratum hash draw is recomputed exactly
+    sql["sample_stratified"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit'])) AS de,
+        len(list_intersect(toks, ['the','and','of','is','that','with','for'])) AS en,
+        len(list_intersect(toks, ['el','la','los','las','es','una','para'])) AS es,
+        len(list_intersect(toks, ['le','les','des','est','une','dans','pour'])) AS fr
+      FROM t
+    ),
+    lng AS (
+      SELECT doc_id,
+             CASE WHEN greatest(de, en, es, fr) = 0 THEN 'unk'
+                  WHEN de = greatest(de, en, es, fr) THEN 'de'
+                  WHEN en = greatest(de, en, es, fr) THEN 'en'
+                  WHEN es = greatest(de, en, es, fr) THEN 'es'
+                  ELSE 'fr' END AS lang
+      FROM c
+    )
+    SELECT doc_id, lang,
+           (md5_number_lower(CAST(doc_id AS VARCHAR)) % 100)
+             < (CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 40
+                          WHEN 'es' THEN 40 WHEN 'fr' THEN 40
+                          ELSE 100 END) AS keep
+    FROM lng
     """
 
     sql["dedup_exact_groups"] = """

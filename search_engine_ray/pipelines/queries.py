@@ -366,6 +366,20 @@ def near_dedup_survivors(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def pack_shards(sf_dir: str) -> "ray.data.Dataset":
+    """Token-budget shard packing over documents (training-data curation):
+    shard_id = (cumulative tokens before this doc, in doc_id order) //
+    budget — a distributed two-phase prefix sum, no global sort."""
+    from ..stages.curation import pack_shards as ps
+    return ps(_docs_with_ids(sf_dir))
+
+
+def sample_stratified(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic per-language stratified sample (hash draw, no RNG)."""
+    from ..stages.curation import sample_stratified as ss
+    return ss(_docs_with_ids(sf_dir))
+
+
 def simhash_near_pairs(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.dedup import simhash_near_pairs as snp
     return snp(_docs_with_ids(sf_dir))

@@ -1,0 +1,134 @@
+"""Training-data curation operators: token-budget shard packing and
+deterministic stratified sampling.
+
+These are the post-dedup steps of a large-scale training-data pipeline:
+pack cleaned documents into fixed-token-budget shards (sequential packing in
+a stable global order), and draw reproducible per-stratum samples without an
+RNG (hash-based, so any worker — or a SQL oracle — computes the same draw).
+
+Both are Ray-Data-first and shuffle-light:
+
+* ``pack_shards``: a two-phase distributed prefix sum — per-bucket token
+  sums (tiny groupby over doc_id // bucket_size), driver-side exclusive
+  prefix over the sorted bucket sums (O(num_buckets), same cutover class as
+  the conv-offset broadcast in stages/doc_ids.py), then one
+  groupby(bucket).map_groups that computes the exact in-bucket cumulative
+  sum and shard id.  No global sort, no all-to-all beyond the one bucket
+  groupby.
+* ``sample_stratified``: a pure filter — md5-based uniform hash of the doc
+  id against a per-language keep-rate (language from the lang_id marker
+  heuristic).  md5_hash64 == DuckDB ``md5_number_lower``, so the draw is
+  SQL-mirrorable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.hashing import md5_hash64_column
+from ..functions.text import TOKEN_RE
+from .textstats import LANG_MARKERS
+
+DEFAULT_SHARD_BUDGET = 2048       # tokens per training shard
+DEFAULT_BUCKET_SIZE = 65536       # doc_ids per prefix-sum bucket
+
+# per-language keep percentage (0..100): up-weight the tail languages,
+# down-sample the head — the standard multilingual curation shape
+DEFAULT_STRATA_RATES: dict[str, int] = {
+    "en": 10, "de": 40, "es": 40, "fr": 40, "unk": 100,
+}
+
+
+def _token_counts(docs: "ray.data.Dataset",
+                  bucket_size: int) -> "ray.data.Dataset":
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = [len(TOKEN_RE.findall((t or "").lower())) for t in texts]
+        ids = batch.column("doc_id")
+        return pa.table({
+            "doc_id": ids,
+            "token_count": pa.array(counts, pa.int64()),
+            "bucket": pc.divide(ids, bucket_size),
+        })
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def pack_shards(docs: "ray.data.Dataset", *,
+                budget_tokens: int = DEFAULT_SHARD_BUDGET,
+                bucket_size: int = DEFAULT_BUCKET_SIZE) -> "ray.data.Dataset":
+    """(doc_id, token_count, shard_id): sequential packing of docs in
+    doc_id order into shards of ``budget_tokens`` — shard_id = (cumulative
+    tokens BEFORE this doc) // budget, i.e. a shard closes once it reaches
+    the budget; a doc longer than the budget occupies its own shard(s).
+
+    Exactly mirrors ``sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+    AND 1 PRECEDING) // budget`` without a global sort: bucket partial sums
+    (distributed) -> driver exclusive prefix over ~doc_total/bucket_size
+    rows -> broadcast bases -> per-bucket exact cumsum."""
+    counts = _token_counts(docs, bucket_size)
+
+    bucket_rows = counts.groupby("bucket").aggregate(
+        Sum("token_count")).take_all()          # ~1 row per 64k doc_ids
+    bucket_rows.sort(key=lambda r: r["bucket"])
+    buckets = np.asarray([r["bucket"] for r in bucket_rows], dtype=np.int64)
+    sums = np.asarray([r["sum(token_count)"] for r in bucket_rows],
+                      dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    bases_ref = ray.put((buckets, bases))
+
+    def assign(group: pa.Table) -> pa.Table:
+        bks, bss = ray.get(bases_ref)
+        group = group.sort_by("doc_id")
+        n = group.column("token_count").to_numpy(zero_copy_only=False)
+        b = int(group.column("bucket")[0].as_py())
+        base = int(bss[np.searchsorted(bks, b)])
+        cum_before = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            "doc_id": group.column("doc_id"),
+            "token_count": group.column("token_count"),
+            "shard_id": pa.array(cum_before // budget_tokens, pa.int64()),
+        })
+
+    return counts.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def sample_stratified(docs: "ray.data.Dataset", *,
+                      rates: dict[str, int] | None = None
+                      ) -> "ray.data.Dataset":
+    """(doc_id, lang, keep) deterministic stratified sample: keep iff
+    md5_hash64(str(doc_id)) % 100 < rates[lang].  Pure filter — no RNG, no
+    shuffle; reproducible across runs, workers, and the SQL oracle."""
+    rates = dict(DEFAULT_STRATA_RATES if rates is None else rates)
+    langs = sorted(LANG_MARKERS)
+    marker_sets = {l: frozenset(LANG_MARKERS[l]) for l in langs}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_lang = []
+        for t in texts:
+            toks = set((t or "").lower().split())
+            best_lang, best_n = "unk", 0
+            for l in langs:                      # lexicographic tie-break
+                n = len(toks & marker_sets[l])
+                if n > best_n:
+                    best_lang, best_n = l, n
+            out_lang.append(best_lang)
+        draws = md5_hash64_column([str(i) for i in ids]) % 100
+        keep = [int(d) < rates.get(l, 100)
+                for d, l in zip(draws, out_lang)]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": pa.array(out_lang, pa.string()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

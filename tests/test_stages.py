@@ -467,3 +467,62 @@ def test_connected_components_vs_union_find():
             ray.data.from_arrow(pairs)).take_all()
         got = {r["doc_id"]: r["cluster_rep"] for r in got_rows}
         assert got == want
+
+
+def test_pack_shards_vs_naive_cumsum():
+    """Two-phase distributed prefix sum == naive ordered cumsum, with a
+    small bucket_size so the multi-bucket path (driver prefix over bucket
+    sums + in-bucket cumsum) is actually exercised; sparse non-contiguous
+    doc_ids included."""
+    import random
+
+    from search_engine_ray.stages.curation import pack_shards
+
+    rng = random.Random(3)
+    ids = sorted(rng.sample(range(10_000), 300))
+    texts = [" ".join(f"w{rng.randrange(50):02d}"
+                      for _ in range(rng.randrange(0, 40))) for _ in ids]
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+    from search_engine_ray.functions.text import TOKEN_RE
+    budget = 64
+    cum = 0
+    want = {}
+    for i, t in zip(ids, texts):
+        n = len(TOKEN_RE.findall(t.lower()))
+        want[i] = (n, cum // budget)
+        cum += n
+
+    got = pack_shards(ray.data.from_arrow(docs).repartition(8),
+                      budget_tokens=budget, bucket_size=256).take_all()
+    assert len(got) == len(ids)
+    for r in got:
+        n, s = want[r["doc_id"]]
+        assert (r["token_count"], r["shard_id"]) == (n, s), r
+
+
+def test_sample_stratified_deterministic_rates():
+    from search_engine_ray.stages.curation import sample_stratified
+
+    texts = (["the and of is that with for"] * 40        # en
+             + ["der und das ist nicht mit die"] * 40    # de
+             + ["xyzzy qwerty"] * 20)                    # unk
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = sample_stratified(ray.data.from_arrow(docs).repartition(4),
+                            rates={"en": 0, "de": 100, "unk": 100}).take_all()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["keep"])
+    assert not any(by_lang["en"])         # rate 0 -> nothing kept
+    assert all(by_lang["de"])             # rate 100 -> everything kept
+    assert all(by_lang["unk"])
+    # determinism: re-run equals first run row-for-row
+    out2 = sample_stratified(ray.data.from_arrow(docs),
+                             rates={"en": 0, "de": 100, "unk": 100}).take_all()
+    key = lambda r: r["doc_id"]
+    assert sorted(((r["doc_id"], r["lang"], r["keep"]) for r in out)) == \
+        sorted(((r["doc_id"], r["lang"], r["keep"]) for r in out2))
