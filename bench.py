@@ -202,6 +202,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
                 raise RuntimeError(
                     f"scaling child cpus={cpus} produced no JSON")
             r = json.loads(lines[-1])
+            sys.stderr.write(f"scaling child cpus={cpus}: {r['value']}s "
+                             f"{ {k: v for k, v in r['queries'].items()} }\n")
             if best is None or r["value"] < best["value"]:
                 best = r
         results[cpus] = best

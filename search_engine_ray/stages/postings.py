@@ -262,7 +262,7 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
     os.makedirs(staging, exist_ok=True)
     fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=staging)
     os.close(fd)
-    pq.write_table(table, tmp, row_group_size=65536)
+    pq.write_table(table, tmp, row_group_size=65536, compression="zstd")
     os.replace(tmp, os.path.join(dl_dir, fname))
     part = int(group.column("part")[0].as_py())
     row = {
@@ -423,7 +423,7 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     # atomic publish: temp file in same dir + rename
     fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=seg_dir)
     os.close(fd)
-    pq.write_table(seg, tmp)
+    pq.write_table(seg, tmp, compression="zstd")
     os.replace(tmp, fpath)
 
     elapsed = round(_time.time() - t_start, 4)

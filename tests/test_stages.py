@@ -526,3 +526,62 @@ def test_sample_stratified_deterministic_rates():
     key = lambda r: r["doc_id"]
     assert sorted(((r["doc_id"], r["lang"], r["keep"]) for r in out)) == \
         sorted(((r["doc_id"], r["lang"], r["keep"]) for r in out2))
+
+
+def test_batch_cycle_runner(tmp_path, docs_ds, docs_rows):
+    """Maintenance-cycle analogue of the reference batch runner
+    (runner.py:36-52): all artifact stages publish, semantics spot-checked
+    against naive recomputation, worker role skips global jobs, re-run is
+    idempotent (truncate-and-rebuild swap)."""
+    import json
+    import math
+
+    from search_engine_ray.pipelines.batch_cycle import run_cycle
+
+    out = str(tmp_path / "cycle")
+    m = run_cycle(docs_ds, out, pagerank_iterations=3)
+    n_docs = len(docs_rows)
+
+    assert m["fingerprints"]["rows"] == n_docs
+    assert m["pagerank"]["rows"] == n_docs
+    groups = {}
+    for i, r in enumerate(docs_rows):
+        groups.setdefault(r["text"], []).append(i)
+    assert m["dup_groups"]["rows"] == len(groups)
+
+    # bm25 term stats: spot-check idf formula for one term
+    import pyarrow.parquet as pq
+    ts = pq.read_table(out + "/term_stats").to_pylist()
+    assert m["bm25"]["rows"] == len(ts) > 0
+    from search_engine_ray.functions.text import STOPWORDS, TOKEN_RE
+    from search_engine_ray.functions.porter import stem as porter_stem
+    df_naive: dict[str, set] = {}
+    for i, r in enumerate(docs_rows):
+        toks = {porter_stem(t) for t in TOKEN_RE.findall(r["text"].lower())
+                if t not in STOPWORDS}
+        for t in toks:
+            df_naive.setdefault(t, set()).add(i)
+    for row in ts[:10]:
+        df = len(df_naive[row["term"]])
+        assert row["doc_frequency"] == df
+        assert row["idf"] == pytest.approx(
+            math.log((n_docs - df + 0.5) / (df + 0.5) + 1))
+    stats = json.load(open(out + "/stats.json"))
+    assert stats["doc_total"] == n_docs
+
+    # dictionary + meta sink
+    assert (tmp_path / "cycle" / "dictionary_meta.json").exists()
+    assert m["spellcheck"]["rows"] > 0
+
+    # idempotent truncate-and-rebuild
+    m2 = run_cycle(docs_ds, out, pagerank_iterations=3)
+    assert {k: v.get("rows") for k, v in m2.items() if isinstance(v, dict)} \
+        == {k: v.get("rows") for k, v in m.items() if isinstance(v, dict)}
+
+    # worker role: only per-node duplicate jobs run
+    from search_engine_ray.batch_cli import WORKER_SKIP
+    mw = run_cycle(docs_ds, str(tmp_path / "worker"), skip=WORKER_SKIP,
+                   pagerank_iterations=3)
+    assert mw["link_graph"] == {"skipped": True}
+    assert mw["pagerank"] == {"skipped": True}
+    assert mw["fingerprints"]["rows"] == n_docs
