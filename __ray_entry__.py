@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_survivors": Q.near_dedup_survivors,
         "pack_shards": Q.pack_shards,
         "sample_stratified": Q.sample_stratified,
+        "events_asof_join": Q.events_asof_join,
+        "events_range_join": Q.events_range_join,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -936,6 +938,37 @@ def oracle_sql() -> dict[str, str]:
       FROM documents, n WHERE doc_id % 3 = 0
     )
     SELECT dst AS doc_id, count(*) AS inlink_count FROM edges GROUP BY dst
+    """
+
+    # as-of: last view strictly earlier in (ts, event_id) order — the
+    # window formulation pins tie-breaks exactly (plain ASOF JOIN leaves
+    # equal-timestamp ties unspecified)
+    sql["events_asof_join"] = """
+    WITH u AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN struct_pack(id := event_id, t := ts) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+      FROM events
+    )
+    SELECT event_id, user_id, pv.id AS prior_event_id,
+           round(CAST(epoch_us(ts) - epoch_us(pv.t) AS DOUBLE) / 1000000.0,
+                 6) AS gap_seconds
+    FROM u WHERE event_type = 'click'
+    """
+
+    sql["events_range_join"] = """
+    SELECT e.event_id,
+           count(*) AS n_clicks,
+           CAST(SUM(CAST(floor(c.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_click_cents
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
     """
 
     sql["events_window"] = """

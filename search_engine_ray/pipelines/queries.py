@@ -366,6 +366,56 @@ def near_dedup_survivors(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
+    """Backward as-of self-join: each click event annotated with the most
+    recent prior view by the same user (stages/temporal.asof_prior_event)."""
+    from ..stages.temporal import asof_prior_event
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return asof_prior_event(ev, left_type="click", right_type="view")
+
+
+RANGE_JOIN_WINDOW_US = 3_600_000_000      # 1 hour
+
+
+def events_range_join(sf_dir: str) -> "ray.data.Dataset":
+    """Range join: per error event, count + cent-sum of clicks by the same
+    user within the following hour (stages/temporal.range_join_counts)."""
+    from ..stages.temporal import range_join_counts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+
+    def clicks(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({
+            "key": sel.column("user_id"),
+            "ts": sel.column("ts").cast(pa.int64()),
+            "val": pc.cast(pc.floor(pc.add(pc.multiply(
+                sel.column("value"), 100.0), 0.5)), pa.int64()),
+        })
+
+    def errors(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.equal(b.column("event_type"), "error"))
+        return pa.table({
+            "key": sel.column("user_id"),
+            "id": sel.column("event_id"),
+            "start": sel.column("ts").cast(pa.int64()),
+        })
+
+    out = range_join_counts(
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        ev.map_batches(errors, batch_format="pyarrow"),
+        window_us=RANGE_JOIN_WINDOW_US)
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("id"),
+            "n_clicks": b.column("n_matches"),
+            "sum_click_cents": b.column("sum_val"),
+        }), batch_format="pyarrow")
+
+
 def pack_shards(sf_dir: str) -> "ray.data.Dataset":
     """Token-budget shard packing over documents (training-data curation):
     shard_id = (cumulative tokens before this doc, in doc_id order) //

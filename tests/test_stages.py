@@ -585,3 +585,82 @@ def test_batch_cycle_runner(tmp_path, docs_ds, docs_rows):
     assert mw["link_graph"] == {"skipped": True}
     assert mw["pagerank"] == {"skipped": True}
     assert mw["fingerprints"]["rows"] == n_docs
+
+
+def test_asof_and_range_join_vs_naive():
+    """Temporal operators vs naive per-row computation on random event
+    streams with deliberate timestamp ties and multi-batch partitioning."""
+    import random
+
+    from search_engine_ray.stages.temporal import (asof_prior_event,
+                                                   range_join_counts)
+
+    rng = random.Random(11)
+    n = 600
+    rows = []
+    for eid in range(n):
+        rows.append({
+            "event_id": eid,
+            "ts": rng.randrange(0, 5_000) * 1_000_000,   # us, many ties
+            "user_id": rng.randrange(8),
+            "event_type": rng.choice(["click", "view", "view", "error"]),
+            "value": round(rng.uniform(0, 20), 2),
+        })
+    t = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    # asof: most recent view strictly earlier in (ts, event_id) order
+    got = {r["event_id"]: (r["prior_event_id"], r["gap_seconds"])
+           for r in asof_prior_event(ds).take_all()}
+    clicks = [r for r in rows if r["event_type"] == "click"]
+    assert len(got) == len(clicks)
+    for c in clicks:
+        views = [v for v in rows
+                 if v["user_id"] == c["user_id"] and v["event_type"] == "view"
+                 and (v["ts"], v["event_id"]) < (c["ts"], c["event_id"])]
+        if not views:
+            assert got[c["event_id"]] == (None, None)
+        else:
+            best = max(views, key=lambda v: (v["ts"], v["event_id"]))
+            pid, gap = got[c["event_id"]]
+            assert pid == best["event_id"]
+            assert gap == pytest.approx((c["ts"] - best["ts"]) / 1e6)
+
+    # range join: clicks within [err.ts, err.ts + 1h) per user
+    win = 3_600_000_000
+    left = ray.data.from_arrow(pa.table({
+        "key": pa.array([r["user_id"] for r in rows
+                         if r["event_type"] == "error"], pa.int64()),
+        "id": pa.array([r["event_id"] for r in rows
+                        if r["event_type"] == "error"], pa.int64()),
+        "start": pa.array([r["ts"] for r in rows
+                           if r["event_type"] == "error"], pa.int64()),
+    })).repartition(4)
+    right = ray.data.from_arrow(pa.table({
+        "key": pa.array([r["user_id"] for r in rows
+                         if r["event_type"] == "click"], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows
+                        if r["event_type"] == "click"], pa.int64()),
+        "val": pa.array([int(r["value"] * 100 + 0.5) for r in rows
+                         if r["event_type"] == "click"], pa.int64()),
+    })).repartition(4)
+    got_rj = {r["id"]: (r["n_matches"], r["sum_val"])
+              for r in range_join_counts(right, left, window_us=win
+                                         ).take_all()}
+    for e in (r for r in rows if r["event_type"] == "error"):
+        matches = [c for c in rows
+                   if c["event_type"] == "click"
+                   and c["user_id"] == e["user_id"]
+                   and e["ts"] <= c["ts"] < e["ts"] + win]
+        if matches:
+            assert got_rj[e["event_id"]] == (
+                len(matches),
+                sum(int(c["value"] * 100 + 0.5) for c in matches))
+        else:
+            assert e["event_id"] not in got_rj
