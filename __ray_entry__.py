@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": Q.sample_stratified,
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
+        "events_sample_per_user": Q.events_sample_per_user,
+        "events_percentiles": Q.events_percentiles,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -969,6 +971,21 @@ def oracle_sql() -> dict[str, str]:
      AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR
     WHERE e.event_type = 'error'
     GROUP BY e.event_id
+    """
+
+    sql["events_sample_per_user"] = """
+    SELECT user_id, event_id FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)), event_id) <= 5
+    """
+
+    sql["events_percentiles"] = """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
     """
 
     sql["events_window"] = """

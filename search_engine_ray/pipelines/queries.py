@@ -416,6 +416,24 @@ def events_range_join(sf_dir: str) -> "ray.data.Dataset":
         }), batch_format="pyarrow")
 
 
+def events_sample_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic uniform 5-per-user event sample (hash-draw reservoir
+    analogue, stages/curation.sample_per_key)."""
+    from ..stages.curation import sample_per_key
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id"])
+    return sample_per_key(ev, key="user_id", id_col="event_id", k=5)
+
+
+def events_percentiles(sf_dir: str) -> "ray.data.Dataset":
+    """Exact per-event-type value percentiles (numpy linear ==
+    quantile_cont), stages/stats.column_percentiles."""
+    from ..stages.stats import column_percentiles
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return column_percentiles(ev, key="event_type", col="value")
+
+
 def pack_shards(sf_dir: str) -> "ray.data.Dataset":
     """Token-budget shard packing over documents (training-data curation):
     shard_id = (cumulative tokens before this doc, in doc_id order) //

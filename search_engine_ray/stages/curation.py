@@ -132,3 +132,22 @@ def sample_stratified(docs: "ray.data.Dataset", *,
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def sample_per_key(ds: "ray.data.Dataset", *, key: str, id_col: str,
+                   k: int = 5) -> "ray.data.Dataset":
+    """Deterministic uniform k-per-group sample (the distributed analogue of
+    per-key reservoir sampling, RNG-free): keep the k rows with the smallest
+    md5 hash of their id within each key group — every worker, every rerun,
+    and the SQL oracle draw the same rows.  One keyed exchange; the in-group
+    selection is a vectorized argpartition."""
+    def pick(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        draws = md5_hash64_column([str(i) for i in ids])
+        if len(ids) > k:
+            # (draw, id) lexicographic keeps the tie-break deterministic
+            order = np.lexsort((np.asarray(ids, dtype=np.int64), draws))[:k]
+            group = group.take(pa.array(np.sort(order), pa.int64()))
+        return group.select([key, id_col])
+    return ds.select_columns([key, id_col]).groupby(key).map_groups(
+        pick, batch_format="pyarrow")

@@ -664,3 +664,46 @@ def test_asof_and_range_join_vs_naive():
                 sum(int(c["value"] * 100 + 0.5) for c in matches))
         else:
             assert e["event_id"] not in got_rj
+
+
+def test_sample_per_key_and_percentiles_vs_naive():
+    import random
+
+    from search_engine_ray.functions.hashing import md5_hash64
+    from search_engine_ray.stages.curation import sample_per_key
+    from search_engine_ray.stages.stats import column_percentiles
+
+    rng = random.Random(5)
+    n = 400
+    t = pa.table({
+        "user_id": pa.array([rng.randrange(7) for _ in range(n)], pa.int64()),
+        "event_id": pa.array(range(n), pa.int64()),
+        "value": pa.array([round(rng.uniform(0, 50), 2) for _ in range(n)],
+                          pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    got = sorted((r["user_id"], r["event_id"]) for r in sample_per_key(
+        ds, key="user_id", id_col="event_id", k=3).take_all())
+    want = []
+    by_user: dict[int, list[int]] = {}
+    for u, e in zip(t.column("user_id").to_pylist(),
+                    t.column("event_id").to_pylist()):
+        by_user.setdefault(u, []).append(e)
+    for u, es in by_user.items():
+        es.sort(key=lambda e: (md5_hash64(str(e)), e))
+        want += [(u, e) for e in es[:3]]
+    assert got == sorted(want)
+
+    import numpy as np
+    gotp = {r["user_id"]: (r["n"], r["p50"], r["p90"], r["p99"])
+            for r in column_percentiles(
+                ds, key="user_id", col="value").take_all()}
+    for u in by_user:
+        vals = [v for uu, v in zip(t.column("user_id").to_pylist(),
+                                   t.column("value").to_pylist()) if uu == u]
+        n_, p50, p90, p99 = gotp[u]
+        assert n_ == len(vals)
+        assert p50 == round(float(np.percentile(vals, 50)), 6)
+        assert p90 == round(float(np.percentile(vals, 90)), 6)
+        assert p99 == round(float(np.percentile(vals, 99)), 6)
