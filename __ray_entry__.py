@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": Q.events_range_join,
         "events_sample_per_user": Q.events_sample_per_user,
         "events_percentiles": Q.events_percentiles,
+        "events_hopping_window": Q.events_hopping_window,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -971,6 +972,17 @@ def oracle_sql() -> dict[str, str]:
      AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR
     WHERE e.event_type = 'error'
     GROUP BY e.event_id
+    """
+
+    # each event covers exactly width/hop = 4 hopping windows
+    sql["events_hopping_window"] = """
+    SELECT make_timestamp(((epoch_us(ts) // 900000000) - r.k) * 900000000)
+             AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events CROSS JOIN range(4) r(k)
+    GROUP BY 1, 2
     """
 
     sql["events_sample_per_user"] = """

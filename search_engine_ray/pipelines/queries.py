@@ -416,6 +416,15 @@ def events_range_join(sf_dir: str) -> "ray.data.Dataset":
         }), batch_format="pyarrow")
 
 
+def events_hopping_window(sf_dir: str) -> "ray.data.Dataset":
+    """Hopping-window aggregate (1h windows every 15min):
+    stages/temporal.hopping_window_counts."""
+    from ..stages.temporal import hopping_window_counts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    return hopping_window_counts(ev)
+
+
 def events_sample_per_user(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic uniform 5-per-user event sample (hash-draw reservoir
     analogue, stages/curation.sample_per_key)."""

@@ -160,3 +160,63 @@ def range_join_counts(right: "ray.data.Dataset",
             "n_matches": b.column("sum(n)"),
             "sum_val": b.column("sum(val)"),
         }), batch_format="pyarrow")
+
+
+def hopping_window_counts(events: "ray.data.Dataset", *,
+                          width_us: int = 3_600_000_000,
+                          hop_us: int = 900_000_000) -> "ray.data.Dataset":
+    """Hopping (sliding) window aggregate: windows of ``width_us`` starting
+    every ``hop_us`` (width must be a multiple of hop); every event lands in
+    exactly width/hop windows.  Output (window_start, event_type, n_events,
+    sum_value_cents) — the overlapping-window generalization of the tumbling
+    events_window pipeline.
+
+    Distributed shape: replication + in-batch partial aggregation BEFORE the
+    exchange — each batch expands events into their covering windows
+    vectorized (numpy repeat/tile), combines per (window, type) locally, and
+    only the combined partials hit the final tiny groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    k = width_us // hop_us
+
+    def expand(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            b.column("value"), 100.0), 0.5)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        types = np.asarray(b.column("event_type").to_pylist(), dtype=object)
+        base = (ts // hop_us)
+        starts = ((np.repeat(base, k)
+                   - np.tile(np.arange(k, dtype=np.int64), len(ts)))
+                  * hop_us)
+        # in-batch combine: factorize types to int codes, fold (window, code)
+        # into one collision-free int64 key, aggregate with bincount
+        tuniq, tcode = np.unique(types, return_inverse=True)
+        rep_code = np.repeat(tcode, k)
+        rep_cents = np.repeat(cents, k)
+        key = (starts // hop_us) * len(tuniq) + rep_code
+        uniq, first, inv = np.unique(key, return_index=True,
+                                     return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        c = np.bincount(inv, weights=rep_cents.astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "ws": pa.array(starts[first], pa.int64()),
+            "event_type": pa.array(
+                [str(tuniq[i]) for i in rep_code[first]], pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+        })
+
+    out = events.select_columns(["ts", "event_type", "value"]).map_batches(
+        expand, batch_format="pyarrow").groupby(
+        ["ws", "event_type"]).aggregate(Sum("n"), Sum("cents"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "window_start": b.column("ws").cast(pa.timestamp("us")),
+            "event_type": b.column("event_type"),
+            "n_events": b.column("sum(n)"),
+            "sum_value_cents": b.column("sum(cents)"),
+        }), batch_format="pyarrow")

@@ -707,3 +707,41 @@ def test_sample_per_key_and_percentiles_vs_naive():
         assert p50 == round(float(np.percentile(vals, 50)), 6)
         assert p90 == round(float(np.percentile(vals, 90)), 6)
         assert p99 == round(float(np.percentile(vals, 99)), 6)
+
+
+def test_hopping_window_vs_naive():
+    import random
+    from collections import defaultdict
+
+    from search_engine_ray.stages.temporal import hopping_window_counts
+
+    rng = random.Random(13)
+    width, hop = 1_000_000 * 40, 1_000_000 * 10      # 40s windows, 10s hop
+    n = 500
+    t = pa.table({
+        "ts": pa.array([rng.randrange(0, 300_000_000) for _ in range(n)],
+                       pa.timestamp("us")),
+        "event_type": pa.array([rng.choice(["a", "b"]) for _ in range(n)],
+                               pa.string()),
+        "value": pa.array([round(rng.uniform(0, 9), 2) for _ in range(n)],
+                          pa.float64()),
+    })
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["sum_value_cents"])
+           for r in hopping_window_counts(
+               ray.data.from_arrow(t).repartition(5),
+               width_us=width, hop_us=hop).take_all()}
+
+    import datetime
+    want: dict = defaultdict(lambda: [0, 0])
+    for ts, et, v in zip(t.column("ts").to_pylist(),
+                         t.column("event_type").to_pylist(),
+                         t.column("value").to_pylist()):
+        us = int(ts.timestamp() * 1e6 + 0.5)
+        for kk in range(width // hop):
+            s = (us // hop - kk) * hop
+            if s <= us < s + width:
+                w = want[(datetime.datetime.utcfromtimestamp(s / 1e6), et)]
+                w[0] += 1
+                w[1] += int(v * 100 + 0.5)
+    assert got == {k: tuple(v) for k, v in want.items()}
