@@ -376,6 +376,10 @@ def connected_components(pairs: "ray.data.Dataset", *,
         })
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:          # no pairs -> no clustered nodes
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_rep": pa.array([], pa.int64())}))
 
     labels = edges.groupby("src").aggregate(Min("dst")).map_batches(
         lambda b: pa.table({

@@ -745,3 +745,49 @@ def test_hopping_window_vs_naive():
                 w[0] += 1
                 w[1] += int(v * 100 + 0.5)
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_new_ops_empty_inputs():
+    """Every curation/temporal/clustering op returns an empty result (not a
+    crash) on empty inputs — a clean corpus with zero near-dup pairs is the
+    realistic trigger for the connected-components empty path."""
+    from search_engine_ray.stages.curation import (pack_shards,
+                                                   sample_per_key,
+                                                   sample_stratified)
+    from search_engine_ray.stages.dedup import connected_components
+    from search_engine_ray.stages.stats import column_percentiles
+    from search_engine_ray.stages.temporal import (asof_prior_event,
+                                                   hopping_window_counts,
+                                                   range_join_counts)
+
+    empty_pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    assert connected_components(empty_pairs).take_all() == []
+
+    empty_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert pack_shards(empty_docs).take_all() == []
+    assert sample_stratified(empty_docs).take_all() == []
+
+    empty_ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64())}))
+    assert asof_prior_event(empty_ev).take_all() == []
+    assert hopping_window_counts(empty_ev).take_all() == []
+    assert column_percentiles(empty_ev, key="event_type",
+                              col="value").take_all() == []
+    assert sample_per_key(empty_ev, key="user_id",
+                          id_col="event_id").take_all() == []
+
+    empty_l = ray.data.from_arrow(pa.table({
+        "key": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+        "start": pa.array([], pa.int64())}))
+    empty_r = ray.data.from_arrow(pa.table({
+        "key": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
+        "val": pa.array([], pa.int64())}))
+    assert range_join_counts(empty_r, empty_l).take_all() == []
