@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_stage1": Q.search_stage1,
         "search_plain": Q.search_plain,
         "search_bm25_plain": Q.search_bm25_plain,
+        "search_stemmed": Q.search_stemmed,
+        "search_bm25_stemmed": Q.search_bm25_stemmed,
         "search_reference": Q.search_reference,
         "search_bm25": Q.search_bm25,
         "search_news": Q.search_news,
@@ -136,6 +138,160 @@ def _xorshift(z: str, s: int) -> str:
     """xor(z, z >> s) in the unsigned-64 domain, returned as HUGEINT."""
     return (f"CAST(xor(CAST(({z}) AS UBIGINT), CAST(({z}) AS UBIGINT) >> {s})"
             f" AS HUGEINT)")
+
+
+# -- pure-SQL Porter stemmer -------------------------------------------------
+# Generates a CTE chain implementing the classic Porter algorithm (the same
+# published spec functions/porter.py pins) entirely in DuckDB SQL:
+# consonant/vowel classification via list_reduce (y's class depends on the
+# running classification, so it's a fold, not a regex), measure m via
+# regexp count of v+c+ groups, and each step as a longest-suffix CASE.
+# Validated bit-exact against functions/porter.stem over a 7k-word stress
+# set (classic Porter vocabulary, random words, suffix-stress, y-chains).
+
+
+def _p_cv(c: str) -> str:
+    """SQL expr: consonant/vowel pattern string of expr ``c``."""
+    return (
+        "(CASE WHEN length({c}) = 0 THEN '' ELSE "
+        "list_reduce(list_prepend("
+        "  CASE WHEN substr({c},1,1) IN ('a','e','i','o','u') THEN 'v'"
+        "       ELSE 'c' END,"
+        "  list_transform(range(2, length({c})+1), i -> substr({c}, i, 1))),"
+        "  (acc, ch) -> acc || (CASE"
+        "     WHEN ch IN ('a','e','i','o','u') THEN 'v'"
+        "     WHEN ch = 'y' AND substr(acc, -1, 1) = 'c' THEN 'v'"
+        "     ELSE 'c' END)) END)"
+    ).format(c=c)
+
+
+def _p_m(c: str) -> str:
+    return f"len(regexp_extract_all({_p_cv(c)}, 'v+c+'))"
+
+
+def _p_hasv(c: str) -> str:
+    return f"({_p_cv(c)} LIKE '%v%')"
+
+
+def _p_dbl(c: str) -> str:
+    return (f"(length({c}) >= 2 AND substr({c},-1,1) = substr({c},-2,1)"
+            f" AND substr({_p_cv(c)},-1,1) = 'c')")
+
+
+def _p_cvc(c: str) -> str:
+    return (f"(length({c}) >= 3 AND {_p_cv(c)} LIKE '%cvc'"
+            f" AND substr({c},-1,1) NOT IN ('w','x','y'))")
+
+
+def _p_drop(c: str, n: int) -> str:
+    return f"substr({c}, 1, length({c})-{n})"
+
+
+_P_STEP2 = (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+            ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+            ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+            ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+            ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+            ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+            ("biliti", "ble"))
+_P_STEP3 = (("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+            ("ical", "ic"), ("ful", ""), ("ness", ""))
+_P_STEP4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+            "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+            "ous", "ive", "ize")
+
+
+def _p_rules(col: str, rules, min_m: int, step4: bool = False) -> str:
+    """Longest-matching-suffix CASE: the longest suffix match selects the
+    rule; its m-condition then decides apply-or-keep (no fallthrough)."""
+    whens = []
+    for suffix, repl in sorted(rules, key=lambda r: -len(r[0])):
+        part = _p_drop(col, len(suffix))
+        cond = f"{_p_m(part)} > {min_m}"
+        if step4 and suffix == "ion":
+            cond += f" AND substr({part},-1,1) IN ('s','t')"
+        new = part if not repl else f"{part} || '{repl}'"
+        whens.append(f"WHEN {col} LIKE '%{suffix}' THEN "
+                     f"(CASE WHEN {cond} THEN {new} ELSE {col} END)")
+    return "CASE " + " ".join(whens) + f" ELSE {col} END"
+
+
+def _porter_ctes(source: str) -> str:
+    """CTE chain stemming ``{source}(w)`` -> ``stemmed(orig, stem)``."""
+    w, d = "w", _p_drop
+    p1a = f"""
+    p1a AS MATERIALIZED (
+      SELECT w AS orig, CASE
+        WHEN length(w) <= 2 THEN w
+        WHEN w LIKE '%sses' THEN {d(w,2)}
+        WHEN w LIKE '%ies' THEN {d(w,2)}
+        WHEN w LIKE '%ss' THEN w
+        WHEN w LIKE '%s' THEN {d(w,1)}
+        ELSE w END AS w, length(w) <= 2 AS short
+      FROM {source})"""
+    p1b1 = f"""
+    p1b1 AS MATERIALIZED (
+      SELECT orig, short, CASE
+        WHEN short THEN w
+        WHEN w LIKE '%eed' THEN
+          (CASE WHEN {_p_m(d(w,3))} > 0 THEN {d(w,1)} ELSE w END)
+        WHEN w LIKE '%ed' AND {_p_hasv(d(w,2))} THEN {d(w,2)}
+        WHEN w LIKE '%ing' AND {_p_hasv(d(w,3))} THEN {d(w,3)}
+        ELSE w END AS w,
+        (NOT short AND NOT w LIKE '%eed' AND
+         ((w LIKE '%ed' AND {_p_hasv(d(w,2))}) OR
+          (w LIKE '%ing' AND {_p_hasv(d(w,3))}))) AS fired
+      FROM p1a)"""
+    p1b2 = f"""
+    p1b2 AS MATERIALIZED (
+      SELECT orig, short, CASE
+        WHEN NOT fired THEN w
+        WHEN w LIKE '%at' OR w LIKE '%bl' OR w LIKE '%iz' THEN w || 'e'
+        WHEN {_p_dbl(w)} AND substr(w,-1,1) NOT IN ('l','s','z')
+          THEN {d(w,1)}
+        WHEN {_p_m(w)} = 1 AND {_p_cvc(w)} THEN w || 'e'
+        ELSE w END AS w
+      FROM p1b1)"""
+    p1c = f"""
+    p1c AS MATERIALIZED (
+      SELECT orig, short, CASE
+        WHEN NOT short AND w LIKE '%y' AND {_p_hasv(d(w,1))}
+          THEN {d(w,1)} || 'i'
+        ELSE w END AS w
+      FROM p1b2)"""
+    p2 = f"""
+    p2 AS MATERIALIZED (SELECT orig, short,
+           CASE WHEN short THEN w ELSE {_p_rules('w', _P_STEP2, 0)} END AS w
+           FROM p1c)"""
+    p3 = f"""
+    p3 AS MATERIALIZED (SELECT orig, short,
+           CASE WHEN short THEN w ELSE {_p_rules('w', _P_STEP3, 0)} END AS w
+           FROM p2)"""
+    p4 = f"""
+    p4 AS MATERIALIZED (SELECT orig, short,
+           CASE WHEN short THEN w
+                ELSE {_p_rules('w', [(s, '') for s in _P_STEP4], 1,
+                               step4=True)}
+           END AS w
+           FROM p3)"""
+    base = d("w", 1)
+    p5a = f"""
+    p5a AS MATERIALIZED (
+      SELECT orig, short, CASE
+        WHEN NOT short AND w LIKE '%e' AND
+             ({_p_m(base)} > 1 OR ({_p_m(base)} = 1 AND NOT {_p_cvc(base)}))
+          THEN {base}
+        ELSE w END AS w
+      FROM p4)"""
+    p5b = f"""
+    stemmed AS MATERIALIZED (
+      SELECT orig, CASE
+        WHEN NOT short AND {_p_m('w')} > 1 AND {_p_dbl('w')}
+             AND w LIKE '%l'
+          THEN {d('w',1)}
+        ELSE w END AS stem
+      FROM p5a)"""
+    return ",".join([p1a, p1b1, p1b2, p1c, p2, p3, p4, p5a, p5b])
 
 
 def _minhash_sql(mode: str, threshold: float) -> str:
@@ -476,6 +632,94 @@ def oracle_sql() -> dict[str, str]:
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     n AS (SELECT count(*) AS n FROM documents),
     ad AS (SELECT (SELECT count(*) FROM toks) * 1.0
+                  / (SELECT count(*) FROM documents) AS avgdl)
+    SELECT tf.doc_id,
+           round(SUM(ln((n.n - st.df + 0.5) / (st.df + 0.5) + 1) * tf.tf
+                     * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl.dl / ad.avgdl))), 6)
+             AS score,
+           count(DISTINCT tf.term) AS matched_terms
+    FROM tf JOIN st USING(term) JOIN dl ON dl.doc_id = tf.doc_id, n, ad
+    GROUP BY tf.doc_id
+    """
+
+    # STEMMED twins: the corpus tokens run through the pure-SQL Porter chain
+    # (validated bit-exact vs functions/porter.stem); query terms are the
+    # pre-stemmed literals ('merg','sort'); intent features stay raw-query
+    # (reference semantics).  Token COUNT per doc is stemming-invariant, so
+    # dl/avgdl can aggregate either token table.
+    sql["search_stemmed"] = f"""
+    WITH {_TOKS},
+    tdist AS MATERIALIZED (SELECT DISTINCT term AS w FROM toks),
+    {_porter_ctes('tdist')},
+    stoks AS MATERIALIZED (SELECT t.doc_id, s.stem AS term
+              FROM toks t JOIN stemmed s ON s.orig = t.term),
+    tr AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+           WHERE term IN ('merg','sort') GROUP BY doc_id, term),
+    st AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM stoks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    s1 AS (
+      SELECT tf.doc_id,
+             SUM(tf.tf * ln((n.n - st.df + 0.5) / (st.df + 0.5) + 1))
+               AS token_score,
+             count(DISTINCT tf.term) AS matched_terms
+      FROM tf JOIN st USING(term), n
+      GROUP BY tf.doc_id
+    ),
+    feat AS (
+      SELECT s1.doc_id, s1.token_score, s1.matched_terms,
+        trim(regexp_replace(lower(tr.tool), '[^a-z0-9]+', ' ', 'g')) AS nt,
+        trim(regexp_replace(lower(tr.text), '[^a-z0-9]+', ' ', 'g')) AS nd,
+        trim(regexp_replace(lower(tr.conv_id || '#' || tr.turn_idx),
+                            '[^a-z0-9]+', ' ', 'g')) AS nu,
+        regexp_replace(lower(tr.conv_id || '#' || tr.turn_idx),
+                       '[^a-z0-9]+', '', 'g') AS cu,
+        len(list_intersect(list_distinct(regexp_extract_all(lower(tr.tool),
+            '\\b[a-z0-9]{{2,}}\\b')), ['merge','sort'])) AS title_hits,
+        len(list_intersect(list_distinct(regexp_extract_all(
+            lower(tr.conv_id || '#' || tr.turn_idx),
+            '\\b[a-z0-9]{{2,}}\\b')), ['merge','sort'])) AS url_hits
+      FROM s1 JOIN tr ON tr.doc_id = s1.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, matched_terms,
+        ln(1 + greatest(token_score, 0)) * 12.0
+        + (matched_terms / 2.0) * 25.0
+        + CASE WHEN matched_terms = 2 THEN 40.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nt) > 0 THEN 140.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nu) > 0 THEN 70.0 ELSE 0 END
+        + CASE WHEN position('merge sort' IN nd) > 0 THEN 25.0 ELSE 0 END
+        + CASE WHEN position('mergesort' IN cu) > 0 THEN 90.0 ELSE 0 END
+        + title_hits * 22.0 + url_hits * 16.0
+        + ((CASE WHEN position('merge' IN cu) > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN position('sort' IN cu) > 0 THEN 1 ELSE 0 END)) * 12.0
+        + CASE WHEN title_hits = 2 THEN 80.0 ELSE 0 END
+        + CASE WHEN url_hits = 2 THEN 55.0 ELSE 0 END
+        + CASE WHEN (CASE WHEN position('merge' IN cu) > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN position('sort' IN cu) > 0 THEN 1 ELSE 0 END)
+                    = 2 THEN 45.0 ELSE 0 END
+        AS score
+      FROM feat
+    )
+    SELECT doc_id, round(score, 6) AS score, matched_terms FROM scored
+    """
+
+    sql["search_bm25_stemmed"] = f"""
+    WITH {_TOKS},
+    tdist AS MATERIALIZED (SELECT DISTINCT term AS w FROM toks),
+    {_porter_ctes('tdist')},
+    stoks AS MATERIALIZED (SELECT t.doc_id, s.stem AS term
+              FROM toks t JOIN stemmed s ON s.orig = t.term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+           WHERE term IN ('merg','sort') GROUP BY doc_id, term),
+    st AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM stoks GROUP BY term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+    n AS (SELECT count(*) AS n FROM documents),
+    ad AS (SELECT (SELECT count(*) FROM stoks) * 1.0
                   / (SELECT count(*) FROM documents) AS avgdl)
     SELECT tf.doc_id,
            round(SUM(ln((n.n - st.df + 0.5) / (st.df + 0.5) + 1) * tf.tf

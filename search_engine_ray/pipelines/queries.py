@@ -185,6 +185,64 @@ def search_plain(sf_dir: str) -> pa.Table:
     })
 
 
+def search_stemmed(sf_dir: str) -> pa.Table:
+    """STEMMED two-stage search without candidate truncation — the stemmed
+    twin of search_plain: stage-1 token scoring runs over the Porter-stemmed
+    index with stemmed query terms, the intent re-rank uses the raw query
+    features (reference semantics — phrase/url/title matching is unstemmed,
+    search_service.py:174-222).  With the pure-SQL Porter mirror in
+    oracle_sql(), the stemmed scoring path is fully DuckDB-checkable."""
+    from ..functions.porter import stem as porter
+    from ..functions.text import (TOKEN_RE, STOPWORDS, extract_query_words,
+                                  intent_score, normalize_text)
+    eng = get_engine(sf_dir, stem=True)
+    q = SEARCH_PLAIN_QUERY
+    terms = []
+    for t in TOKEN_RE.findall(q.lower()):
+        if t not in STOPWORDS:
+            st = porter(t)
+            if st not in terms:
+                terms.append(st)
+    words = extract_query_words(q)
+    phrase = normalize_text(q)
+    compact = "".join(words)
+    out = []
+    for doc_id, tscore, mt in eng.score_terms(terms):
+        meta = eng.doc_meta(doc_id)
+        s = intent_score(
+            token_score=tscore, matched_terms=mt, total_terms=len(terms),
+            query_phrase=phrase, query_compact=compact, query_words=words,
+            title=meta["tool"] or "", description=meta["text"] or "",
+            url=f"{meta['conv_id']}#{meta['turn_idx']}")
+        out.append((doc_id, round(s, 6), mt))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in out], pa.int64()),
+        "score": pa.array([r[1] for r in out], pa.float64()),
+        "matched_terms": pa.array([r[2] for r in out], pa.int64()),
+    })
+
+
+def search_bm25_stemmed(sf_dir: str) -> pa.Table:
+    """Stemmed BM25(k1=1.2, b=0.75) scoring of every matching doc — the
+    stemmed twin of search_bm25_plain, SQL-mirrored via the Porter CTE."""
+    from ..functions.porter import stem as porter
+    from ..functions.text import TOKEN_RE, STOPWORDS
+    eng = get_engine(sf_dir, stem=True)
+    qe = QueryEngine(eng.index_dir, scoring="bm25", load_docs=False)
+    terms = []
+    for t in TOKEN_RE.findall(SEARCH_PLAIN_QUERY.lower()):
+        if t not in STOPWORDS:
+            st = porter(t)
+            if st not in terms:
+                terms.append(st)
+    rows = qe.score_terms(terms)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([round(r[1], 6) for r in rows], pa.float64()),
+        "matched_terms": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def search_news(sf_dir: str) -> pa.Table:
     """Second-corpus search (reference J3 for real): a genuinely separate
     news corpus (sources/transcripts.py news_from_documents) is indexed

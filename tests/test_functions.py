@@ -219,3 +219,54 @@ def test_trigram_similarity_pg_trgm_semantics():
     assert abs(similarity("word", "words") - 4 / 7) < 1e-12
     assert similarity("abc", "xyz") == 0.0
     assert similarity("word", "") == 0.0
+
+
+def test_sql_porter_stemmer_bit_exact():
+    """The pure-SQL Porter chain in __ray_entry__.oracle_sql must stem
+    bit-identically to functions/porter.stem — classic Porter vocabulary,
+    random words, suffix-stress cases, and y-chain adversaries."""
+    import random
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    from __ray_entry__ import _porter_ctes
+    from search_engine_ray.functions.porter import stem as py_stem
+
+    words = set("""caresses ponies ties caress cats feed agreed plastered
+      bled motoring sing conflated troubled sized hopping tanned falling
+      hissing fizzed failing filing happy sky relational conditional rational
+      valenci hesitanci digitizer conformabli radicalli differentli vileli
+      analogousli vietnamization predication operator feudalism decisiveness
+      hopefulness callousness formaliti sensitiviti sensibiliti triplicate
+      formative formalize electriciti electrical hopeful goodness revival
+      allowance inference airliner gyroscopic adjustable defensible irritant
+      replacement adjustment dependent adoption homologou communism activate
+      angulariti homologous effective bowdlerize probate rate cease control
+      roll skyy yyyy ydy syzygy ony oy yy why dry dying lying tying agree
+      trees tree by baby crying flying spy relay delay enjoy employ destroy
+      convey survey obey prey whey abcd""".split())
+    rng = random.Random(42)
+    letters = "abcdefghijklmnopqrstuvwyz"
+    sufs = ["ational", "iveness", "ization", "biliti", "ies", "sses", "ss",
+            "s", "eed", "ed", "ing", "y", "e", "ll", "ement", "ion", "ative"]
+    for _ in range(800):
+        words.add("".join(rng.choice(letters)
+                          for _ in range(rng.randrange(2, 12))))
+    for _ in range(400):
+        words.add("".join(rng.choice("aeyiouszbdl")
+                          for _ in range(rng.randrange(2, 10))))
+    for _ in range(800):
+        words.add("".join(rng.choice(letters)
+                          for _ in range(rng.randrange(1, 6)))
+                  + rng.choice(sufs))
+    words = sorted(words)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tok(w VARCHAR)")
+    con.executemany("INSERT INTO tok VALUES (?)", [(w,) for w in words])
+    got = dict(con.sql(
+        f"WITH {_porter_ctes('tok')} SELECT orig, stem FROM stemmed"
+    ).fetchall())
+    assert got == {w: py_stem(w) for w in words}
