@@ -294,6 +294,157 @@ def _porter_ctes(source: str) -> str:
     return ",".join([p1a, p1b1, p1b2, p1c, p2, p3, p4, p5a, p5b])
 
 
+_TOPK_QUERIES = ("merge sort", "window batch stream", "customer filter",
+                 "vector join")
+
+
+def _topk_search_sql(scoring: str) -> str:
+    """Full top-k search mirror for the 4-query set (search_reference /
+    search_bm25): stemmed stage-1 with BIT-EXACT accumulation — per-term
+    contributions pivoted into columns and added in the engine's
+    sorted-term order, so equal-profile docs tie EXACTLY in both systems
+    and the (score DESC, doc_id ASC) candidate cut at
+    candidate_limit(20,0)=220 selects the same set — then (reference mode)
+    the stage-2 intent re-rank with additions in intent_score's exact
+    sequence, ordered (score DESC, url ASC), top 20 with ranks."""
+    from search_engine_ray.functions.text import (extract_query_words,
+                                                  normalize_text, tokenize)
+
+    all_terms = sorted({t for q in _TOPK_QUERIES
+                        for t in tokenize(q).keys()})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+
+    shared = f"""
+    WITH {_TOKS},
+    tdist AS MATERIALIZED (SELECT DISTINCT term AS w FROM toks),
+    {_porter_ctes('tdist')},
+    stoks AS MATERIALIZED (SELECT t.doc_id, s.stem AS term
+              FROM toks t JOIN stemmed s ON s.orig = t.term),
+    st AS MATERIALIZED (SELECT term, count(DISTINCT doc_id) AS df
+                        FROM stoks GROUP BY term),
+    tfx AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM stoks
+                         WHERE term IN ({in_list})
+                         GROUP BY doc_id, term),
+    n AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+    tr AS MATERIALIZED ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl
+                        FROM stoks GROUP BY doc_id),
+    ad AS MATERIALIZED (SELECT (SELECT count(*) FROM stoks) * 1.0
+                  / (SELECT count(*) FROM documents) AS avgdl)"""
+
+    def idf_expr(term: str) -> str:
+        return (f"(SELECT ln((n.n - coalesce(("
+                f"SELECT df FROM st WHERE term = '{term}'), 0) + 0.5)"
+                f" / (coalesce((SELECT df FROM st WHERE term = '{term}'),"
+                f" 0) + 0.5) + 1) FROM n)")
+
+    parts, selects = [], []
+    for qid, q in enumerate(_TOPK_QUERIES):
+        terms = sorted(set(tokenize(q).keys()))
+        words = extract_query_words(q)
+        phrase = normalize_text(q)
+        compact = "".join(words)
+        total = len(terms)
+
+        tf_cols = ",\n        ".join(
+            f"max(CASE WHEN term = '{t}' THEN tf END) AS tf{i}"
+            for i, t in enumerate(terms))
+        if scoring == "bm25":
+            contribs = [
+                f"(CASE WHEN tf{i} IS NULL THEN 0.0 ELSE "
+                f"(({idf_expr(t)} * tf{i}) * (1.2 + 1.0))"
+                f" / (tf{i} + 1.2 * ((1.0 - 0.75)"
+                f" + ((0.75 * dl.dl) / ad.avgdl))) END)"
+                for i, t in enumerate(terms)]
+            score_src = (f"FROM pv{qid} p JOIN dl ON dl.doc_id = p.doc_id"
+                         f" CROSS JOIN ad")
+        else:
+            contribs = [
+                f"(CASE WHEN tf{i} IS NULL THEN 0.0 ELSE "
+                f"((tf{i} * {idf_expr(t)}) * 1.0) END)"
+                for i, t in enumerate(terms)]
+            score_src = f"FROM pv{qid} p"
+        chain = "0.0"
+        for c in contribs:
+            chain = f"({chain} + {c})"
+        mt = " + ".join(f"(CASE WHEN tf{i} IS NOT NULL THEN 1 ELSE 0 END)"
+                        for i in range(total))
+
+        parts.append(f"""
+    pv{qid} AS MATERIALIZED (
+      SELECT doc_id, {tf_cols}
+      FROM tfx WHERE term IN ({', '.join(f"'{t}'" for t in terms)})
+      GROUP BY doc_id),
+    cand{qid} AS MATERIALIZED (
+      SELECT p.doc_id, {chain} AS token_score, {mt} AS mt
+      {score_src}
+      QUALIFY row_number() OVER (ORDER BY {chain} DESC, p.doc_id ASC)
+              <= 220)""")
+
+        if scoring == "bm25":
+            selects.append(f"""
+    SELECT CAST({qid} AS BIGINT) AS query_id,
+           row_number() OVER (ORDER BY token_score DESC, doc_id ASC)
+             AS rank,
+           doc_id, round(token_score, 6) AS score,
+           CAST(mt AS BIGINT) AS matched_terms
+    FROM cand{qid}
+    QUALIFY row_number() OVER (ORDER BY token_score DESC, doc_id ASC)
+            <= 20""")
+        else:
+            words_list = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+            hits = {}
+            for tag, src in (("th", "lower(tr.tool)"),
+                             ("uh", "lower(tr.conv_id || '#' || tr.turn_idx)")):
+                hits[tag] = (f"len(list_intersect(list_distinct("
+                             f"regexp_extract_all({src},"
+                             f" '\\b[a-z0-9]{{2,}}\\b')), {words_list}))")
+            cu_hits = " + ".join(
+                f"(CASE WHEN position('{w}' IN cu) > 0 THEN 1 ELSE 0 END)"
+                for w in words)
+            # additions in intent_score's exact sequence (left-assoc)
+            parts.append(f"""
+    feat{qid} AS MATERIALIZED (
+      SELECT c.doc_id, c.token_score, c.mt,
+        tr.conv_id, tr.turn_idx,
+        tr.conv_id || '#' || tr.turn_idx AS url,
+        trim(regexp_replace(lower(tr.tool), '[^a-z0-9]+', ' ', 'g')) AS nt,
+        trim(regexp_replace(lower(tr.text), '[^a-z0-9]+', ' ', 'g')) AS nd,
+        trim(regexp_replace(lower(tr.conv_id || '#' || tr.turn_idx),
+                            '[^a-z0-9]+', ' ', 'g')) AS nu,
+        regexp_replace(lower(tr.conv_id || '#' || tr.turn_idx),
+                       '[^a-z0-9]+', '', 'g') AS cu,
+        {hits['th']} AS th, {hits['uh']} AS uh
+      FROM cand{qid} c JOIN tr ON tr.doc_id = c.doc_id),
+    scored{qid} AS MATERIALIZED (
+      SELECT doc_id, conv_id, turn_idx, url, mt,
+        ((((((((((((ln(1 + greatest(token_score, 0.0)) * 12.0
+        + (mt / {total}.0) * 25.0)
+        + CASE WHEN mt = {total} THEN 40.0 ELSE 0.0 END)
+        + CASE WHEN position('{phrase}' IN nt) > 0 THEN 140.0 ELSE 0.0 END)
+        + CASE WHEN position('{phrase}' IN nu) > 0 THEN 70.0 ELSE 0.0 END)
+        + CASE WHEN position('{phrase}' IN nd) > 0 THEN 25.0 ELSE 0.0 END)
+        + CASE WHEN position('{compact}' IN cu) > 0 THEN 90.0 ELSE 0.0 END)
+        + th * 22.0) + uh * 16.0) + ({cu_hits}) * 12.0)
+        + CASE WHEN th = {len(words)} THEN 80.0 ELSE 0.0 END)
+        + CASE WHEN uh = {len(words)} THEN 55.0 ELSE 0.0 END)
+        + CASE WHEN ({cu_hits}) = {len(words)} THEN 45.0 ELSE 0.0 END)
+          AS score
+      FROM feat{qid})""")
+            selects.append(f"""
+    SELECT CAST({qid} AS BIGINT) AS query_id,
+           row_number() OVER (ORDER BY score DESC, url ASC) AS rank,
+           conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+           round(score, 6) AS score, CAST(mt AS BIGINT) AS matched_terms
+    FROM scored{qid}
+    QUALIFY row_number() OVER (ORDER BY score DESC, url ASC) <= 20""")
+
+    return (shared + "," + ",".join(parts)
+            + "\n    SELECT * FROM (" +
+            "\n    UNION ALL BY NAME ".join(
+                f"({s})" for s in selects) + ")")
+
+
 def _minhash_sql(mode: str, threshold: float) -> str:
     """DuckDB mirror of stages/dedup.py minhash_near_dups: exact-dup classes
     collapse to min-doc_id reps, 64-perm MinHash signatures (md5 base +
@@ -706,6 +857,12 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, round(score, 6) AS score, matched_terms FROM scored
     """
+
+    # Full top-k mirrors: stemmed stage-1 (pinned-order bit-exact sums),
+    # candidate cut at 220, intent re-rank / rank assignment — the last two
+    # previously rows-only entries are now fully oracled.
+    sql["search_reference"] = _topk_search_sql("reference")
+    sql["search_bm25"] = _topk_search_sql("bm25")
 
     sql["search_bm25_stemmed"] = f"""
     WITH {_TOKS},
