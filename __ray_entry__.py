@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sample_per_user": Q.events_sample_per_user,
         "events_percentiles": Q.events_percentiles,
         "events_hopping_window": Q.events_hopping_window,
+        "events_hll_registers": Q.events_hll_registers,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -1373,6 +1374,27 @@ def oracle_sql() -> dict[str, str]:
      AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 HOUR
     WHERE e.event_type = 'error'
     GROUP BY e.event_id
+    """
+
+    # HLL registers: md5_number_lower == engine md5_hash64; rho via exact
+    # binary bit length (bin() string), never float log — integer compare
+    sql["events_hll_registers"] = """
+    WITH h AS (
+      SELECT event_type,
+             CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS UBIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             CAST(h >> 54 AS BIGINT) AS bucket,
+             CAST(CASE WHEN (h & ((CAST(1 AS UBIGINT) << 54) - 1)) = 0
+                       THEN 55
+                       ELSE 55 - length(bin(h & ((CAST(1 AS UBIGINT) << 54)
+                                                 - 1)))
+                  END AS BIGINT) AS rho
+      FROM h
+    )
+    SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2
     """
 
     # each event covers exactly width/hop = 4 hopping windows

@@ -474,6 +474,15 @@ def events_range_join(sf_dir: str) -> "ray.data.Dataset":
         }), batch_format="pyarrow")
 
 
+def events_hll_registers(sf_dir: str) -> "ray.data.Dataset":
+    """HyperLogLog distinct-user sketch per event type — the register table
+    (integer-exact, SQL-mirrorable surface), stages/stats.hll_registers."""
+    from ..stages.stats import hll_registers
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return hll_registers(ev, key="event_type", value_col="user_id")
+
+
 def events_hopping_window(sf_dir: str) -> "ray.data.Dataset":
     """Hopping-window aggregate (1h windows every 15min):
     stages/temporal.hopping_window_counts."""

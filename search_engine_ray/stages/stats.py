@@ -88,3 +88,95 @@ def column_percentiles(ds: "ray.data.Dataset", *, key: str, col: str,
 
     return ds.select_columns([key, col]).groupby(key).map_groups(
         pct, batch_format="pyarrow")
+
+
+# -- HyperLogLog sketch ------------------------------------------------------
+
+HLL_BITS = 10                      # 2^10 = 1024 registers per key
+
+
+def _bit_length_u64(x: "np.ndarray") -> "np.ndarray":
+    """Exact vectorized bit_length for uint64 (no float log — values above
+    2^53 would misround)."""
+    import numpy as np
+    x = x.astype(np.uint64, copy=True)
+    out = np.zeros(len(x), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = (x >> np.uint64(shift)) > 0
+        out[mask] += shift
+        x[mask] >>= np.uint64(shift)
+    out[x > 0] += 1
+    return out
+
+
+def hll_registers(ds: "ray.data.Dataset", *, key: str, value_col: str,
+                  b: int = HLL_BITS) -> "ray.data.Dataset":
+    """HyperLogLog registers per key: (key, bucket, rho) with bucket = top
+    ``b`` bits of md5_hash64(str(value)) and rho = leading-zero count of the
+    remaining 64-b bits + 1 (register value = max rho).
+
+    The classic streaming-cardinality sketch expressed Ray-Data-first:
+    per-batch partial max per (key, bucket) BEFORE the exchange, then one
+    tiny groupby-max over at most keys x 2^b rows — constant state per key
+    regardless of input size, mergeable across shards (max is associative).
+    md5 base hash == DuckDB ``md5_number_lower`` and rho is integer-exact
+    (binary bit length, no float log), so the register table — not a float
+    estimate — is the SQL-mirrorable surface."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import md5_hash64_column
+
+    low_bits = 64 - b
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(value_col).to_pylist()
+        h = md5_hash64_column([str(v) for v in vals])
+        bucket = (h >> np.uint64(low_bits)).astype(np.int64)
+        low = h & np.uint64((1 << low_bits) - 1)
+        bl = _bit_length_u64(low)
+        rho = np.where(low == 0, low_bits + 1, low_bits - bl + 1).astype(
+            np.int64)
+        t = pa.table({key: batch.column(key),
+                      "bucket": pa.array(bucket),
+                      "rho": pa.array(rho)})
+        # in-batch combine: one row per (key, bucket)
+        return pa.TableGroupBy(t, [key, "bucket"]).aggregate(
+            [("rho", "max")]).rename_columns([key, "bucket", "rho"])
+
+    out = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow").groupby(
+        [key, "bucket"]).aggregate(Max("rho"))
+    return out.map_batches(
+        lambda t: pa.table({key: t.column(key),
+                            "bucket": t.column("bucket"),
+                            "rho": t.column("max(rho)")}),
+        batch_format="pyarrow")
+
+
+def hll_estimate(registers: "pa.Table", *, key: str,
+                 b: int = HLL_BITS) -> dict:
+    """{key_value: estimated distinct count} from a register table — the
+    published HLL estimator (Flajolet et al. 2007): alpha_m * m^2 /
+    sum(2^-M_j) with the small-range linear-counting correction."""
+    import math
+    from collections import defaultdict
+
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs: dict = defaultdict(dict)
+    for k, bucket, rho in zip(registers.column(key).to_pylist(),
+                              registers.column("bucket").to_pylist(),
+                              registers.column("rho").to_pylist()):
+        regs[k][bucket] = rho
+    out = {}
+    for k, r in regs.items():
+        s = sum(2.0 ** -r.get(j, 0) for j in range(m))
+        est = alpha * m * m / s
+        zeros = m - len(r)
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        out[k] = est
+    return out

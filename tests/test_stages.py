@@ -791,3 +791,46 @@ def test_new_ops_empty_inputs():
         "key": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
         "val": pa.array([], pa.int64())}))
     assert range_join_counts(empty_r, empty_l).take_all() == []
+
+
+def test_hll_registers_and_estimate():
+    """HLL sketch: registers are partition-invariant and mergeable by max;
+    the estimator lands within the published error bound of the exact
+    distinct count (m=1024 -> ~3.25% standard error; assert 4 sigma)."""
+    import random
+
+    from search_engine_ray.stages.stats import hll_estimate, hll_registers
+
+    rng = random.Random(17)
+    keys, vals = [], []
+    true = {"a": 4000, "b": 700, "c": 12}
+    for k, n in true.items():
+        pool = rng.sample(range(10_000_000), n)
+        for _ in range(n * 3):                 # duplicates included
+            keys.append(k)
+            vals.append(rng.choice(pool))
+        vals[-n:] = pool[-n:] if n <= len(pool) else vals[-n:]
+        # make sure every distinct value appears at least once
+        keys.extend([k] * n)
+        vals.extend(pool)
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+
+    regs = hll_registers(ray.data.from_arrow(t).repartition(7),
+                         key="k", value_col="v").take_all()
+    regs2 = hll_registers(ray.data.from_arrow(t).repartition(2),
+                          key="k", value_col="v").take_all()
+    canon = lambda rows: sorted((r["k"], r["bucket"], r["rho"]) for r in rows)
+    assert canon(regs) == canon(regs2)          # partition-invariant
+
+    reg_table = pa.table({
+        "k": pa.array([r["k"] for r in regs], pa.string()),
+        "bucket": pa.array([r["bucket"] for r in regs], pa.int64()),
+        "rho": pa.array([r["rho"] for r in regs], pa.int64()),
+    })
+    est = hll_estimate(reg_table, key="k")
+    for k, n in true.items():
+        # distinct count actually present (sampling w/ replacement may miss)
+        actual = len({v for kk, v in zip(keys, vals) if kk == k})
+        err = abs(est[k] - actual) / actual
+        assert err < 4 * 1.04 / (1024 ** 0.5), (k, est[k], actual, err)
