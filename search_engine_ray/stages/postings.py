@@ -35,7 +35,8 @@ from ..config import SEGMENT_SCHEMA
 from ..functions.hashing import hash64_column
 from ..functions.text import idf as idf_fn
 from ..functions.varbyte import (decode_postings, encode_postings,
-                                 encode_postings_blocked)
+                                 encode_postings_blocked,
+                                 vb_encode_with_sizes)
 from ..util import default_pool_max
 
 RUN_SCHEMA = pa.schema([
@@ -115,26 +116,48 @@ class _RunCombiner:
                     }))
 
         batch = batch.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        terms = batch.column("term").to_pylist()
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         tfs = batch.column("tf").to_numpy(zero_copy_only=False)
+        n = len(doc_ids)
 
-        out_terms: list[str] = []
-        dfs: list[int] = []
-        cfs: list[int] = []
-        doc_bufs: list[bytes] = []
-        tf_bufs: list[bytes] = []
-        salts: list[int] = []
-        for term, s, e in _term_slices(terms):
-            d, t = doc_ids[s:e], tfs[s:e]
-            doc_buf, tf_buf = encode_postings(d, t)
-            out_terms.append(term)
-            dfs.append(e - s)
-            cfs.append(int(t.sum()))
-            doc_bufs.append(doc_buf)
-            tf_bufs.append(tf_buf)
+        if n == 0:
+            out_terms: list[str] = []
+            dfs_a = np.empty(0, dtype=np.int64)
+            cfs_a = np.empty(0, dtype=np.int64)
+            doc_bufs: list[bytes] = []
+            tf_bufs: list[bytes] = []
+            salts = np.empty(0, dtype=np.int64)
+        else:
+            # one vb_encode over the whole batch, sliced per term run —
+            # a per-term encode loop pays numpy fixed costs ~10k times per
+            # batch (it measured 90 cpu-s per 600k turns; this path ~3)
+            tcol = batch.column("term").combine_chunks()
+            import pyarrow.compute as _pc
+            changed = _pc.not_equal(tcol.slice(1), tcol.slice(0, n - 1))
+            starts = np.concatenate(
+                ([0], np.flatnonzero(
+                    changed.to_numpy(zero_copy_only=False)) + 1))
+            bounds = np.concatenate((starts, [n]))
+
+            gaps = np.empty(n, dtype=np.uint64)
+            d64 = doc_ids.astype(np.uint64, copy=False)
+            gaps[1:] = d64[1:] - d64[:-1]
+            gaps[starts] = d64[starts]      # absolute at each run start
+            dbuf, dsizes = vb_encode_with_sizes(gaps)
+            tbuf, tsizes = vb_encode_with_sizes(tfs)
+            dends = np.concatenate(([0], np.cumsum(dsizes)))[bounds]
+            tends = np.concatenate(([0], np.cumsum(tsizes)))[bounds]
+            doc_bufs = [dbuf[dends[i]:dends[i + 1]]
+                        for i in range(len(starts))]
+            tf_bufs = [tbuf[tends[i]:tends[i + 1]]
+                       for i in range(len(starts))]
+            out_terms = tcol.take(pa.array(starts, pa.int64())).to_pylist()
+            dfs_a = np.diff(bounds)
+            cfs_a = np.add.reduceat(tfs.astype(np.int64), starts)
             # runs of the same term spread across reducers when salted
-            salts.append(int(d[0]) % self._salt if self._salt > 1 else 0)
+            salts = (doc_ids[starts] % self._salt if self._salt > 1
+                     else np.zeros(len(starts), dtype=np.int64))
+        dfs, cfs = dfs_a, cfs_a
 
         part = (hash64_column(out_terms) % np.uint64(self._parts)).astype(
             np.int32)
@@ -170,6 +193,32 @@ def _merge_runs(doc_bufs: list[bytes], tf_bufs: list[bytes]
     return d[order], t[order]
 
 
+def _decode_runs_segmented(doc_bufs: list[bytes], tf_bufs: list[bytes],
+                           dfs: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode EVERY run with two vb_decode calls total: vbyte streams
+    concatenate losslessly, and per-run delta decoding falls out of one
+    global cumsum minus the cumsum value at each run's start (each run's
+    first gap is absolute).  A per-run decode loop pays numpy fixed costs
+    runs-per-part times (it was the reducer's dominant CPU); this is O(2)
+    calls + vector math.  Returns (abs doc_ids, tfs, value-offsets per run
+    boundary) with values laid out in run order."""
+    from ..functions.varbyte import vb_decode
+
+    gaps = vb_decode(b"".join(doc_bufs))
+    tf_vals = vb_decode(b"".join(tf_bufs))
+    dfs = np.asarray(dfs, dtype=np.int64)
+    vbounds = np.concatenate(([0], np.cumsum(dfs)))
+    c = np.cumsum(gaps, dtype=np.uint64)
+    base = np.zeros(len(gaps), dtype=np.uint64)
+    starts = vbounds[:-1]
+    nonzero = starts > 0
+    run_base = np.zeros(len(starts), dtype=np.uint64)
+    run_base[nonzero] = c[starts[nonzero] - 1]
+    base = np.repeat(run_base, dfs)
+    return (c - base), tf_vals, vbounds
+
+
 def _merge_partial(group: pa.Table) -> pa.Table:
     """Salted intermediate reducer: merge a (part, salt) group's runs per
     term into one run each (keeps RUN_SCHEMA shape for the final merge)."""
@@ -182,9 +231,14 @@ def _merge_partial(group: pa.Table) -> pa.Table:
     part = int(group.column("part")[0].as_py()) if len(group) else 0
     salt = int(group.column("salt")[0].as_py()) if len(group) else 0
 
+    all_d, all_t, vbounds = _decode_runs_segmented(doc_bufs, tf_bufs, dfs)
     o_terms, o_df, o_cf, o_docs, o_tfs = [], [], [], [], []
     for term, s, e in _term_slices(terms):
-        d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
+        d = all_d[vbounds[s]:vbounds[e]]
+        t = all_t[vbounds[s]:vbounds[e]]
+        if e - s > 1:
+            order = np.argsort(d, kind="stable")
+            d, t = d[order], t[order]
         doc_buf, tf_buf = encode_postings(d, t)
         o_terms.append(term)
         o_df.append(int(dfs[s:e].sum()))
@@ -358,10 +412,18 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
         o_bto.append(meta["tf_off"])
         o_bct.append(meta["count"])
 
+    # decode every run in two vb_decode calls (see _decode_runs_segmented);
+    # the per-term work below is then pure numpy over real data
+    all_d, all_t, vbounds = _decode_runs_segmented(doc_bufs, tf_bufs, dfs)
+
     new_terms = set()
     for term, s, e in _term_slices(terms):
         new_terms.add(term)
-        d, t = _merge_runs(doc_bufs[s:e], tf_bufs[s:e])
+        d = all_d[vbounds[s]:vbounds[e]]
+        t = all_t[vbounds[s]:vbounds[e]]
+        if e - s > 1:
+            order = np.argsort(d, kind="stable")
+            d, t = d[order], t[order]
         df = int(dfs[s:e].sum())
         cf = int(cfs[s:e].sum())
         old = existing_rows.get(term)
