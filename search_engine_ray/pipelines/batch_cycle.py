@@ -44,8 +44,15 @@ import ray.data
 
 
 def _swap_in(tmp_dir: str, final_dir: str) -> None:
-    """Atomic-ish truncate-and-replace: build into tmp, then swap."""
+    """Atomic-ish truncate-and-replace: build into tmp, then swap.
+
+    Crash safety: a crash between the two os.replace calls leaves the
+    previous artifacts only in ``.old`` — so the next run first RECOVERS
+    ``.old`` back into place when the final dir is absent, and ``.old`` is
+    only deleted after the new dir has been swapped in."""
     old = final_dir + ".old"
+    if os.path.isdir(old) and not os.path.exists(final_dir):
+        os.replace(old, final_dir)      # recover from a prior mid-swap crash
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(final_dir):
         os.replace(final_dir, old)
@@ -79,13 +86,15 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
         _swap_in(tmp, os.path.join(out_dir, stage))
         return ray.data.read_parquet(os.path.join(out_dir, stage)).count()
 
-    def _stage(stage: str, fn) -> None:
+    def _stage(stage: str, fn, artifact: str | None = None) -> None:
+        # ``artifact`` = the directory _publish actually writes (defaults to
+        # the stage name) so the manifest path always points at a real dir
         if stage in skip:
             manifest[stage] = {"skipped": True}
             return
         t0 = time.time()
         rows = fn()
-        manifest[stage] = {"path": os.path.join(out_dir, stage),
+        manifest[stage] = {"path": os.path.join(out_dir, artifact or stage),
                            "rows": rows, "sec": round(time.time() - t0, 3)}
 
     # duplicates (runner.py:41): fingerprints + exact-dup classes
@@ -99,7 +108,8 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
     if "link_graph" not in skip:
         resolved = resolve_edges(extract_mention_edges(docs),
                                  docs).materialize()
-        _stage("link_graph", lambda: _publish("links", resolved))
+        _stage("link_graph", lambda: _publish("links", resolved),
+               artifact="links")
     else:
         manifest["link_graph"] = {"skipped": True}
 
@@ -118,8 +128,12 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
                 "inlink_count": b.column("inlink_count").fill_null(0),
             }), batch_format="pyarrow")
         return _publish("pagerank", joined)
-    _stage("pagerank",
-           _pagerank if resolved is not None else lambda: 0)
+    if resolved is not None:
+        _stage("pagerank", _pagerank)
+    else:
+        # link_graph was skipped, so pagerank has no edges to run over —
+        # record it as skipped instead of publishing a phantom empty stage
+        manifest["pagerank"] = {"skipped": True}
 
     # bm25 stats (runner.py:52, bm25_stats.py:8-27): term df/idf + constants
     def _bm25() -> int:
@@ -149,7 +163,7 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(st, f)
         return rows
-    _stage("bm25", _bm25)
+    _stage("bm25", _bm25, artifact="term_stats")
 
     # spellcheck dictionary (runner.py:52)
     def _spell() -> int:
@@ -163,7 +177,7 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
         _swap_in(tmp, os.path.join(out_dir, "dictionary"))
         write_meta_file(d, os.path.join(out_dir, "dictionary_meta.json"))
         return d.num_rows
-    _stage("spellcheck", _spell)
+    _stage("spellcheck", _spell, artifact="dictionary")
 
     manifest["cycle_completed_at"] = time.time()
     with open(os.path.join(out_dir, "cycle_manifest.json"), "w") as f:

@@ -72,7 +72,10 @@ def pack_shards(docs: "ray.data.Dataset", *,
     AND 1 PRECEDING) // budget`` without a global sort: bucket partial sums
     (distributed) -> driver exclusive prefix over ~doc_total/bucket_size
     rows -> broadcast bases -> per-bucket exact cumsum."""
-    counts = _token_counts(docs, bucket_size)
+    # materialize: the counts dataset feeds TWO consumers (bucket-sum
+    # take_all + the groupby below); without this the tokenization of every
+    # document text would execute twice
+    counts = _token_counts(docs, bucket_size).materialize()
 
     bucket_rows = counts.groupby("bucket").aggregate(
         Sum("token_count")).take_all()          # ~1 row per 64k doc_ids

@@ -392,6 +392,7 @@ def connected_components(pairs: "ray.data.Dataset", *,
         return int(ds.sum("label"))
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iterations):
         # propagate: neighbor labels arrive via the edge join; keep the min
         # of (own label, best neighbor label)
@@ -416,8 +417,21 @@ def connected_components(pairs: "ray.data.Dataset", *,
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        # the monotone-sum witness only certifies finality when the loop
+        # broke on convergence; a component with diameter > max_iterations
+        # would otherwise return non-final cluster_reps silently and
+        # near_dedup_survivors would keep/drop the wrong documents
+        import logging
+        logging.getLogger(__name__).warning(
+            "connected_components: label sum still decreasing after %d "
+            "iterations — cluster_rep labels are NOT final (component "
+            "diameter exceeds max_iterations; rerun with a higher limit)",
+            max_iterations)
 
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b.column("node"),
