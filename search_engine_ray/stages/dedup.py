@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from ..functions.hashing import (hash64, hash64_column, md5_hash64_column,
+from ..functions.hashing import (hash64_column, md5_hash64_column,
                                  splitmix64_array)
 from ..functions.simhash import simhash_text
 
@@ -118,29 +118,54 @@ class _MinHashBatch:
         return mixed.min(axis=0)                           # (num_perms,)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized across the batch: ONE md5 pass over the batch's full
+        token stream + one splitmix mix, per-doc signatures via segment-min
+        (``np.minimum.reduceat`` over per-doc offsets), band rows emitted by
+        numpy reshape — no per-document hashing loop (bit-identical to the
+        per-doc ``signature()`` path, which stays for tests/reference)."""
         texts = batch.column("text").to_pylist()
-        doc_ids = batch.column("doc_id").to_pylist()
         chashes = hash64_column(texts).astype(np.int64)
-        bands: list[int] = []
-        keys: list[int] = []
-        docs: list[int] = []
-        hashes: list[int] = []
-        r = self._rows
-        for text, doc_id, ch in zip(texts, doc_ids, chashes.tolist()):
-            sig = self.signature(_token_set(text))
-            if sig is None:
+        flat: list[str] = []
+        counts: list[int] = []
+        kept: list[int] = []
+        for i, text in enumerate(texts):
+            toks = _token_set(text)
+            if not toks:
                 continue
-            for b in range(self._bands):
-                band_bytes = sig[b * r:(b + 1) * r].tobytes()
-                bands.append(b)
-                keys.append(hash64(band_bytes) & 0x7FFFFFFFFFFFFFFF)
-                docs.append(doc_id)
-                hashes.append(ch)
+            flat.extend(toks)
+            counts.append(len(toks))
+            kept.append(i)
+        nb, r = self._bands, self._rows
+        if not kept:
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "content_hash": pa.array([], pa.int64()),
+            })
+        base = md5_hash64_column(flat)                     # (T,) one pass
+        with np.errstate(over="ignore"):
+            mixed = splitmix64_array(base[:, None] ^ self._seeds[None, :])
+        starts = np.concatenate(
+            ([0], np.cumsum(counts[:-1]))).astype(np.int64)
+        sigs = np.minimum.reduceat(mixed, starts, axis=0)  # (n_kept, perms)
+        n = len(kept)
+        # doc-major (n*nb, r) band rows share sigs' memory layout, so one
+        # tobytes + memoryview slicing yields every band's key input
+        buf = memoryview(np.ascontiguousarray(sigs).tobytes())
+        row_bytes = 8 * r
+        keys = hash64_column(
+            [bytes(buf[k * row_bytes:(k + 1) * row_bytes])
+             for k in range(n * nb)])
+        keys = (keys & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        kept_idx = np.asarray(kept, dtype=np.int64)
+        doc_ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)[kept_idx]
         return pa.table({
-            "band": pa.array(bands, pa.int32()),
-            "band_key": pa.array(keys, pa.int64()),
-            "doc_id": pa.array(docs, pa.int64()),
-            "content_hash": pa.array(hashes, pa.int64()),
+            "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+            "band_key": pa.array(keys),
+            "doc_id": pa.array(np.repeat(doc_ids, nb)),
+            "content_hash": pa.array(np.repeat(chashes[kept_idx], nb)),
         })
 
 
@@ -150,138 +175,190 @@ class _MinHashBatch:
 MAX_BUCKET_WIDTH = 512
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket.
+def _bucket_pairs_partition(batch: pa.Table) -> pa.Table:
+    """Candidate pairs for EVERY LSH bucket in one coarse partition,
+    vectorized — one Python call handles thousands of buckets (a per-bucket
+    ``map_groups`` paid table-construction overhead per tiny group, which
+    dominated the stage).
 
-    Exact-duplicate classes are first collapsed to their min-doc_id
-    representative (identical text => identical signature => same buckets, so
-    the collapse is globally consistent across buckets); 10k identical docs
-    cost O(n), not O(n^2).  Exact-dup membership is already covered by
-    exact_dedup_groups."""
-    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    chs = group.column("content_hash").to_numpy(zero_copy_only=False)
-    reps: dict[int, int] = {}
-    for d, c in zip(ids.tolist(), chs.tolist()):
-        if c not in reps or d < reps[c]:
-            reps[c] = d
-    uniq = sorted(set(reps.values()))
-    if len(uniq) > MAX_BUCKET_WIDTH:
-        import logging
-        logging.getLogger(__name__).warning(
-            "LSH bucket overflow: %d reps > cap %d, truncating",
-            len(uniq), MAX_BUCKET_WIDTH)
-        uniq = uniq[:MAX_BUCKET_WIDTH]
-    a: list[int] = []
-    b: list[int] = []
-    for i in range(len(uniq)):
-        for j in range(i + 1, len(uniq)):
-            a.append(uniq[i])
-            b.append(uniq[j])
-    return pa.table({"doc_a": pa.array(a, pa.int64()),
-                     "doc_b": pa.array(b, pa.int64())})
+    Per bucket (= one (band, band_key) group): exact-duplicate classes are
+    first collapsed to their min-doc_id representative (identical text =>
+    identical signature => same buckets, so the collapse is globally
+    consistent across buckets; 10k identical docs cost O(n), not O(n^2) —
+    exact-dup membership is already covered by exact_dedup_groups), then all
+    i<j rep pairs are emitted, capped at MAX_BUCKET_WIDTH reps."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    if len(ids) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    band = batch.column("band").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    key = batch.column("band_key").to_numpy(zero_copy_only=False)
+    chs = batch.column("content_hash").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, chs, key, band))
+    band, key, ids, chs = band[order], key[order], ids[order], chs[order]
+    n = len(ids)
+    new_bucket = np.ones(n, dtype=bool)
+    new_bucket[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    # first row of each (bucket, content-hash) class == min doc_id in class
+    new_class = new_bucket.copy()
+    new_class[1:] |= chs[1:] != chs[:-1]
+    r_ids = ids[new_class]
+    nb = new_bucket[new_class]
+    seg_starts = np.flatnonzero(nb)
+    seg_ends = np.append(seg_starts[1:], len(r_ids))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(seg_starts.tolist(), seg_ends.tolist()):
+        if e - s < 2:
+            continue
+        u = np.sort(r_ids[s:e])
+        if len(u) > MAX_BUCKET_WIDTH:
+            import logging
+            logging.getLogger(__name__).warning(
+                "LSH bucket overflow: %d reps > cap %d, truncating",
+                len(u), MAX_BUCKET_WIDTH)
+            u = u[:MAX_BUCKET_WIDTH]
+        ia, ib = np.triu_indices(len(u), k=1)
+        out_a.append(u[ia])
+        out_b.append(u[ib])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    # within-partition pair dedup before the global cross-band dedup
+    packed = np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1)
+    uniq = np.unique(packed, axis=0)
+    return pa.table({"doc_a": pa.array(uniq[:, 0], pa.int64()),
+                     "doc_b": pa.array(uniq[:, 1], pa.int64())})
 
 
-def minhash_candidate_pairs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+# coarse shuffle fan-out for the bucket-pairing step: buckets are spread
+# over this many partitions (keyed by band_key hash), each processed by ONE
+# vectorized call.  At cluster scale raise it so a partition's band rows fit
+# a worker (rows per partition = corpus_docs * NUM_BANDS / pair_parts).
+NUM_PAIR_PARTS = 64
+
+
+def minhash_candidate_pairs(docs: "ray.data.Dataset", *,
+                            pair_parts: int = NUM_PAIR_PARTS
+                            ) -> "ray.data.Dataset":
     """LSH candidate pairs (doc_a < doc_b) over distinct-text representatives,
     deduplicated across bands."""
     buckets = docs.select_columns(["doc_id", "text"]).map_batches(
         _MinHashBatch, batch_format="pyarrow", concurrency=(1, 8))
-    pairs = buckets.groupby(["band", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        key = b.column("band_key").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((key % pair_parts).astype(np.int32)))
+
+    pairs = buckets.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part").map_groups(
+        lambda g: _bucket_pairs_partition(g.drop_columns(["part"])),
+        batch_format="pyarrow")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count()).drop_columns(
         ["count()"])
 
 
-class _JaccardVerify:
-    """Verify candidate pairs with true token-set Jaccard; text fetched from a
-    broadcast doc-id -> text map (ray.put once, read per actor)."""
+def _jaccard_features(text: str, mode: str) -> set:
+    if mode == "ngram":
+        t = (text or "").lower()
+        return {t[i:i + 3] for i in range(max(len(t) - 2, 0))} or {t}
+    return set((text or "").lower().split())
 
-    def __init__(self, texts_ref, threshold: float, mode: str = "token"):
-        import ray as _ray
-        self._texts = _ray.get(texts_ref) if isinstance(
-            texts_ref, ray.ObjectRef) else texts_ref
-        self._threshold = threshold
-        self._mode = mode
 
-    def _features(self, text: str) -> set:
-        if self._mode == "ngram":
-            t = (text or "").lower()
-            return {t[i:i + 3] for i in range(max(len(t) - 2, 0))} or {t}
-        return set((text or "").lower().split())
+def _pairs_with_texts(docs: "ray.data.Dataset",
+                      pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_a, doc_b) pairs + the doc store -> (doc_a, doc_b, text_a,
+    text_b) via a DISTRIBUTED hash join — no driver-assembled id->text map
+    anywhere, so dup-heavy corpora (where candidates are a large corpus
+    fraction) never materialize text on the driver or in one object.
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("doc_a").to_pylist()
-        b_ids = batch.column("doc_b").to_pylist()
-        oa, ob, js = [], [], []
-        for da, db in zip(a_ids, b_ids):
-            fa = self._features(self._texts.get(da, ""))
-            fb = self._features(self._texts.get(db, ""))
-            if not fa and not fb:
-                continue
-            j = len(fa & fb) / len(fa | fb) if (fa | fb) else 0.0
-            if j >= self._threshold:
-                oa.append(da)
-                ob.append(db)
-                js.append(j)
+    Shape: the pair list is exploded to one row per (pair, side) keyed by
+    that side's doc id; ONE join moves the doc store; the two sides (now
+    pair-sized) are re-joined on the composite pair key.  Total exchange =
+    one pass over the doc store + two pair-sized shuffles."""
+    # partitions sized to pair volume, not block count: each hash-join
+    # partition carries fixed aggregator-actor overhead, so small candidate
+    # sets want few partitions (at cluster scale pair counts in the billions
+    # raise this toward the 64 cap)
+    nparts = int(max(8, min(64, pairs.count() // 2_000_000 + 8)))
+    txt = docs.select_columns(["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").combine_chunks().cast(pa.int64())
+        bb = b.column("doc_b").combine_chunks().cast(pa.int64())
+        n = len(a)
         return pa.table({
-            "doc_a": pa.array(oa, pa.int64()),
-            "doc_b": pa.array(ob, pa.int64()),
-            "jaccard": pa.array(js, pa.float64()),
+            "doc_id": pa.concat_arrays([a, bb]),
+            "doc_a": pa.concat_arrays([a, a]),
+            "doc_b": pa.concat_arrays([bb, bb]),
+            "side": pa.array([0] * n + [1] * n, pa.int8()),
         })
 
-
-def _candidate_texts_map(docs: "ray.data.Dataset",
-                         pairs: "ray.data.Dataset") -> dict[int, str]:
-    """Semi-join: texts of only the docs that appear in a candidate pair.
-
-    The distinct candidate-id set is computed by a distributed aggregate and
-    is small (near-dup candidates are rare); the doc store is then FILTERED
-    distributedly against that broadcast id set before any text reaches the
-    driver.  Driver memory is O(candidate docs), never O(corpus)."""
-    import ray as _ray
-    ids_ds = pairs.map_batches(
-        lambda b: pa.table({"doc_id": pa.concat_arrays(
-            [b.column("doc_a").combine_chunks(),
-             b.column("doc_b").combine_chunks()])}),
+    flat = pairs.map_batches(explode, batch_format="pyarrow")
+    # materialize: both side filters consume this join — without it the
+    # doc-store exchange would execute twice (result is pair-sized)
+    joined = flat.join(txt, "inner", num_partitions=nparts,
+                       on=("doc_id",)).materialize()
+    side_a = joined.filter(expr="side == 0").map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_a"),
+                            "doc_b": b.column("doc_b"),
+                            "text_a": b.column("text")}),
         batch_format="pyarrow")
-    cand_ids = ids_ds.unique("doc_id")          # distributed distinct, small
-    ids_ref = _ray.put(np.asarray(sorted(cand_ids), dtype=np.int64))
+    side_b = joined.filter(expr="side == 1").map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_a"),
+                            "doc_b": b.column("doc_b"),
+                            "text_b": b.column("text")}),
+        batch_format="pyarrow")
+    return side_a.join(side_b, "inner", num_partitions=nparts,
+                       on=("doc_a", "doc_b"))
 
-    class KeepCandidates:
-        def __init__(self, ref):
-            ids = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
-            self._value_set = pa.array(ids, pa.int64())   # built once/actor
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as _pc
-            return batch.filter(_pc.is_in(batch.column("doc_id"),
-                                          value_set=self._value_set))
-
-    out: dict[int, str] = {}
-    small = docs.select_columns(["doc_id", "text"]).map_batches(
-        KeepCandidates, fn_constructor_args=(ids_ref,),
-        batch_format="pyarrow", concurrency=(1, 8))
-    for batch in small.iter_batches(batch_format="pyarrow"):
-        out.update(zip(batch.column("doc_id").to_pylist(),
-                       batch.column("text").to_pylist()))
-    return out
+def _verify_jaccard_batch(batch: pa.Table, *, threshold: float,
+                          mode: str) -> pa.Table:
+    a_ids = batch.column("doc_a").to_pylist()
+    b_ids = batch.column("doc_b").to_pylist()
+    texts_a = batch.column("text_a").to_pylist()
+    texts_b = batch.column("text_b").to_pylist()
+    oa, ob, js = [], [], []
+    for da, db, ta, tb in zip(a_ids, b_ids, texts_a, texts_b):
+        fa = _jaccard_features(ta, mode)
+        fb = _jaccard_features(tb, mode)
+        if not fa and not fb:
+            continue
+        j = len(fa & fb) / len(fa | fb) if (fa | fb) else 0.0
+        if j >= threshold:
+            oa.append(da)
+            ob.append(db)
+            js.append(j)
+    return pa.table({
+        "doc_a": pa.array(oa, pa.int64()),
+        "doc_b": pa.array(ob, pa.int64()),
+        "jaccard": pa.array(js, pa.float64()),
+    })
 
 
 def minhash_near_dups(docs: "ray.data.Dataset", *, threshold: float = 0.8,
                       mode: str = "token") -> "ray.data.Dataset":
     """MinHash LSH candidates -> Jaccard-verified near-dup pairs.
 
-    Verification texts are fetched via a distributed semi-join against the
-    candidate-id set (see _candidate_texts_map); only candidate docs' text is
-    ever broadcast, so driver/object-store cost scales with the number of
-    near-dup candidates, not the corpus."""
-    import ray as _ray
+    Verification texts arrive via a distributed pair⋈doc-store hash join
+    (``_pairs_with_texts``); the true token/ngram Jaccard is then computed
+    inside the joined batches.  Nothing text-sized ever reaches the driver,
+    so the path holds even when near-dup candidates are a large fraction of
+    the corpus (the target training-data workload)."""
+    from functools import partial
     pairs = minhash_candidate_pairs(docs).materialize()
-    texts_ref = _ray.put(_candidate_texts_map(docs, pairs))
-    return pairs.map_batches(
-        _JaccardVerify,
-        fn_constructor_args=(texts_ref, threshold, mode),
-        batch_format="pyarrow", concurrency=(1, 8))
+    if pairs.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    return _pairs_with_texts(docs, pairs).map_batches(
+        partial(_verify_jaccard_batch, threshold=threshold, mode=mode),
+        batch_format="pyarrow")
 
 
 def ngram_jaccard_near_dups(docs: "ray.data.Dataset", *,
