@@ -110,16 +110,31 @@ class _TermIter:
 
 class QueryEngine:
     def __init__(self, index_dir: str, *, scoring: str = "reference",
-                 k1: float = 1.2, b: float = 0.75, load_docs: bool = True):
+                 k1: float = 1.2, b: float = 0.75, load_docs: bool = True,
+                 doc_range: tuple[int, int] | None = None):
+        """``doc_range=(lo, hi)``: range-sliced serving load.  Blocks are
+        independently decodable (delta restarts per block,
+        functions/varbyte.py encode_postings_blocked), so a shard keeps only
+        each term's blocks intersecting [lo, hi) — per-shard resident bytes
+        scale with the range fraction, not the corpus (the reference has no
+        analogue: Postgres is one shared B-tree index).  df/cf/idf stay
+        GLOBAL (scores must equal the full engine's); boundary blocks may
+        carry a few out-of-range postings, filtered at decode."""
         self.index_dir = index_dir
         self.scoring = scoring
         self.k1, self.b = k1, b
         stats = read_stats(index_dir)
         self.doc_total = int(stats["doc_total"])
         self.avgdl = float(stats["avgdl"])
+        self._range = doc_range
+        self._base, range_hi = doc_range if doc_range is not None \
+            else (0, self.doc_total)
+        self._n_local = max(range_hi - self._base, 0)
+        self._range_hi = range_hi
 
         # term dictionary: term -> (df, cf, idf, doc_buf, tf_buf, block_meta)
         self._dict: dict[str, tuple] = {}
+        import bisect as _bisect
         for f in sorted(glob.glob(os.path.join(index_dir, "segments", "segment-p*.parquet"))):
             t = pq.read_table(f)
             terms = t.column("term").to_pylist()
@@ -134,38 +149,84 @@ class QueryEngine:
             btos = t.column("block_tf_off").to_pylist()
             bcts = t.column("block_count").to_pylist()
             for i, term in enumerate(terms):
-                meta = {"last_doc": blds[i], "max_tf": bmts[i],
-                        "doc_off": bdos[i], "tf_off": btos[i],
-                        "count": bcts[i]}
+                dbuf, tbuf = dbufs[i], tbufs[i]
+                bld, bmt, bdo, bto, bct = (blds[i], bmts[i], bdos[i],
+                                           btos[i], bcts[i])
+                if doc_range is not None:
+                    # blocks fully below lo have last_doc < lo; blocks after
+                    # the one containing hi-1 start past it (docs sorted)
+                    b0 = _bisect.bisect_left(bld, self._base)
+                    b1 = min(_bisect.bisect_left(bld, range_hi - 1) + 1,
+                             len(bld))
+                    if b0 >= b1:
+                        continue                     # no postings in range
+                    d0, d1 = bdo[b0], bdo[b1]
+                    t0, t1 = bto[b0], bto[b1]
+                    dbuf, tbuf = dbuf[d0:d1], tbuf[t0:t1]
+                    bld, bmt, bct = bld[b0:b1], bmt[b0:b1], bct[b0:b1]
+                    bdo = [x - d0 for x in bdo[b0:b1 + 1]]
+                    bto = [x - t0 for x in bto[b0:b1 + 1]]
+                    # boundary blocks can straddle the range: trim them by
+                    # decode -> filter -> re-encode so resident bytes equal
+                    # the TRUE range fraction (tail terms' single block would
+                    # otherwise stay fully resident in every shard).  Skipped
+                    # when the slice provably starts at 0 and ends in range.
+                    if self._base > 0 or bld[-1] > range_hi - 1:
+                        meta0 = {"last_doc": bld, "doc_off": bdo,
+                                 "tf_off": bto, "count": bct}
+                        d_all, t_all = decode_postings_blocked(
+                            dbuf, tbuf, meta0)
+                        keep = ((d_all >= np.uint64(self._base))
+                                & (d_all < np.uint64(range_hi)))
+                        if not keep.any():
+                            continue
+                        if not keep.all():
+                            from ..functions.varbyte import \
+                                encode_postings_blocked
+                            bs = max(bct) if bct else 128
+                            dbuf, tbuf, m2 = encode_postings_blocked(
+                                d_all[keep], t_all[keep], bs)
+                            bld, bmt = m2["last_doc"], m2["max_tf"]
+                            bdo, bto = m2["doc_off"], m2["tf_off"]
+                            bct = m2["count"]
+                meta = {"last_doc": bld, "max_tf": bmt,
+                        "doc_off": bdo, "tf_off": bto,
+                        "count": bct}
                 # idf is recomputed from df + the LIVE corpus size: after an
                 # incremental extend, stored idf values in untouched parts
                 # reflect the N at their write time (stats.json is
                 # authoritative; same float expression as build, so a clean
                 # build's stored idf matches bit-for-bit)
                 self._dict[term] = (dfs[i], cfs[i],
-                                    idf_fn(self.doc_total, dfs[i]), dbufs[i],
-                                    tbufs[i], meta)
+                                    idf_fn(self.doc_total, dfs[i]), dbuf,
+                                    tbuf, meta)
 
         # tombstone mask (delete support over immutable artifacts;
         # state/tombstones.py) — empty arrays when no deletes exist
         from .tombstones import load_tombstones
         self._tomb_lo, self._tomb_hi = load_tombstones(index_dir)
 
-        # doc lengths (dense doc_id -> direct array indexing)
-        self._doc_len = np.zeros(self.doc_total, dtype=np.int64)
+        # doc lengths (dense doc_id -> direct array indexing, rebased to the
+        # range: local index = doc_id - base)
+        rng_filters = None if doc_range is None else [
+            ("doc_id", ">=", self._base), ("doc_id", "<", range_hi)]
+        self._doc_len = np.zeros(self._n_local, dtype=np.int64)
         dl_dir = os.path.join(index_dir, "doclens")
-        if os.path.isdir(dl_dir):
-            dl = pq.read_table(dl_dir)
+        if os.path.isdir(dl_dir) and self._n_local:
+            dl = pq.read_table(dl_dir, filters=rng_filters)
             ids = dl.column("doc_id").to_numpy(zero_copy_only=False)
             lens = dl.column("doc_len").to_numpy(zero_copy_only=False)
-            self._doc_len[ids] = lens
+            self._doc_len[ids - self._base] = lens
 
-        # doc metadata for stage-2 re-rank + result assembly
+        # doc metadata for stage-2 re-rank + result assembly (range mode
+        # reads only this shard's row groups: parquet row-group pruning on
+        # the doc_id filter)
         self._docs: dict[str, np.ndarray] | None = None
         if load_docs:
             docs = pq.read_table(
                 os.path.join(index_dir, "docs"),
                 columns=["doc_id", "conv_id", "turn_idx", "role", "text", "tool"],
+                filters=rng_filters,
             )
             ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
             order = np.argsort(ids)
@@ -175,6 +236,11 @@ class QueryEngine:
             }
             self._docs["turn_idx"] = docs.column("turn_idx").to_numpy(
                 zero_copy_only=False)[order]
+
+    def loaded_postings_bytes(self) -> int:
+        """Resident posting-list bytes (encoded doc+tf buffers) — the range
+        test asserts a shard's slice is a fraction of the full load."""
+        return sum(len(rec[3]) + len(rec[4]) for rec in self._dict.values())
 
     # -- stage 1 -----------------------------------------------------------
 
@@ -193,7 +259,12 @@ class QueryEngine:
             return None
         df, cf, idf, dbuf, tbuf, meta = rec
         doc_ids, tfs = decode_postings_blocked(dbuf, tbuf, meta)
-        out = (doc_ids.astype(np.int64), tfs.astype(np.float64), float(idf))
+        doc_ids = doc_ids.astype(np.int64)
+        if self._range is not None:
+            # boundary blocks of the slice can carry out-of-range postings
+            keep = (doc_ids >= self._base) & (doc_ids < self._range_hi)
+            doc_ids, tfs = doc_ids[keep], tfs[keep]
+        out = (doc_ids, tfs.astype(np.float64), float(idf))
         if not hasattr(self, "_postings_cache"):
             self._postings_cache = {}
         if len(self._postings_cache) >= self.POSTINGS_CACHE_MAX:
@@ -236,10 +307,11 @@ class QueryEngine:
         # per query dominates short-query latency; instead zero only the
         # entries each query touched
         if not hasattr(self, "_acc_scores"):
-            self._acc_scores = np.zeros(self.doc_total, dtype=np.float64)
-            self._acc_matched = np.zeros(self.doc_total, dtype=np.int32)
+            self._acc_scores = np.zeros(self._n_local, dtype=np.float64)
+            self._acc_matched = np.zeros(self._n_local, dtype=np.int32)
         scores = self._acc_scores
         matched = self._acc_matched
+        base = self._base
         # sorted term order => deterministic float accumulation (oracle pins
         # the same order)
         for term in sorted_terms:
@@ -247,21 +319,22 @@ class QueryEngine:
             if rec is None:
                 continue
             doc_ids, tfs, idf = rec
+            local = doc_ids - base if base else doc_ids
             if self.scoring == "bm25":
-                dl = self._doc_len[doc_ids].astype(np.float64)
+                dl = self._doc_len[local].astype(np.float64)
                 denom = tfs + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
                 contrib = idf * tfs * (self.k1 + 1.0) / denom
             else:
                 contrib = tfs * idf * DEFAULT_FIELD_WEIGHT
-            scores[doc_ids] += contrib
-            matched[doc_ids] += 1
+            scores[local] += contrib
+            matched[local] += 1
 
         touched = np.flatnonzero(matched)
         if len(touched) == 0:
             return []
-        nz = touched
-        s = scores[nz].copy()
-        m = matched[nz].copy()
+        nz = touched + base if base else touched    # absolute doc ids
+        s = scores[touched].copy()
+        m = matched[touched].copy()
         # reset only what this query touched (buffer reuse)
         scores[touched] = 0.0
         matched[touched] = 0
@@ -292,7 +365,7 @@ class QueryEngine:
 
     def _score_one(self, tf: float, doc_id: int, idf: float) -> float:
         if self.scoring == "bm25":
-            dl = float(self._doc_len[doc_id])
+            dl = float(self._doc_len[doc_id - self._base])
             denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
             return idf * tf * (self.k1 + 1.0) / denom
         return tf * idf * DEFAULT_FIELD_WEIGHT
@@ -320,7 +393,9 @@ class QueryEngine:
         ctx = search_context(q, limit, offset)
         if ctx is None:
             return None
-        if len(self._tomb_lo):
+        if len(self._tomb_lo) or self._range is not None:
+            # range-sliced engines accumulate exhaustively: the DAAT heap
+            # would see boundary-block docs outside the range
             return (self._accumulate(sorted(set(ctx["query_terms"])),
                                      ctx["candidate_limit"]), ctx)
         return (self._wand(sorted(set(ctx["query_terms"])),
@@ -338,7 +413,8 @@ class QueryEngine:
             return None
         terms = sorted(set(ctx["query_terms"]))
         sum_df = sum((self._dict[t][0] for t in terms if t in self._dict))
-        if sum_df * 8 < self.doc_total and not len(self._tomb_lo):
+        if (sum_df * 8 < self.doc_total and not len(self._tomb_lo)
+                and self._range is None):
             return (self._wand(terms, ctx["candidate_limit"]), ctx)
         return (self._accumulate(terms, ctx["candidate_limit"]), ctx)
 
@@ -413,12 +489,13 @@ class QueryEngine:
 
     def doc_meta(self, doc_id: int) -> dict:
         d = self._docs
+        i = doc_id - self._base
         return {
-            "conv_id": d["conv_id"][doc_id],
-            "turn_idx": int(d["turn_idx"][doc_id]),
-            "role": d["role"][doc_id],
-            "text": d["text"][doc_id],
-            "tool": d["tool"][doc_id],
+            "conv_id": d["conv_id"][i],
+            "turn_idx": int(d["turn_idx"][i]),
+            "role": d["role"][i],
+            "text": d["text"][i],
+            "tool": d["tool"][i],
         }
 
     def search(self, q: str, *, limit: int = 20, offset: int = 0,

@@ -10,11 +10,13 @@ term order, same per-element float ops), the merged global top-cl equals the
 single-engine top-cl — property-tested rank identity in
 tests/test_build_and_search.py.
 
-At sandbox scale every shard loads the full segment set and masks by range;
-a real deployment writes doc-range-partitioned segments at build time so a
-shard only loads its slice (stages/postings.py partitions by term hash for
-build-side balance; serving-side doc-range partitioning is the documented
-re-layout).
+Shards load only their doc-range SLICE of every posting list: blocks are
+independently decodable (delta restarts per block), so each shard keeps the
+block range intersecting [lo, hi) plus range-filtered doclens and doc
+metadata (parquet predicate pushdown).  Per-shard resident bytes therefore
+scale with 1/num_shards of the corpus, not the corpus — property-tested in
+tests/test_build_and_search.py (per-shard loaded_postings_bytes < 60% of the
+single-engine load at 2 shards, rank identity preserved).
 """
 
 from __future__ import annotations
@@ -33,8 +35,15 @@ class _ShardActor:
     def __init__(self, index_dir: str, lo: int, hi: int, *,
                  scoring: str = "reference", k1: float = 1.2,
                  b: float = 0.75):
-        self._eng = QueryEngine(index_dir, scoring=scoring, k1=k1, b=b)
+        # range-sliced load: only the blocks/doclens/doc-meta intersecting
+        # [lo, hi) become resident (see QueryEngine doc_range) — per-shard
+        # memory scales with the range fraction, not the corpus
+        self._eng = QueryEngine(index_dir, scoring=scoring, k1=k1, b=b,
+                                doc_range=(lo, hi))
         self._lo, self._hi = lo, hi
+
+    def loaded_postings_bytes(self) -> int:
+        return self._eng.loaded_postings_bytes()
 
     def score_range(self, sorted_terms: list[str], cl: int) -> list[tuple]:
         """Local top-cl (doc_id, token_score, matched, conv_id, turn_idx,

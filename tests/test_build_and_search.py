@@ -279,6 +279,35 @@ def test_empty_corpus(tmp_path):
     assert qe.candidates("anything", limit=10, offset=0)[0] == []
 
 
+def test_range_sliced_shard_load(tmp_path):
+    """Doc-range serving layout: a shard engine loads only the posting-list
+    blocks intersecting its [lo, hi) range — per-shard resident bytes are a
+    fraction of the full load (< 60% at 2 shards), and per-doc scores are
+    bit-identical to the full engine restricted to the range."""
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    table = generate_transcripts(200, seed=3)
+    cfg = EngineConfig(index_dir=str(tmp_path / "rng"), num_partitions=8,
+                       block_size=16)
+    build_index(ray.data.from_arrow(table).repartition(4), cfg,
+                source_desc="rng")
+    full = QueryEngine(cfg.index_dir)
+    n = full.doc_total
+    total = full.loaded_postings_bytes()
+    mid = n // 2
+    for lo, hi in ((0, mid), (mid, n)):
+        shard = QueryEngine(cfg.index_dir, doc_range=(lo, hi))
+        assert shard.loaded_postings_bytes() < 0.6 * total, (lo, hi)
+        for q in ("word0001 word0002", "the and of", "word0005"):
+            terms = sorted(set(q.split()))
+            want = [r for r in full.score_terms(terms, candidate_limit=n,
+                                                doc_range=(lo, hi))]
+            got = shard.score_terms(terms, candidate_limit=n)
+            assert got == want, (lo, hi, q)
+            for doc_id, _, _ in got[:5]:
+                assert shard.doc_meta(doc_id) == full.doc_meta(doc_id)
+
+
 def test_sharded_engine_rank_identity(built_index):
     """N-shard fan-out + merge must be rank- and score-identical to the
     single engine for every query shape (incl. paging and all-stopword)."""
