@@ -96,32 +96,46 @@ FROM documents WHERE doc_id % 3 = 0
 """
 
 
+def _news_batch(batch: pa.Table) -> pa.Table:
+    """Filtered-doc rank in CLOSED FORM: documents.doc_id is dense 0..N-1
+    (module contract, same density transcripts_from_documents' conv layout
+    relies on), so the docs passing ``doc_id % 3 == 0`` are exactly
+    {0, 3, 6, ...} and ``row_number() OVER (ORDER BY doc_id) - 1`` equals
+    ``doc_id // 3`` — each batch derives its rows independently, no sort, no
+    prefix-sum exchange, no driver materialization."""
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sel = doc_id % 3 == 0
+    doc_id = doc_id[sel]
+    r = doc_id // 3
+    texts = pc.binary_join_element_wise(
+        pa.scalar("news digest "), batch.column("text").filter(pa.array(sel)),
+        "")
+    base_us = int(_EPOCH.timestamp()) * 1_000_000
+    return pa.table({
+        "conv_id": pa.array([f"news-{c:06d}"
+                             for c in r // NEWS_TURNS_PER_CONV], pa.string()),
+        "turn_idx": pa.array((r % NEWS_TURNS_PER_CONV).astype(np.int32)),
+        "role": pa.array(["news"] * len(r), pa.string()),
+        "text": texts,
+        "tool": pa.array(["feed"] * len(r), pa.string()),
+        "ts": pa.array(base_us + doc_id * 60_000_000).cast(pa.timestamp("us")),
+    })
+
+
 def news_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """Second corpus (reference J3 news): every 3rd document becomes a news
     item, 4 turns per news conversation, 'news digest ' text prefix.  The
     'news-' conv prefix sorts AFTER 'conv-', so in a unified build the news
     docs occupy the tail doc-id range [N_web, N_web + N_news) — the engine's
     analogue of the reference's source_type discriminator column
-    (/root/reference/alembic/versions/0007_unify_news_tokens.py:18-31)."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"]).sort_by("doc_id")
-    doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
-    sel = doc_id % 3 == 0
-    doc_id = doc_id[sel]
-    texts = np.asarray(t.column("text").to_pylist(), dtype=object)[sel]
-    r = np.arange(len(doc_id))
-    base_us = int(_EPOCH.timestamp()) * 1_000_000
-    out = pa.table({
-        "conv_id": pa.array([f"news-{c:06d}"
-                             for c in r // NEWS_TURNS_PER_CONV], pa.string()),
-        "turn_idx": pa.array((r % NEWS_TURNS_PER_CONV).astype(np.int32)),
-        "role": pa.array(["news"] * len(r), pa.string()),
-        "text": pa.array([f"news digest {x}" for x in texts], pa.string()),
-        "tool": pa.array(["feed"] * len(r), pa.string()),
-        "ts": pa.array(base_us + doc_id * 60_000_000).cast(pa.timestamp("us")),
-    })
-    return ray.data.from_arrow(out)
+    (/root/reference/alembic/versions/0007_unify_news_tokens.py:18-31).
+
+    Fully streaming: column-pruned read_parquet + a stateless map_batches
+    (rank is a closed form of the dense doc_id — see _news_batch), so the
+    derivation scales with the documents table without any driver pass."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(_news_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
