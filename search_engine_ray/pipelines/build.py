@@ -275,9 +275,9 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
 
 
 def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
-                 source_desc: str = "", transcripts_path: str | None = None
-                 ) -> dict:
-    """Incrementally extend an existing index with NEW conversations.
+                 source_desc: str = "", transcripts_path: str | None = None,
+                 allow_out_of_order: bool = False) -> dict:
+    """Incrementally extend an existing index with new conversations.
 
     This is the engine's analogue of the reference's per-doc incremental
     maintenance (delete+reinsert on recrawl, worker.py:229) re-expressed for
@@ -286,9 +286,23 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     new postings into the existing term rows (untouched terms are carried
     over without decoding; untouched parts are untouched files).
 
-    Append-only contract: every new conv_id must sort AFTER the existing
-    ``max_conv`` so dense doc ids stay order-equivalent to doc keys (new ids
-    start at the old doc_total).  Violations raise."""
+    Default (append-only) contract: every new conv_id must sort AFTER the
+    existing ``max_conv`` so dense doc ids stay order-equivalent to doc keys
+    (new ids start at the old doc_total).  Violations raise.
+
+    ``allow_out_of_order=True`` lifts the contract with a GENERATION model:
+    the batch lands in its own tail doc-id block [n0, n0+n_new) regardless
+    of conv-id sort order, and incoming conv_ids that already exist are
+    recrawls — their old doc ranges are tombstoned first (delete+reinsert,
+    exactly worker.py:229), so queries see only the new version.  The
+    manifest records each generation's doc-id block; compaction = the normal
+    truncate-rebuild, which folds every generation (and its tombstones) into
+    one order-equivalent id space.  Semantics drift vs a clean rebuild:
+    stage-1 candidate-limit TIE-BREAKS use doc_id order, which inside an
+    out-of-order generation no longer equals url order (stage-2's final
+    (-score, url) sort is unaffected — property-tested equal to a clean
+    unified rebuild); after a recrawl, df/idf keep counting tombstoned docs
+    until the next rebuild (same as delete_conversations)."""
     index_dir = cfg.index_dir
     manifest = load_manifest(index_dir)
     if "doc_total" not in manifest:
@@ -307,9 +321,16 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
                 "manifest": manifest}
     low = min(offsets)
     if max_conv and low <= max_conv:
-        raise ValueError(
-            f"incremental extend requires new conv_ids > {max_conv!r}; "
-            f"got {low!r} (append-only contract)")
+        if not allow_out_of_order:
+            raise ValueError(
+                f"incremental extend requires new conv_ids > {max_conv!r}; "
+                f"got {low!r} (append-only contract; pass "
+                f"allow_out_of_order=True for generation-based ingest)")
+        # recrawl semantics: tombstone the OLD docs of any re-ingested conv
+        # BEFORE appending (the resolver reads the current doc store, so it
+        # must not see the new rows).  Non-existing convs are a no-op.
+        from ..state.tombstones import delete_conversations
+        delete_conversations(index_dir, sorted(offsets))
     offsets = {c: b + n0 for c, b in offsets.items()}
     offsets_ref = ray.put(offsets)
     n = n0 + n_new
@@ -339,7 +360,12 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
              "avgdl": total_tokens / n}
     write_stats(index_dir, stats)
     seg_manifest["doc_total"] = n
-    seg_manifest["max_conv"] = max(offsets)
+    seg_manifest["max_conv"] = max(max(offsets), max_conv)
+    gens = seg_manifest.get("generations") or [
+        {"doc_lo": 0, "doc_hi": n0, "source": "base"}]
+    gens.append({"doc_lo": n0, "doc_hi": n, "source": source_desc,
+                 "out_of_order": bool(max_conv and low <= max_conv)})
+    seg_manifest["generations"] = gens
     save_manifest(index_dir, seg_manifest)
     return {"index_dir": index_dir, "doc_total": n, "stats": stats,
             "manifest": seg_manifest}

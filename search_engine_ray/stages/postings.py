@@ -568,8 +568,13 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
     doc-length rows; they ride the same shuffle to a reserved part whose
     reducer publishes the doclens artifact — one exchange for postings AND
     lengths.  Returns the manifest dict."""
-    manifest = load_manifest(index_dir) if (resume or merge_existing) \
-        else {"entries": {}}
+    # always load: non-resume builds reset the part entries but PRESERVE the
+    # bookkeeping keys the caller committed before this barrier (max_conv,
+    # docs_fingerprint, doc_total) — a fresh dict would drop them from the
+    # final save and silently disable extend_index's append-only guard
+    manifest = load_manifest(index_dir)
+    if not (resume or merge_existing):
+        manifest["entries"] = {}
     if merge_existing:
         # incremental extend: every existing entry stays valid (untouched
         # parts keep their files); nothing is skipped

@@ -262,6 +262,75 @@ def test_incremental_extend_equals_full_build(tmp_path):
                      source_desc="inc-bad")
 
 
+def test_out_of_order_extend_and_recrawl(tmp_path):
+    """Generation-based ingest: a conv-id slice that sorts BEFORE max_conv
+    lands as its own tail doc-id generation; search results equal a clean
+    unified rebuild.  Re-ingesting an existing conv (recrawl) tombstones the
+    old docs — queries see only the new version, no duplicate urls."""
+    import pyarrow.compute as pc
+    import pytest as _pytest
+
+    from search_engine_ray.pipelines.build import extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(60, seed=13)
+    mask_mid = pc.and_(
+        pc.greater_equal(full.column("conv_id"), "conv-000020"),
+        pc.less(full.column("conv_id"), "conv-000030"))
+    part_mid = full.filter(mask_mid)
+    part_rest = full.filter(pc.invert(mask_mid))
+    assert part_mid.num_rows and part_rest.num_rows
+
+    cfg_inc = EngineConfig(index_dir=str(tmp_path / "ooo"), num_partitions=8)
+    build_index(ray.data.from_arrow(part_rest).repartition(3), cfg_inc,
+                source_desc="ooo-a")
+    with _pytest.raises(ValueError, match="append-only"):
+        extend_index(ray.data.from_arrow(part_mid), cfg_inc,
+                     source_desc="ooo-bad")
+    info = extend_index(ray.data.from_arrow(part_mid).repartition(2),
+                        cfg_inc, source_desc="ooo-b",
+                        allow_out_of_order=True)
+    gens = info["manifest"]["generations"]
+    assert gens[-1]["out_of_order"] and \
+        gens[-1]["doc_hi"] - gens[-1]["doc_lo"] == part_mid.num_rows
+
+    cfg_full = EngineConfig(index_dir=str(tmp_path / "ooo_full"),
+                            num_partitions=8)
+    build_index(ray.data.from_arrow(full).repartition(4), cfg_full,
+                source_desc="ooo-full")
+    qi = QueryEngine(cfg_inc.index_dir)
+    qf = QueryEngine(cfg_full.index_dir)
+    assert qi.doc_total == qf.doc_total == full.num_rows
+    assert qi.avgdl == qf.avgdl
+    for q, limit, offset in QUERY_SET[:8]:
+        assert _rows_key(qi.search(q, limit=limit, offset=offset)) == \
+            _rows_key(qf.search(q, limit=limit, offset=offset)), q
+
+    # recrawl conv-000025 with entirely new text
+    reconv = part_mid.filter(pc.equal(part_mid.column("conv_id"),
+                                      "conv-000025"))
+    assert reconv.num_rows
+    recrawl = reconv.set_column(
+        reconv.schema.get_field_index("text"), "text",
+        pa.array(["zzzmarker fresh body"] * reconv.num_rows, pa.string()))
+    extend_index(ray.data.from_arrow(recrawl), cfg_inc,
+                 source_desc="ooo-recrawl", allow_out_of_order=True)
+    qe = QueryEngine(cfg_inc.index_dir)
+    hits = qe.search("zzzmarker", limit=50)
+    assert {r["url"] for r in hits} == \
+        {f"conv-000025#{t}" for t in
+         reconv.column("turn_idx").to_pylist()}
+    # the OLD version is gone: any query returning conv-000025 urls must
+    # show the new text, and no query may return a duplicate url
+    for q in ("word0000", "word0001 word0002", "zzzmarker"):
+        rows = qe.search(q, limit=100)
+        urls = [r["url"] for r in rows]
+        assert len(urls) == len(set(urls)), q
+        for r in rows:
+            if r["conv_id"] == "conv-000025":
+                assert r["text"] == "zzzmarker fresh body"
+
+
 def test_empty_corpus(tmp_path):
     empty = pa.table({
         "conv_id": pa.array([], pa.string()),
