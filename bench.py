@@ -147,6 +147,12 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     wand_lat.sort()
     queries["stage1_auto"] = round(sum(wand_lat), 3)
 
+    # concurrent serving: QPS through the HTTP surface backed by a sharded
+    # engine (N client threads, each running the query set once) — measures
+    # the multi-node serving shape, not just single-stream latency
+    qps, q_p50_ms, q_p99_ms = _bench_qps(index_dir)
+    queries[f"qps_threads{QPS_THREADS}_shards{QPS_SHARDS}"] = qps
+
     # secondary pipelines over the driver testdata tables
     from search_engine_ray.pipelines import queries as Q
     for name, fn in (("dedup_exact", Q.dedup_exact_groups),
@@ -170,10 +176,81 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
         "turns_per_sec": round(num_turns / build_sec, 1),
         "query_p50_ms": round(p50_ms, 2),
         "stage1_auto_p50_ms": round(wand_lat[len(wand_lat) // 2] * 1000, 2),
+        "qps": qps,
+        "concurrent_p50_ms": q_p50_ms,
+        "query_p99_ms": q_p99_ms,
     }
 
 
+QPS_THREADS = int(os.environ.get("QPS_THREADS", "8"))
+QPS_SHARDS = int(os.environ.get("QPS_SHARDS", "4"))
+
+
+def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
+               n_shards: int = QPS_SHARDS) -> tuple[float, float, float]:
+    """(qps, p50_ms, p99_ms) for concurrent GET /search load against a
+    ThreadingHTTPServer holding one warm ShardedQueryEngine."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    from urllib.parse import quote
+
+    from search_engine_ray.serving.http import make_handler
+    from search_engine_ray.state.sharded import ShardedQueryEngine
+
+    eng = ShardedQueryEngine(index_dir, num_shards=n_shards)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    port = srv.server_address[1]
+    st = threading.Thread(target=srv.serve_forever, daemon=True)
+    st.start()
+    urls = [f"http://127.0.0.1:{port}/search?q={quote(q)}&limit=20"
+            for q in QUERY_SET]
+    for u in urls[:10]:                       # warm shard actors + caches
+        urllib.request.urlopen(u, timeout=30).read()
+
+    lat: list[float] = []
+    lock = threading.Lock()
+
+    def worker():
+        local = []
+        for u in urls:
+            t0 = time.time()
+            urllib.request.urlopen(u, timeout=60).read()
+            local.append(time.time() - t0)
+        with lock:
+            lat.extend(local)
+
+    t_start = time.time()
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t_start
+    srv.shutdown()
+    eng.shutdown()
+    lat.sort()
+    return (round(len(lat) / wall, 1),
+            round(lat[len(lat) // 2] * 1000, 2),
+            round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000, 2))
+
+
 SCALING_REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+
+# every child run (both repeats, both levels) is appended raw to this jsonl
+# so the min-per-level protocol stays auditable (BASELINE.md "Scaling
+# measurement honesty")
+SCALING_LOG = os.environ.get("SCALING_LOG",
+                             os.path.join(REPO, "SCALING_runs.jsonl"))
+
+
+def _log_scaling_run(rec: dict) -> None:
+    try:
+        with open(SCALING_LOG, "a") as f:
+            f.write(json.dumps({"wall_clock": time.strftime(
+                "%Y-%m-%dT%H:%M:%S"), **rec}) + "\n")
+    except OSError:
+        pass
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
@@ -204,6 +281,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             r = json.loads(lines[-1])
             sys.stderr.write(f"scaling child cpus={cpus}: {r['value']}s "
                              f"{ {k: v for k, v in r['queries'].items()} }\n")
+            _log_scaling_run({"cpus": cpus, "mult": SCALING_MULT, **r})
             if best is None or r["value"] < best["value"]:
                 best = r
         results[cpus] = best

@@ -31,6 +31,7 @@ from ..functions.hashing import hash64
 from ..sources.transcripts import transcripts_from_documents
 from ..state.query_engine import QueryEngine
 from .build import build_index
+from ..util import read_parquet_clean
 
 _CACHE_ROOT = "/tmp/search_engine_ray/entry"
 _engines: dict[tuple, QueryEngine] = {}
@@ -428,7 +429,7 @@ def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
     """Backward as-of self-join: each click event annotated with the most
     recent prior view by the same user (stages/temporal.asof_prior_event)."""
     from ..stages.temporal import asof_prior_event
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "ts", "user_id",
                                         "event_type"])
     return asof_prior_event(ev, left_type="click", right_type="view")
@@ -441,7 +442,7 @@ def events_range_join(sf_dir: str) -> "ray.data.Dataset":
     """Range join: per error event, count + cent-sum of clicks by the same
     user within the following hour (stages/temporal.range_join_counts)."""
     from ..stages.temporal import range_join_counts
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "ts", "user_id",
                                         "event_type", "value"])
 
@@ -478,7 +479,7 @@ def events_hll_registers(sf_dir: str) -> "ray.data.Dataset":
     """HyperLogLog distinct-user sketch per event type — the register table
     (integer-exact, SQL-mirrorable surface), stages/stats.hll_registers."""
     from ..stages.stats import hll_registers
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "user_id"])
     return hll_registers(ev, key="event_type", value_col="user_id")
 
@@ -487,7 +488,7 @@ def events_hopping_window(sf_dir: str) -> "ray.data.Dataset":
     """Hopping-window aggregate (1h windows every 15min):
     stages/temporal.hopping_window_counts."""
     from ..stages.temporal import hopping_window_counts
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["ts", "event_type", "value"])
     return hopping_window_counts(ev)
 
@@ -496,7 +497,7 @@ def events_sample_per_user(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic uniform 5-per-user event sample (hash-draw reservoir
     analogue, stages/curation.sample_per_key)."""
     from ..stages.curation import sample_per_key
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "event_id"])
     return sample_per_key(ev, key="user_id", id_col="event_id", k=5)
 
@@ -505,7 +506,7 @@ def events_percentiles(sf_dir: str) -> "ray.data.Dataset":
     """Exact per-event-type value percentiles (numpy linear ==
     quantile_cont), stages/stats.column_percentiles."""
     from ..stages.stats import column_percentiles
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "value"])
     return column_percentiles(ev, key="event_type", col="value")
 
@@ -558,7 +559,7 @@ def rolling_fingerprints(sf_dir: str) -> "ray.data.Dataset":
 def _synthetic_edges(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic SQL-mirrorable reference graph over documents: every doc
     with doc_id % 3 == 0 links to (doc_id * 7 + 13) % N."""
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id"])
     n = docs.count()
 
@@ -578,7 +579,7 @@ def graph_inlinks(sf_dir: str) -> "ray.data.Dataset":
 
 def graph_pagerank(sf_dir: str) -> pa.Table:
     from ..stages.graph import pagerank
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id"])
     n = docs.count()
     pr = pagerank(_synthetic_edges(sf_dir), n)
@@ -595,7 +596,7 @@ def graph_pagerank(sf_dir: str) -> pa.Table:
 
 def events_window(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling 1-hour window per event_type: count + exact cents sum."""
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["ts", "event_type", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -626,7 +627,7 @@ def events_window(sf_dir: str) -> "ray.data.Dataset":
 def sessionize(sf_dir: str) -> "ray.data.Dataset":
     """Gap-based sessionization (30-min gap) per user via groupby.map_groups."""
     GAP_US = 30 * 60 * 1_000_000
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "ts", "user_id", "value"])
 
     def per_user(group: pa.Table) -> pa.Table:
@@ -656,7 +657,7 @@ def sessionize(sf_dir: str) -> "ray.data.Dataset":
 def join_orders_customers(sf_dir: str) -> "ray.data.Dataset":
     """Broadcast hash join (small side via ray.put) + groupby aggregate."""
     import ray as _ray
-    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    cust = read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
                                  columns=["c_custkey", "c_mktsegment"])
     seg_map: dict[int, str] = {}
     for b in cust.iter_batches(batch_format="pyarrow"):
@@ -664,7 +665,7 @@ def join_orders_customers(sf_dir: str) -> "ray.data.Dataset":
                            b.column("c_mktsegment").to_pylist()))
     ref = _ray.put(seg_map)
 
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_custkey", "o_totalprice"])
 
     class JoinAgg:
@@ -704,7 +705,7 @@ def lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H-Q1-shaped aggregate over the largest table: per-batch partial
     aggregation (combiner) before the tiny groupby — the shuffle moves one
     row per (batch, group), not per lineitem."""
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice"])
@@ -745,7 +746,7 @@ def lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
 
 
 def topk_orders(sf_dir: str) -> "ray.data.Dataset":
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_orderkey", "o_totalprice"])
 
     def cents(batch: pa.Table) -> pa.Table:
@@ -803,7 +804,7 @@ def ann_topk(sf_dir: str) -> pa.Table:
     """Exact cosine top-k; over-fetch then deterministic re-rank on (rounded
     cosine DESC, vec_id ASC) so the DuckDB mirror agrees at ulp boundaries."""
     from ..stages.ann import brute_force_topk
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     t = brute_force_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
                          k=ANN_K + 10)
     return _rerank_topk(t)
@@ -811,7 +812,7 @@ def ann_topk(sf_dir: str) -> pa.Table:
 
 def ann_lsh_topk(sf_dir: str) -> pa.Table:
     from ..stages.ann import lsh_topk
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     t = lsh_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
                  k=ANN_K + 10)
     return _rerank_topk(t)
@@ -819,7 +820,7 @@ def ann_lsh_topk(sf_dir: str) -> pa.Table:
 
 def ann_ivf_topk(sf_dir: str) -> pa.Table:
     from ..stages.ann import ivf_topk
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     t = ivf_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
                  k=ANN_K + 10)
     return _rerank_topk(t)
@@ -827,7 +828,7 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
 
 def embedding_near_dups(sf_dir: str) -> pa.Table:
     from ..stages.ann import cosine_near_dup_pairs
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     rows = cosine_near_dup_pairs(emb, threshold=0.98).take_all()
     rows.sort(key=lambda r: (r["vec_a"], r["vec_b"]))
     return pa.table({
@@ -847,7 +848,7 @@ def embedding_near_dups_aug(sf_dir: str) -> pa.Table:
     — recall of the injected pairs is guaranteed, cosine rounds to 1.0 — while
     every other in-bucket pair exercises the threshold-reject branch."""
     from ..stages.ann import cosine_near_dup_pairs
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
     def scaled_copies(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -898,7 +899,7 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
     then broadcast and anti-filtered against customers (no shuffle join).
     Returned as an explicit-schema Table so an empty result keeps columns."""
     import ray as _ray
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = read_parquet_clean(os.path.join(sf_dir, "orders.parquet"),
                                    columns=["o_custkey", "o_totalprice"])
 
     def qualifying_keys(batch: pa.Table) -> pa.Table:
@@ -923,7 +924,7 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
                     for k in batch.column("c_custkey").to_pylist()]
             return batch.filter(pa.array(mask)).select(["c_custkey", "c_name"])
 
-    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+    cust = read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
                                  columns=["c_custkey", "c_name"])
     rows = cust.map_batches(AntiJoin, fn_constructor_args=(ref,),
                             batch_format="pyarrow",

@@ -61,8 +61,16 @@ def _mcp_markdown(results: list[dict]) -> str:
     return out.strip()
 
 
-def make_handler(engine, lexicon=None):
-    lock = threading.Lock()
+def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
+    """``serialize_search``: guard engine.search with a lock.  Default: only
+    for a single-process QueryEngine (its stage-1 accumulate buffers are
+    reused per engine).  A ShardedQueryEngine needs no lock — per-shard
+    state lives in actors (which serialize per actor), and the driver-side
+    merge is pure-local, so concurrent requests pipeline across shards."""
+    import contextlib
+    if serialize_search is None:
+        serialize_search = isinstance(engine, QueryEngine)
+    lock = threading.Lock() if serialize_search else contextlib.nullcontext()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet test output

@@ -29,6 +29,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..config import TRANSCRIPTS_SCHEMA
+from ..util import read_parquet_clean
 
 TURNS_PER_CONV = 8
 _EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
@@ -73,7 +74,7 @@ def _docs_batch_to_transcripts(batch: pa.Table) -> pa.Table:
 
 def transcripts_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """documents.parquet -> transcript-shaped Dataset (column-pruned read)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return ds.map_batches(_docs_batch_to_transcripts, batch_format="pyarrow")
@@ -133,7 +134,7 @@ def news_from_documents(sf_dir: str) -> "ray.data.Dataset":
     Fully streaming: column-pruned read_parquet + a stateless map_batches
     (rank is a closed form of the dense doc_id — see _news_batch), so the
     derivation scales with the documents table without any driver pass."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(_news_batch, batch_format="pyarrow")
 
@@ -315,5 +316,5 @@ def write_transcripts(table: pa.Table, path: str, *,
 
 
 def read_transcripts(path: str) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(path)
+    ds = read_parquet_clean(path)
     return ds

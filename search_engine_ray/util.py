@@ -15,3 +15,28 @@ def default_pool_max(cap: int = 64) -> int:
     except Exception:
         pass
     return 8
+
+
+def read_parquet_clean(path, **kwargs):
+    """``ray.data.read_parquet`` with the file's schema METADATA stripped.
+
+    The driver testdata parquet carries a ``b'pandas'`` schema-metadata
+    entry whose decoded form is a dict, which makes ``pa.Schema``
+    unhashable — Ray Data's block-schema dedup then logs ``Failed to hash
+    the schemas (for deduplication)`` from inside every read task.  Passing
+    an explicit metadata-free schema removes the noise at the source (and
+    costs one footer read on the driver)."""
+    import ray.data
+
+    if "schema" not in kwargs:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            s = pq.read_schema(path).remove_metadata()
+            cols = kwargs.get("columns")
+            if cols is not None:      # match the reader's projected schema
+                s = pa.schema([s.field(c) for c in cols])
+            kwargs["schema"] = s
+        except Exception:
+            pass                      # directories/unreadable: Ray infers
+    return ray.data.read_parquet(path, **kwargs)
