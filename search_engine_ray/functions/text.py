@@ -162,6 +162,20 @@ def intent_score(*, token_score: float, matched_terms: int, total_terms: int,
     return score
 
 
+def fallback_score(*, token_score: float, matched_terms: int,
+                   total_terms: int) -> float:
+    """Degraded-mode score used when stage-2 document text cannot be
+    decoded: token features only, no title/description/url bonuses —
+    exact formula from the reference's encoding-error retry
+    (/root/reference/app/api/search_service.py:328-334)."""
+    score = math.log1p(max(float(token_score), 0.0)) * 12.0
+    if total_terms:
+        score += (matched_terms / total_terms) * 25.0
+        if matched_terms == total_terms:
+            score += 40.0
+    return score
+
+
 CANDIDATE_BUFFER = 200
 MAX_CANDIDATES = 2000
 

@@ -637,13 +637,14 @@ def sessionize(sf_dir: str) -> "ray.data.Dataset":
         user = group.column("user_id")[0].as_py()
         new_session = np.ones(len(ts), dtype=bool)
         new_session[1:] = (ts[1:] - ts[:-1]) > GAP_US
-        sess = np.cumsum(new_session)
-        starts, counts, sums = [], [], []
-        for s in range(1, sess[-1] + 1) if len(ts) else []:
-            m = sess == s
-            starts.append(int(ts[m][0]))
-            counts.append(int(m.sum()))
-            sums.append(int(np.floor(vals[m] * 100 + 0.5).astype(np.int64).sum()))
+        bounds = np.flatnonzero(new_session)        # first index per session
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        if len(ts):
+            starts = ts[bounds]
+            counts = np.diff(np.append(bounds, len(ts)))
+            sums = np.add.reduceat(cents, bounds)
+        else:
+            starts = counts = sums = np.empty(0, dtype=np.int64)
         return pa.table({
             "user_id": pa.array([user] * len(starts), pa.int64()),
             "session_start": pa.array(starts, pa.int64()).cast(

@@ -263,8 +263,8 @@ def media_from_documents(sf_dir: str, *, limit: int = 200) -> pa.Table:
     import os
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"]).sort_by("doc_id")
-    t = t.filter(pa.compute.less(t.column("doc_id"), limit))
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", limit)]).sort_by("doc_id")
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
     types = [("image", "audio", "video")[d % 3] for d in doc_ids]

@@ -48,9 +48,33 @@ import pyarrow.parquet as pq
 
 from ..config import EngineConfig
 from ..functions.text import (DEFAULT_FIELD_WEIGHT, bm25_score,
-                              idf as idf_fn, intent_score, search_context)
+                              fallback_score, idf as idf_fn, intent_score,
+                              search_context)
 from ..functions.varbyte import decode_block, decode_postings_blocked
 from ..stages.stats import read_stats
+
+
+def fallback_page(cands: list[tuple[int, float, int]], ctx: dict, *,
+                  limit: int, offset: int) -> list[dict]:
+    """Degraded result page mirroring the reference's encoding-error retry
+    (/root/reference/app/api/search_service.py:321-338): when stage-2 doc
+    metadata cannot be decoded, re-rank the stage-1 candidates on token
+    features alone and emit rows with empty text fields.  Sort is stable on
+    score DESC, so ties keep stage-1 (token_score DESC, doc_id ASC) order —
+    same as the reference's ``list.sort(key=score, reverse=True)`` over
+    SQL-ordered rows."""
+    out = []
+    for doc_id, token_score, matched_terms in cands:
+        score = fallback_score(token_score=token_score,
+                               matched_terms=matched_terms,
+                               total_terms=ctx["total_terms"])
+        out.append({
+            "conv_id": "", "turn_idx": -1, "role": "", "tool": "",
+            "text": "", "url": "", "score": score,
+            "token_score": token_score, "matched_terms": matched_terms,
+        })
+    out.sort(key=lambda r: -r["score"])
+    return out[offset:offset + limit]
 
 
 class _TermIter:
@@ -512,24 +536,27 @@ class QueryEngine:
             return []
         cands, ctx = res
         ranked = []
-        for doc_id, token_score, matched_terms in cands:
-            meta = self.doc_meta(doc_id)
-            url = f"{meta['conv_id']}#{meta['turn_idx']}"
-            score = intent_score(
-                token_score=token_score, matched_terms=matched_terms,
-                total_terms=ctx["total_terms"],
-                query_phrase=ctx["query_phrase"],
-                query_compact=ctx["query_compact"],
-                query_words=ctx["query_words"],
-                title=meta["tool"] or "", description=meta["text"] or "",
-                url=url) + intent_bias
-            ranked.append({
-                "conv_id": meta["conv_id"], "turn_idx": meta["turn_idx"],
-                "role": meta["role"], "tool": meta["tool"],
-                "text": meta["text"], "url": url,
-                "score": score, "token_score": token_score,
-                "matched_terms": matched_terms,
-            })
+        try:
+            for doc_id, token_score, matched_terms in cands:
+                meta = self.doc_meta(doc_id)
+                url = f"{meta['conv_id']}#{meta['turn_idx']}"
+                score = intent_score(
+                    token_score=token_score, matched_terms=matched_terms,
+                    total_terms=ctx["total_terms"],
+                    query_phrase=ctx["query_phrase"],
+                    query_compact=ctx["query_compact"],
+                    query_words=ctx["query_words"],
+                    title=meta["tool"] or "", description=meta["text"] or "",
+                    url=url) + intent_bias
+                ranked.append({
+                    "conv_id": meta["conv_id"], "turn_idx": meta["turn_idx"],
+                    "role": meta["role"], "tool": meta["tool"],
+                    "text": meta["text"], "url": url,
+                    "score": score, "token_score": token_score,
+                    "matched_terms": matched_terms,
+                })
+        except UnicodeDecodeError:
+            return fallback_page(cands, ctx, limit=limit, offset=offset)
         ranked.sort(key=lambda r: (-r["score"], r["url"]))
         return ranked[offset:offset + limit]
 

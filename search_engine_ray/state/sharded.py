@@ -25,7 +25,7 @@ import ray
 
 from ..functions.text import intent_score, search_context
 from ..stages.stats import read_stats
-from .query_engine import QueryEngine
+from .query_engine import QueryEngine, fallback_page
 
 
 @ray.remote
@@ -45,18 +45,25 @@ class _ShardActor:
     def loaded_postings_bytes(self) -> int:
         return self._eng.loaded_postings_bytes()
 
-    def score_range(self, sorted_terms: list[str], cl: int) -> list[tuple]:
-        """Local top-cl (doc_id, token_score, matched, conv_id, turn_idx,
-        role, tool, text) within this shard's range."""
+    def score_range(self, sorted_terms: list[str], cl: int
+                    ) -> tuple[bool, list[tuple]]:
+        """(ok, local top-cl rows) within this shard's range; rows carry
+        (doc_id, token_score, matched, conv_id, turn_idx, role, tool, text).
+        ok=False signals a doc-meta decode failure — the rows then carry
+        stage-1 triples only, and the driver degrades the WHOLE query to the
+        reference's encoding-error fallback page (search_service.py:321)."""
         rows = self._eng.score_terms(sorted_terms, candidate_limit=cl,
                                      doc_range=(self._lo, self._hi))
         out = []
-        for doc_id, score, matched in rows:
-            meta = self._eng.doc_meta(doc_id)
-            out.append((doc_id, score, matched, meta["conv_id"],
-                        meta["turn_idx"], meta["role"], meta["tool"],
-                        meta["text"]))
-        return out
+        try:
+            for doc_id, score, matched in rows:
+                meta = self._eng.doc_meta(doc_id)
+                out.append((doc_id, score, matched, meta["conv_id"],
+                            meta["turn_idx"], meta["role"], meta["tool"],
+                            meta["text"]))
+        except UnicodeDecodeError:
+            return False, [(d, s, m) for d, s, m in rows]
+        return True, out
 
 
 class ShardedQueryEngine:
@@ -83,7 +90,16 @@ class ShardedQueryEngine:
         cl = ctx["candidate_limit"]
         terms = sorted(set(ctx["query_terms"]))
         futs = [a.score_range.remote(terms, cl) for a in self._actors]
-        rows = [r for part in ray.get(futs) for r in part]
+        parts = ray.get(futs)
+        if not all(ok for ok, _ in parts):
+            # any shard hit a doc-meta decode error -> whole query degrades
+            # (reference re-runs the titleless fallback SQL for the full
+            # candidate set, search_service.py:321-338)
+            triples = [r[:3] for _, part in parts for r in part]
+            triples.sort(key=lambda r: (-r[1], r[0]))
+            return fallback_page(triples[:cl], ctx, limit=limit,
+                                 offset=offset)
+        rows = [r for _, part in parts for r in part]
         # global stage-1 order: (score DESC, doc_id ASC); each shard returned
         # its full local top-cl, so the global top-cl is contained in rows
         rows.sort(key=lambda r: (-r[1], r[0]))

@@ -503,3 +503,74 @@ def test_tombstone_deletes(tiny_transcripts, tmp_path):
     for res in (a, w):
         ids = np.array([d for d, _, _ in res[0]], dtype=np.int64)
         assert mask_tombstoned(ids, lo, hi).all()
+
+
+def test_encoding_error_fallback_single_engine(built_index, monkeypatch):
+    """Reference parity: a stage-2 doc-meta decode failure degrades the query
+    to token-feature-only scoring with empty text fields
+    (/root/reference/app/api/search_service.py:321-338)."""
+    import math
+    from search_engine_ray.functions.text import fallback_score
+    cfg, _ = built_index
+    eng = QueryEngine(cfg.index_dir)
+    q = "word0001 word0002"
+    cands, ctx = eng.candidates(q, limit=10, offset=0)
+    assert cands
+
+    def boom(doc_id):
+        raise UnicodeDecodeError("utf-8", b"\xff", 0, 1, "synthetic")
+    monkeypatch.setattr(eng, "doc_meta", boom)
+
+    page = eng.search(q, limit=10, offset=0)
+    assert len(page) == min(10, len(cands))
+    for row in page:
+        assert row["conv_id"] == "" and row["text"] == "" and row["url"] == ""
+    want = sorted(
+        (fallback_score(token_score=s, matched_terms=m,
+                        total_terms=ctx["total_terms"])
+         for _, s, m in cands), reverse=True)[:10]
+    assert [r["score"] for r in page] == want
+    # formula spot-check
+    _, s0, m0 = cands[0]
+    expect = math.log1p(max(s0, 0.0)) * 12.0 + \
+        (m0 / ctx["total_terms"]) * 25.0 + \
+        (40.0 if m0 == ctx["total_terms"] else 0.0)
+    assert fallback_score(token_score=s0, matched_terms=m0,
+                          total_terms=ctx["total_terms"]) == expect
+
+
+def test_encoding_error_fallback_sharded_driver(built_index):
+    """If any shard reports a decode failure, the WHOLE sharded query
+    degrades to the fallback page over merged stage-1 triples."""
+    import ray
+    from search_engine_ray.state.sharded import ShardedQueryEngine
+
+    cfg, _ = built_index
+    single = QueryEngine(cfg.index_dir)
+    q = "word0001 word0002"
+    cands, ctx = single.candidates(q, limit=10, offset=0)
+    sharded = ShardedQueryEngine(cfg.index_dir, num_shards=2)
+
+    @ray.remote
+    class FakeShard:
+        def __init__(self, triples):
+            self._t = triples
+
+        def score_range(self, terms, cl):
+            return False, self._t[:cl]
+
+    # replace one real shard with a degraded one carrying that shard's
+    # stage-1 triples; the other shard stays healthy
+    n = single.doc_total
+    lo_triples = [c for c in cands if c[0] < n // 2]
+    sharded._actors[0] = FakeShard.remote(lo_triples)
+    page = sharded.search(q, limit=10, offset=0)
+    assert page and all(r["conv_id"] == "" and r["url"] == "" for r in page)
+    # scores are the fallback formula over the merged candidate set
+    from search_engine_ray.functions.text import fallback_score
+    want = sorted(
+        (fallback_score(token_score=s, matched_terms=m,
+                        total_terms=ctx["total_terms"])
+         for _, s, m in cands), reverse=True)[:10]
+    assert [r["score"] for r in page] == want
+    sharded.shutdown()
