@@ -81,14 +81,16 @@ class _TermIter:
     """Posting-list cursor with block-skip next_geq (decodes one block at a
     time using the stored per-block byte offsets)."""
 
-    __slots__ = ("dbuf", "tbuf", "meta", "idf", "ub", "nblocks", "b",
-                 "docs", "tfs", "pos", "cur_doc", "cur_tf")
+    __slots__ = ("dbuf", "tbuf", "meta", "idf", "ub", "ub_blocks", "nblocks",
+                 "b", "docs", "tfs", "pos", "cur_doc", "cur_tf")
     INF = 1 << 62
 
     def __init__(self, dbuf: bytes, tbuf: bytes, meta: dict, idf: float,
-                 ub: float):
+                 ub_blocks: np.ndarray):
         self.dbuf, self.tbuf, self.meta = dbuf, tbuf, meta
-        self.idf, self.ub = idf, ub
+        self.idf = idf
+        self.ub_blocks = ub_blocks          # per-block score upper bounds
+        self.ub = float(ub_blocks.max())    # global upper bound
         self.nblocks = len(meta["last_doc"])
         self._load_block(0)
 
@@ -387,20 +389,6 @@ class QueryEngine:
 
     # -- block-max WAND ----------------------------------------------------
 
-    def _score_one(self, tf: float, doc_id: int, idf: float) -> float:
-        if self.scoring == "bm25":
-            dl = float(self._doc_len[doc_id - self._base])
-            denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-            return idf * tf * (self.k1 + 1.0) / denom
-        return tf * idf * DEFAULT_FIELD_WEIGHT
-
-    def _term_ub(self, max_tf: float, idf: float) -> float:
-        if self.scoring == "bm25":
-            # dl -> 0 upper-bounds the length norm
-            denom = max_tf + self.k1 * (1.0 - self.b)
-            return idf * max_tf * (self.k1 + 1.0) / denom
-        return max_tf * idf * DEFAULT_FIELD_WEIGHT
-
     def candidates_wand(self, q: str, *, limit: int = 20, offset: int = 0
                         ) -> tuple[list[tuple[int, float, int]], dict] | None:
         """Stage-1 candidates via document-at-a-time WAND with block-skip
@@ -444,9 +432,26 @@ class QueryEngine:
 
     def _wand(self, sorted_terms: list[str], k: int
               ) -> list[tuple[int, float, int]]:
+        """Block-max WAND with BATCHED pivot evaluation: once the pivot is
+        reachable (min cursor == pivot), every doc in the window
+        [pivot_doc, min current-block end) is scored in one numpy pass —
+        per-term block slices scored vectorized, merged with a stable
+        doc-sort + ``np.add.reduceat`` so each doc's contributions sum in
+        sorted-term order (float-identical to the exhaustive accumulator).
+        Heap insertion runs per unique window doc in ascending doc order
+        with the same strict-replacement rule as doc-at-a-time WAND, so the
+        result — including boundary ties — equals the exhaustive path
+        (property-tested in test_wand_equals_exhaustive).  Scoring a window
+        is a superset of classic WAND's single-doc evaluation; the extra
+        docs are bounded by the 128-entry block and never change the top-k
+        (the per-doc score>theta check still gates insertion)."""
         import heapq
 
         INF = 1 << 62
+        bm25 = self.scoring == "bm25"
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+        doc_len, base = self._doc_len, self._base
+
         iters = []
         for term in sorted_terms:
             rec = self._dict.get(term)
@@ -455,9 +460,13 @@ class QueryEngine:
             df, cf, idf, dbuf, tbuf, meta = rec
             if not meta["last_doc"]:
                 continue
-            ub = max(self._term_ub(float(mt), float(idf))
-                     for mt in meta["max_tf"])
-            iters.append(_TermIter(dbuf, tbuf, meta, float(idf), ub))
+            idf = float(idf)
+            mt = np.asarray(meta["max_tf"], dtype=np.float64)
+            if bm25:                      # dl -> 0 upper-bounds the norm
+                ub_blocks = idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b))
+            else:
+                ub_blocks = mt * idf * DEFAULT_FIELD_WEIGHT
+            iters.append(_TermIter(dbuf, tbuf, meta, idf, ub_blocks))
         if not iters:
             return []
 
@@ -480,30 +489,77 @@ class QueryEngine:
                 break
             pivot_doc = by_doc[pivot_idx].cur_doc
 
-            if by_doc[0].cur_doc == pivot_doc:
-                # fully evaluate pivot_doc; sum in sorted-term order (iters
-                # is already term-ordered) for float identity with the
-                # exhaustive path
-                score = 0.0
-                matched = 0
-                for it in iters:
-                    if it.cur_doc == pivot_doc:
-                        score += self._score_one(float(it.cur_tf), pivot_doc,
-                                                 it.idf)
-                        matched += 1
-                for it in iters:
-                    if it.cur_doc == pivot_doc:
-                        it.advance()
+            if by_doc[0].cur_doc != pivot_doc:
+                for i in range(pivot_idx):
+                    by_doc[i].next_geq(pivot_doc)
+                continue
+
+            # batched window: all already-decoded postings in
+            # [pivot_doc, wend) across the live cursors
+            wend = min(int(it.docs[-1]) for it in live) + 1
+
+            if len(heap) == k:
+                # BLOCK-MAX gate (Ding & Suel 2011): any doc in the window
+                # scores at most the sum of the participating cursors'
+                # CURRENT-block upper bounds; insertion needs score > theta,
+                # so ub_sum <= theta skips the whole window unscored
+                ub_sum = 0.0
+                for it in live:
+                    if it.cur_doc < wend:
+                        ub_sum += float(it.ub_blocks[it.b])
+                if ub_sum <= theta:
+                    for it in live:
+                        if it.cur_doc < wend:
+                            it.next_geq(wend)
+                    continue
+
+            dparts: list[np.ndarray] = []
+            cparts: list[np.ndarray] = []
+            for it in iters:          # sorted-term order => float identity
+                if it.cur_doc >= wend:
+                    continue
+                hi = int(np.searchsorted(it.docs, wend, side="left"))
+                d = it.docs[it.pos:hi]
+                t = it.tfs[it.pos:hi].astype(np.float64)
+                if bm25:
+                    dl = doc_len[d - base].astype(np.float64)
+                    denom = t + k1 * (1.0 - b + b * dl / avgdl)
+                    c = it.idf * t * (k1 + 1.0) / denom
+                else:
+                    c = t * it.idf * DEFAULT_FIELD_WEIGHT
+                dparts.append(d)
+                cparts.append(c)
+            # per-doc sums accumulate TERM BY TERM into a zeroed window
+            # accumulator — the same add order (0.0 += c_t1 += c_t2 ...) as
+            # the exhaustive path, so scores are bit-identical.  (A stable
+            # sort + np.add.reduceat is NOT: reduceat groups adds
+            # pairwise/SIMD, which differs at the ulp.)
+            docs_u = np.unique(np.concatenate(dparts))
+            scores_u = np.zeros(len(docs_u), dtype=np.float64)
+            matched_u = np.zeros(len(docs_u), dtype=np.int64)
+            for d, c in zip(dparts, cparts):
+                idx = np.searchsorted(docs_u, d)
+                scores_u[idx] += c
+                matched_u[idx] += 1
+            if len(heap) == k:        # safe pre-prune: theta only rises
+                keep = scores_u > theta
+                docs_u = docs_u[keep]
+                matched_u = matched_u[keep]
+                scores_u = scores_u[keep]
+            for j in range(len(docs_u)):
+                score = float(scores_u[j])
                 if len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc, matched))
+                    heapq.heappush(
+                        heap, (score, -int(docs_u[j]), int(matched_u[j])))
                     if len(heap) == k:
                         theta = heap[0][0]
                 elif score > heap[0][0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc, matched))
+                    heapq.heapreplace(
+                        heap, (score, -int(docs_u[j]), int(matched_u[j])))
                     theta = heap[0][0]
-            else:
-                for i in range(pivot_idx):
-                    by_doc[i].next_geq(pivot_doc)
+            for it in live:
+                if it.cur_doc < wend:
+                    it.next_geq(wend)
 
         out = [(-nd, s, m) for s, nd, m in heap]
         out.sort(key=lambda r: (-r[1], r[0]))
