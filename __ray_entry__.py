@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": Q.events_range_join,
         "events_sample_per_user": Q.events_sample_per_user,
         "events_percentiles": Q.events_percentiles,
+        "events_percentiles_sketch": Q.events_percentiles_sketch,
         "events_hopping_window": Q.events_hopping_window,
         "events_hll_registers": Q.events_hll_registers,
         # per-doc text analysis (M5-M8 + additions)
@@ -1421,6 +1422,27 @@ def oracle_sql() -> dict[str, str]:
            round(quantile_cont(value, 0.9), 6) AS p90,
            round(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY event_type
+    """
+
+    sql["events_percentiles_sketch"] = """
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value / 1.0) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cumc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cumc >= CEIL(0.5 * n) THEN (bin + 1) * 1.0 END) AS DOUBLE)
+             AS p50_approx,
+           CAST(MIN(CASE WHEN cumc >= CEIL(0.9 * n) THEN (bin + 1) * 1.0 END) AS DOUBLE)
+             AS p90_approx,
+           CAST(MIN(CASE WHEN cumc >= CEIL(0.99 * n) THEN (bin + 1) * 1.0 END) AS DOUBLE)
+             AS p99_approx
+    FROM cum GROUP BY event_type
     """
 
     sql["events_window"] = """

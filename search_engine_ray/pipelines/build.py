@@ -369,3 +369,49 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     save_manifest(index_dir, seg_manifest)
     return {"index_dir": index_dir, "doc_total": n, "stats": stats,
             "manifest": seg_manifest}
+
+
+def compact_index(cfg: EngineConfig, *, source_desc: str = "compact") -> dict:
+    """Fold every generation and all tombstones into one clean index.
+
+    Reads the LIVE rows of the doc store (tombstoned recrawl victims and
+    deleted conversations filtered out), rebuilds into a sibling temp dir
+    with the normal build pipeline — doc ids re-derive from conv order, so
+    the unified id space is order-equivalent to doc keys again and df/idf/
+    avgdl drop the deleted docs — then swaps the directories.  This is the
+    engine's analogue of the reference's periodic truncate-rebuild cycle
+    (/root/reference/app/batch/runner.py), applied to one index in place.
+
+    Crash safety: the rebuild happens entirely in ``<index>.compact``; the
+    swap renames the current index to ``<index>.pre-compact`` before moving
+    the new one in, so a crash between the two renames leaves a complete
+    index at the .pre-compact path (recover by renaming it back)."""
+    from dataclasses import replace as dc_replace
+
+    import pyarrow as pa
+
+    from ..state.tombstones import load_tombstones, mask_tombstoned
+
+    index_dir = cfg.index_dir
+    lo, hi = load_tombstones(index_dir)
+    docs = ray.data.read_parquet(os.path.join(index_dir, "docs"))
+    if len(lo):
+        # tombstone ranges are a small control artifact (deletes are rare);
+        # shipping the two arrays in the task closure is the broadcast
+        def live(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(mask_tombstoned(ids, lo, hi)))
+        docs = docs.map_batches(live, batch_format="pyarrow")
+    docs = docs.drop_columns(["doc_id"])
+
+    tmp_dir = index_dir.rstrip("/") + ".compact"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    info = build_index(docs, dc_replace(cfg, index_dir=tmp_dir),
+                       source_desc=source_desc)
+    old_dir = index_dir.rstrip("/") + ".pre-compact"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(index_dir, old_dir)
+    os.rename(tmp_dir, index_dir)
+    shutil.rmtree(old_dir)
+    info["index_dir"] = index_dir
+    return info

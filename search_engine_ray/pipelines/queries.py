@@ -511,6 +511,17 @@ def events_percentiles(sf_dir: str) -> "ray.data.Dataset":
     return column_percentiles(ev, key="event_type", col="value")
 
 
+def events_percentiles_sketch(sf_dir: str) -> "ray.data.Dataset":
+    """Approximate per-event-type percentiles via the mergeable fixed-bin
+    histogram sketch (stages/stats.approx_percentiles_hist) — bounded
+    per-key state, unlike the exact events_percentiles."""
+    from ..stages.stats import approx_percentiles_hist
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "value"])
+    return approx_percentiles_hist(ev, key="event_type", col="value",
+                                   qs=(0.5, 0.9, 0.99), bin_width=1.0)
+
+
 def pack_shards(sf_dir: str) -> "ray.data.Dataset":
     """Token-budget shard packing over documents (training-data curation):
     shard_id = (cumulative tokens before this doc, in doc_id order) //

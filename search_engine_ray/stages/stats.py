@@ -180,3 +180,61 @@ def hll_estimate(registers: "pa.Table", *, key: str,
             est = m * math.log(m / zeros)
         out[k] = est
     return out
+
+
+def approx_percentiles_hist(ds: "ray.data.Dataset", *, key: str, col: str,
+                            qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                            bin_width: float = 1.0) -> "ray.data.Dataset":
+    """Mergeable fixed-bin histogram quantile sketch — the documented scale
+    path for heavy-hitter keys where exact percentiles
+    (``column_percentiles``) would co-locate unbounded groups.
+
+    Per-key state is bounded by value_range / bin_width counters; partial
+    histograms combine INSIDE ``map_batches`` (the exchange moves
+    (key, bin, count) rows, not values), one keyed shuffle sums them, and
+    the per-key finalize walks the cumulative histogram: estimate(q) =
+    upper edge of the first bin whose cumulative count reaches
+    ``ceil(q * n)`` — deterministic, SQL-mirrorable, error <= bin_width.
+    The same shape holds at 100 TB: histogram rows per key are constant,
+    so the groupby state never grows with the corpus.
+    """
+    import math
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        bins = np.floor(vals / bin_width).astype(np.int64)
+        order = np.lexsort((bins, keys))
+        sk, sb = keys[order], bins[order]
+        starts = np.flatnonzero(
+            np.r_[True, (sk[1:] != sk[:-1]) | (sb[1:] != sb[:-1])])
+        counts = np.diff(np.append(starts, len(sk)))
+        return pa.table({
+            key: pa.array(sk[starts]),
+            "bin": pa.array(sb[starts], pa.int64()),
+            "c": pa.array(counts, pa.int64()),
+        })
+
+    hist = (ds.select_columns([key, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "bin"]).sum("c"))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        b = group.column("bin").to_numpy(zero_copy_only=False)
+        c = group.column("sum(c)").to_numpy(zero_copy_only=False)
+        o = np.argsort(b)
+        b, c = b[o], c[o]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out = {key: pa.array([group.column(key)[0].as_py()]),
+               "n": pa.array([n], pa.int64())}
+        for q in qs:
+            rank = math.ceil(q * n)
+            i = int(np.searchsorted(cum, rank, side="left"))
+            out[f"p{int(q * 100)}_approx"] = pa.array(
+                [float((b[i] + 1) * bin_width)], pa.float64())
+        return pa.table(out)
+
+    return hist.groupby(key).map_groups(finalize, batch_format="pyarrow")

@@ -574,3 +574,66 @@ def test_encoding_error_fallback_sharded_driver(built_index):
          for _, s, m in cands), reverse=True)[:10]
     assert [r["score"] for r in page] == want
     sharded.shutdown()
+
+
+def test_compact_index_folds_generations_and_tombstones(tmp_path):
+    """compact_index == clean rebuild of the LIVE corpus: after out-of-order
+    generations + a recrawl, compaction rebuilds in place to bit-identical
+    segments, resets the generation list, and drops tombstones/df of the
+    replaced docs (the reference's truncate-rebuild, batch/runner.py,
+    applied to one index)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.pipelines.build import compact_index, extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(60, seed=13)
+    mask_mid = pc.and_(
+        pc.greater_equal(full.column("conv_id"), "conv-000020"),
+        pc.less(full.column("conv_id"), "conv-000030"))
+    part_mid = full.filter(mask_mid)
+    part_rest = full.filter(pc.invert(mask_mid))
+
+    cfg = EngineConfig(index_dir=str(tmp_path / "cmp"), num_partitions=8)
+    build_index(ray.data.from_arrow(part_rest).repartition(3), cfg,
+                source_desc="cmp-a")
+    extend_index(ray.data.from_arrow(part_mid).repartition(2), cfg,
+                 source_desc="cmp-b", allow_out_of_order=True)
+    reconv = part_mid.filter(pc.equal(part_mid.column("conv_id"),
+                                      "conv-000025"))
+    recrawl = reconv.set_column(
+        reconv.schema.get_field_index("text"), "text",
+        pa.array(["zzzmarker fresh body"] * reconv.num_rows, pa.string()))
+    extend_index(ray.data.from_arrow(recrawl), cfg,
+                 source_desc="cmp-recrawl", allow_out_of_order=True)
+
+    info = compact_index(cfg)
+    assert info["index_dir"] == cfg.index_dir
+    assert not os.path.exists(cfg.index_dir + ".compact")
+    assert not os.path.exists(cfg.index_dir + ".pre-compact")
+
+    # the live corpus: full with conv-000025's text replaced
+    live = full.set_column(
+        full.schema.get_field_index("text"), "text",
+        pc.if_else(pc.equal(full.column("conv_id"), "conv-000025"),
+                   pa.scalar("zzzmarker fresh body"),
+                   full.column("text")))
+    cfg_clean = EngineConfig(index_dir=str(tmp_path / "cmp_clean"),
+                             num_partitions=8)
+    build_index(ray.data.from_arrow(live).repartition(4), cfg_clean,
+                source_desc="cmp-clean")
+
+    assert _segments_digest(cfg.index_dir) == \
+        _segments_digest(cfg_clean.index_dir)
+    from search_engine_ray.stages.postings import load_manifest
+    man = load_manifest(cfg.index_dir)
+    assert "generations" not in man or len(man["generations"]) <= 1
+    from search_engine_ray.state.tombstones import load_tombstones
+    lo, _hi = load_tombstones(cfg.index_dir)
+    assert len(lo) == 0
+    qc = QueryEngine(cfg.index_dir)
+    qf = QueryEngine(cfg_clean.index_dir)
+    assert qc.doc_total == qf.doc_total == live.num_rows
+    for q, limit, offset in QUERY_SET[:8]:
+        assert _rows_key(qc.search(q, limit=limit, offset=offset)) == \
+            _rows_key(qf.search(q, limit=limit, offset=offset)), q

@@ -883,3 +883,39 @@ def test_hll_registers_and_estimate():
         actual = len({v for kk, v in zip(keys, vals) if kk == k})
         err = abs(est[k] - actual) / actual
         assert err < 4 * 1.04 / (1024 ** 0.5), (k, est[k], actual, err)
+
+
+def test_approx_percentiles_hist_vs_naive():
+    """The histogram sketch's estimate is the upper edge of the bin holding
+    the ceil(q*n)-th value — verify against a direct numpy computation, and
+    that the estimate brackets the exact quantile within one bin_width."""
+    import math
+    import random
+
+    import numpy as np
+
+    from search_engine_ray.stages.stats import approx_percentiles_hist
+
+    rng = random.Random(17)
+    n = 600
+    t = pa.table({
+        "k": pa.array([rng.randrange(4) for _ in range(n)], pa.int64()),
+        "v": pa.array([round(rng.uniform(-3, 80), 3) for _ in range(n)],
+                      pa.float64()),
+    })
+    bw = 2.5
+    got = {r["k"]: r for r in approx_percentiles_hist(
+        ray.data.from_arrow(t).repartition(6), key="k", col="v",
+        qs=(0.5, 0.9, 0.99), bin_width=bw).take_all()}
+    ks = t.column("k").to_numpy()
+    vs = t.column("v").to_numpy()
+    for k in sorted(set(ks.tolist())):
+        sub = np.sort(vs[ks == k])
+        assert got[k]["n"] == len(sub)
+        for q, cname in ((0.5, "p50_approx"), (0.9, "p90_approx"),
+                         (0.99, "p99_approx")):
+            rank_val = sub[math.ceil(q * len(sub)) - 1]
+            expect = (math.floor(rank_val / bw) + 1) * bw
+            assert got[k][cname] == expect, (k, q)
+            # bracketing: the true order statistic lies in (est - bw, est]
+            assert expect - bw < rank_val <= expect
