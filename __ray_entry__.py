@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentiles_sketch": Q.events_percentiles_sketch,
         "events_hopping_window": Q.events_hopping_window,
         "events_hll_registers": Q.events_hll_registers,
+        "events_cms_registers": Q.events_cms_registers,
+        "events_cms_heavy_hitters": Q.events_cms_heavy_hitters,
+        "events_sample_weighted": Q.events_sample_weighted,
         # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
@@ -1396,6 +1399,55 @@ def oracle_sql() -> dict[str, str]:
       FROM h
     )
     SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2
+    """
+
+    sql["events_cms_registers"] = """
+    WITH rows_d AS (SELECT range AS row FROM range(4)),
+    h AS (
+      SELECT r.row,
+             CAST(CAST(md5_number_lower(CAST(r.row AS VARCHAR) || ':' ||
+                     CAST(e.user_id AS VARCHAR)) AS UBIGINT) % 1024
+                  AS BIGINT) AS col
+      FROM events e CROSS JOIN rows_d r
+    )
+    SELECT row, col, count(*) AS c FROM h GROUP BY 1, 2
+    """
+
+    sql["events_cms_heavy_hitters"] = """
+    WITH rows_d AS (SELECT range AS row FROM range(4)),
+    regs AS (
+      SELECT r.row,
+             CAST(CAST(md5_number_lower(CAST(r.row AS VARCHAR) || ':' ||
+                     CAST(e.user_id AS VARCHAR)) AS UBIGINT) % 1024
+                  AS BIGINT) AS col,
+             count(*) AS c
+      FROM events e CROSS JOIN rows_d r GROUP BY 1, 2
+    ),
+    kh AS (
+      SELECT k.user_id, r.row,
+             CAST(CAST(md5_number_lower(CAST(r.row AS VARCHAR) || ':' ||
+                     CAST(k.user_id AS VARCHAR)) AS UBIGINT) % 1024
+                  AS BIGINT) AS col
+      FROM (SELECT DISTINCT user_id FROM events) k
+      CROSS JOIN rows_d r
+    )
+    SELECT kh.user_id, CAST(MIN(regs.c) AS BIGINT) AS est
+    FROM kh JOIN regs USING (row, col)
+    GROUP BY kh.user_id
+    ORDER BY est DESC, user_id LIMIT 20
+    """
+
+    sql["events_sample_weighted"] = """
+    WITH u AS (SELECT event_type, event_id, value,
+            CAST(md5_number_lower(CAST(event_id AS VARCHAR)) AS UBIGINT) AS h
+          FROM events),
+    p AS (SELECT event_type, event_id,
+            ln(CAST(h AS DOUBLE) / 18446744073709551616.0) / (value + 1)
+              AS pri
+          FROM u)
+    SELECT event_type, event_id FROM p
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY pri DESC, event_id) <= 5
     """
 
     # each event covers exactly width/hop = 4 hopping windows

@@ -522,6 +522,41 @@ def events_percentiles_sketch(sf_dir: str) -> "ray.data.Dataset":
                                    qs=(0.5, 0.9, 0.99), bin_width=1.0)
 
 
+def events_cms_registers(sf_dir: str) -> "ray.data.Dataset":
+    """Count-Min sketch registers over event user_ids
+    (stages/stats.cms_registers): mergeable d x w frequency counters,
+    SQL-mirrored exactly via md5_number_lower."""
+    from ..stages.stats import cms_registers
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"])
+    return cms_registers(ev, key_col="user_id")
+
+
+def events_cms_heavy_hitters(sf_dir: str) -> "ray.data.Dataset":
+    """Top-20 users by Count-Min point estimate
+    (stages/stats.cms_estimate_topk) — deterministic (est desc, user_id)
+    order, SQL-mirrored."""
+    from ..stages.stats import cms_estimate_topk
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id"])
+    return cms_estimate_topk(ev, key_col="user_id", k=20)
+
+
+def events_sample_weighted(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic weighted sample (5 per event_type, weight = value+1)
+    via Efraimidis-Spirakis priority sampling
+    (stages/curation.sample_weighted)."""
+    from ..stages.curation import sample_weighted
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "event_id", "value"])
+    ev = ev.map_batches(
+        lambda t: t.append_column(
+            "w", pc.add(t.column("value"), pa.scalar(1.0))),
+        batch_format="pyarrow")
+    return sample_weighted(ev, key="event_type", id_col="event_id",
+                           weight_col="w", k=5)
+
+
 def pack_shards(sf_dir: str) -> "ray.data.Dataset":
     """Token-budget shard packing over documents (training-data curation):
     shard_id = (cumulative tokens before this doc, in doc_id order) //

@@ -11,12 +11,18 @@ are the contract, the transport is interchangeable):
   GET /search/news?q=...&limit=20&offset=0   -> same, +8.0 intent bias
                                                 (search_service.py:297)
   GET /spellcheck?q=...                      -> {"suggestion": str | null}
-  POST /mcp {"tool": "search_web"|"search_news", "query", "limit", "offset"}
-       -> {"content": "<markdown result list>"} — the reference's MCP tool
-          surface (/root/reference/app/mcp/server.py:31-64: same tool names,
-          same [url](title)\\ndescription markdown rendering, same
-          limit/offset bounding) over plain JSON-RPC-less POST (fastmcp is
-          not in this container; the tool contract is what's mirrored)
+  POST /mcp — TWO accepted bodies:
+    * {"jsonrpc": "2.0", ...} -> wire-compatible MCP JSON-RPC 2.0 (public
+      spec 2025-03-26, JSON response mode of the Streamable HTTP
+      transport — no SSE): initialize, notifications/* (202 empty), ping,
+      tools/list, tools/call; JSON-RPC errors -32700/-32600/-32601/-32602.
+    * legacy {"tool": "search_web"|"search_news", "query", "limit",
+      "offset"} -> {"content": "<markdown result list>"} — kept for simple
+      clients.
+    Both mirror the reference's MCP tool surface
+    (/root/reference/app/mcp/server.py:31-64: same tool names and
+    descriptions, same [url](title)\\ndescription markdown rendering, same
+    limit/offset bounding and per-tool defaults).
 
 Each result item is {"title", "description", "url", "score"}
 (search_service.py:122-127 WebSearchItem): title := tool, description :=
@@ -46,6 +52,42 @@ _SEARCH_HTML = """<!doctype html>
   <button type="submit">Search</button>
 </form></body></html>
 """
+
+
+_MCP_PROTOCOL_VERSION = "2025-03-26"
+_MCP_SERVER_INFO = {"name": "OpenGoogle", "version": "1"}
+_MCP_INSTRUCTIONS = (
+    "Use search_web for general web pages and search_news for news content. "
+    "Set limit and offset for pagination.")
+
+_MCP_TOOLS = [
+    {
+        "name": "search_web",
+        "description": "Search websites and web documents.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "limit": {"type": "integer", "default": 10},
+                "offset": {"type": "integer", "default": 0},
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "search_news",
+        "description": "Search news articles.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "limit": {"type": "integer", "default": 20},
+                "offset": {"type": "integer", "default": 0},
+            },
+            "required": ["query"],
+        },
+    },
+]
 
 
 def _bounded(limit: int, offset: int) -> tuple[int, int]:
@@ -104,6 +146,60 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                      "description": r.get("text") or "",
                      "url": r["url"], "score": r["score"]} for r in rows]
 
+        def _rpc_result(self, rid, result: dict) -> None:
+            self._json(200, {"jsonrpc": "2.0", "id": rid, "result": result})
+
+        def _rpc_error(self, rid, code: int, message: str) -> None:
+            self._json(200, {"jsonrpc": "2.0", "id": rid,
+                             "error": {"code": code, "message": message}})
+
+        def _mcp_jsonrpc(self, req: dict) -> None:
+            """MCP over JSON-RPC 2.0 (public spec 2025-03-26, JSON response
+            mode of the Streamable HTTP transport: one JSON body per
+            request, 202 + empty for notifications, no SSE)."""
+            rid = req.get("id")
+            method = req.get("method")
+            params = req.get("params") or {}
+            if req.get("jsonrpc") != "2.0" or not isinstance(method, str):
+                self._rpc_error(rid, -32600, "invalid request")
+                return
+            if method.startswith("notifications/"):
+                self.send_response(202)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if method == "initialize":
+                self._rpc_result(rid, {
+                    "protocolVersion": _MCP_PROTOCOL_VERSION,
+                    "capabilities": {"tools": {"listChanged": False}},
+                    "serverInfo": _MCP_SERVER_INFO,
+                    "instructions": _MCP_INSTRUCTIONS,
+                })
+            elif method == "ping":
+                self._rpc_result(rid, {})
+            elif method == "tools/list":
+                self._rpc_result(rid, {"tools": _MCP_TOOLS})
+            elif method == "tools/call":
+                name = params.get("name")
+                args = params.get("arguments") or {}
+                if name not in ("search_web", "search_news"):
+                    self._rpc_error(rid, -32602, f"unknown tool {name!r}")
+                    return
+                limit, offset = _bounded(
+                    int(args.get("limit") or (10 if name == "search_web"
+                                              else 20)),
+                    int(args.get("offset") or 0))
+                bias = 8.0 if name == "search_news" else 0.0
+                rows = self._search_rows(str(args.get("query") or ""),
+                                         limit, offset, bias)
+                self._rpc_result(rid, {
+                    "content": [{"type": "text",
+                                 "text": _mcp_markdown(rows)}],
+                    "isError": False,
+                })
+            else:
+                self._rpc_error(rid, -32601, f"method not found: {method}")
+
         def do_POST(self):  # noqa: N802 (stdlib API)
             u = urlparse(self.path)
             try:
@@ -111,7 +207,14 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                     self._json(404, {"detail": "not found"})
                     return
                 length = int(self.headers.get("Content-Length") or 0)
-                req = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    self._rpc_error(None, -32700, "parse error")
+                    return
+                if isinstance(req, dict) and "jsonrpc" in req:
+                    self._mcp_jsonrpc(req)
+                    return
                 tool = req.get("tool")
                 if tool not in ("search_web", "search_news"):
                     self._json(422, {"detail": f"unknown tool {tool!r}"})

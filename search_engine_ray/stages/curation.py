@@ -154,3 +154,52 @@ def sample_per_key(ds: "ray.data.Dataset", *, key: str, id_col: str,
         return group.select([key, id_col])
     return ds.select_columns([key, id_col]).groupby(key).map_groups(
         pick, batch_format="pyarrow")
+
+
+def sample_weighted(ds: "ray.data.Dataset", *, key: str, id_col: str,
+                    weight_col: str, k: int) -> "ray.data.Dataset":
+    """Deterministic weighted sampling without replacement per ``key``
+    stratum (priority sampling, Efraimidis & Spirakis 2006): draw
+    u = md5_hash64(str(id)) / 2^64 (exact power-of-two division of the
+    SQL-mirrorable md5 hash), priority = ln(u) / weight — a monotone
+    transform of the classic u^(1/w) key, so ranking by priority DESC
+    samples each stratum proportionally to weight, RNG-free.
+
+    Scale shape: the per-batch partial keeps only the local top-k per key
+    BEFORE the exchange, so the keyed shuffle moves O(k * strata * batches)
+    rows, never the corpus; the per-group finalize re-ranks the partials.
+    Ties (impossible for continuous weights) break by id.  Weights must be
+    > 0 after the caller's shift."""
+    import numpy as np
+
+    from ..functions.hashing import md5_hash64_column
+
+    def _topk(batch: pa.Table, priorities: "np.ndarray") -> pa.Table:
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_np, -priorities, keys_np))
+        sk = keys_np[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        rank = np.arange(len(sk)) - np.repeat(starts, np.diff(
+            np.append(starts, len(sk))))
+        keep = order[rank < k]
+        return pa.table({key: pa.array(keys_np[keep]),
+                         id_col: pa.array(ids_np[keep]),
+                         "_pri": pa.array(priorities[keep], pa.float64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = md5_hash64_column([str(v) for v in ids])
+        u = h.astype(np.float64) / 2.0 ** 64
+        wts = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore"):
+            pri = np.log(u) / wts
+        return _topk(batch, pri)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        pri = group.column("_pri").to_numpy(zero_copy_only=False)
+        return _topk(group, pri).drop_columns(["_pri"])
+
+    return (ds.select_columns([key, id_col, weight_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(finalize, batch_format="pyarrow"))

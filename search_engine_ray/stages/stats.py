@@ -238,3 +238,97 @@ def approx_percentiles_hist(ds: "ray.data.Dataset", *, key: str, col: str,
         return pa.table(out)
 
     return hist.groupby(key).map_groups(finalize, batch_format="pyarrow")
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_registers(ds: "ray.data.Dataset", *, key_col: str,
+                  d: int = CMS_DEPTH, w: int = CMS_WIDTH
+                  ) -> "ray.data.Dataset":
+    """Count-Min sketch registers: (row, col, c) with col =
+    md5_hash64(f"{row}:{value}") % w and one increment per input row.
+
+    The classic streaming frequency sketch (Cormode & Muthukrishnan 2005)
+    expressed Ray-Data-first: per-batch partial counts per (row, col)
+    BEFORE the exchange (np.bincount over the hashed columns), then one
+    keyed sum over at most d*w rows — counters merge by elementwise sum,
+    so shards combine with the same exchange and total sketch state is a
+    constant d*w regardless of corpus size.  Point estimate(v) = min over
+    rows of counter[row, col_row(v)] (``cms_estimate_topk``) — an
+    overestimate within eN/w with probability 1-e^-d.  md5 base hash ==
+    DuckDB ``md5_number_lower``, so the register table is exactly
+    SQL-mirrorable (like ``hll_registers``)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hash64_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = [str(v) for v in batch.column(key_col).to_pylist()]
+        rows_out, cols_out, counts_out = [], [], []
+        for r in range(d):
+            h = md5_hash64_column([f"{r}:{v}" for v in vals])
+            col = (h % np.uint64(w)).astype(np.int64)
+            cnt = np.bincount(col, minlength=w)
+            nz = np.flatnonzero(cnt)
+            rows_out.append(np.full(len(nz), r, np.int64))
+            cols_out.append(nz.astype(np.int64))
+            counts_out.append(cnt[nz].astype(np.int64))
+        return pa.table({"row": pa.array(np.concatenate(rows_out)),
+                         "col": pa.array(np.concatenate(cols_out)),
+                         "c": pa.array(np.concatenate(counts_out))})
+
+    out = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow").groupby(["row", "col"]).aggregate(
+        Sum("c"))
+    return out.map_batches(
+        lambda t: pa.table({"row": t.column("row"), "col": t.column("col"),
+                            "c": t.column("sum(c)")}),
+        batch_format="pyarrow")
+
+
+def cms_estimate_topk(ds: "ray.data.Dataset", *, key_col: str, k: int = 20,
+                      d: int = CMS_DEPTH, w: int = CMS_WIDTH
+                      ) -> "ray.data.Dataset":
+    """Heavy hitters by Count-Min point estimate: for every DISTINCT key,
+    est = min over sketch rows of its counter; top-k by (est desc, key).
+
+    The sketch matrix is tiny (d*w int64) so it is collected once and
+    shipped in the task closure; the distinct-key set is computed
+    DISTRIBUTED (per-batch distinct -> keyed count, the J5 anti-join
+    shape) and stays a Dataset through estimate -> sort -> limit."""
+    import numpy as np
+
+    import pyarrow.compute as _pc
+
+    from ..functions.hashing import md5_hash64_column
+
+    regs = cms_registers(ds, key_col=key_col, d=d, w=w).take_all()
+    mat = np.zeros((d, w), np.int64)
+    for r in regs:
+        mat[r["row"], r["col"]] = r["c"]
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.table({key_col: _pc.unique(col)})
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        vals = [str(v) for v in batch.column(key_col).to_pylist()]
+        est = np.full(len(vals), np.iinfo(np.int64).max, np.int64)
+        for r in range(d):
+            h = md5_hash64_column([f"{r}:{v}" for v in vals])
+            col = (h % np.uint64(w)).astype(np.int64)
+            est = np.minimum(est, mat[r, col])
+        return batch.append_column("est", pa.array(est, pa.int64()))
+
+    keys = (ds.select_columns([key_col])
+            .map_batches(batch_distinct, batch_format="pyarrow")
+            .groupby(key_col).count()
+            .map_batches(lambda t: t.select([key_col]),
+                         batch_format="pyarrow"))
+    return (keys.map_batches(estimate, batch_format="pyarrow")
+            .sort(["est", key_col], descending=[True, False])
+            .limit(k))

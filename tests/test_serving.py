@@ -115,3 +115,70 @@ def test_mcp_tool_surface(server):
     except urllib.error.HTTPError as e:
         ok = e.code == 422
     assert ok
+# time (needs the scratch_mcp.py handler changes applied first).
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = r.read().decode()
+        return r.status, json.loads(body) if body else None
+
+
+def test_mcp_jsonrpc_lifecycle(server):
+    """Wire-level MCP: initialize -> initialized -> tools/list ->
+    tools/call, all JSON-RPC 2.0 (public spec 2025-03-26, JSON response
+    mode).  Tool results equal the legacy POST surface's markdown."""
+    srv, _ = server
+    st, init = _post(srv.port, "/mcp", {
+        "jsonrpc": "2.0", "id": 1, "method": "initialize",
+        "params": {"protocolVersion": "2025-03-26", "capabilities": {},
+                   "clientInfo": {"name": "t", "version": "0"}}})
+    assert st == 200 and init["jsonrpc"] == "2.0" and init["id"] == 1
+    res = init["result"]
+    assert res["serverInfo"] == {"name": "OpenGoogle", "version": "1"}
+    assert "tools" in res["capabilities"]
+    assert res["protocolVersion"] == "2025-03-26"
+
+    st, none = _post(srv.port, "/mcp", {
+        "jsonrpc": "2.0", "method": "notifications/initialized"})
+    assert st == 202 and none is None
+
+    _, lst = _post(srv.port, "/mcp",
+                   {"jsonrpc": "2.0", "id": 2, "method": "tools/list"})
+    tools = {t["name"]: t for t in lst["result"]["tools"]}
+    assert set(tools) == {"search_web", "search_news"}
+    assert tools["search_web"]["description"] == \
+        "Search websites and web documents."
+    assert tools["search_web"]["inputSchema"]["required"] == ["query"]
+
+    _, call = _post(srv.port, "/mcp", {
+        "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+        "params": {"name": "search_web",
+                   "arguments": {"query": "word0001 word0002", "limit": 3}}})
+    content = call["result"]["content"]
+    assert call["result"]["isError"] is False
+    assert len(content) == 1 and content[0]["type"] == "text"
+    _, legacy = _post(srv.port, "/mcp", {
+        "tool": "search_web", "query": "word0001 word0002", "limit": 3})
+    assert content[0]["text"] == legacy["content"]
+
+    _, ping = _post(srv.port, "/mcp",
+                    {"jsonrpc": "2.0", "id": 4, "method": "ping"})
+    assert ping["result"] == {}
+
+
+def test_mcp_jsonrpc_errors(server):
+    srv, _ = server
+    _, bad = _post(srv.port, "/mcp",
+                   {"jsonrpc": "2.0", "id": 9, "method": "no/such"})
+    assert bad["error"]["code"] == -32601
+    _, badtool = _post(srv.port, "/mcp", {
+        "jsonrpc": "2.0", "id": 10, "method": "tools/call",
+        "params": {"name": "nope", "arguments": {}}})
+    assert badtool["error"]["code"] == -32602
+    _, notjson = _post(srv.port, "/mcp", {"jsonrpc": "1.0", "id": 11})
+    assert notjson["error"]["code"] == -32600

@@ -919,3 +919,75 @@ def test_approx_percentiles_hist_vs_naive():
             assert got[k][cname] == expect, (k, q)
             # bracketing: the true order statistic lies in (est - bw, est]
             assert expect - bw < rank_val <= expect
+
+
+def test_cms_registers_and_heavy_hitters_vs_naive():
+    """CMS registers equal a direct Counter over (row, hashed col); the
+    point estimate is >= the true count (one-sided error) and equals it
+    when no collision occurred; top-k order is (est desc, key asc)."""
+    import random
+    from collections import Counter
+
+    from search_engine_ray.functions.hashing import md5_hash64
+    from search_engine_ray.stages.stats import (CMS_DEPTH, CMS_WIDTH,
+                                                cms_estimate_topk,
+                                                cms_registers)
+
+    rng = random.Random(23)
+    vals = [rng.randrange(40) for _ in range(500)] + [7] * 100
+    t = pa.table({"u": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    regs = {(r["row"], r["col"]): r["c"]
+            for r in cms_registers(ds, key_col="u").take_all()}
+    expect = Counter()
+    for r in range(CMS_DEPTH):
+        for v in vals:
+            expect[(r, md5_hash64(f"{r}:{v}") % CMS_WIDTH)] += 1
+    assert regs == dict(expect)
+
+    true_counts = Counter(vals)
+    top = cms_estimate_topk(ds, key_col="u", k=10).take_all()
+    assert top[0]["u"] == 7 and top[0]["est"] >= true_counts[7]
+    for row in top:
+        assert row["est"] >= true_counts[row["u"]]
+    ests = [(r["est"], r["u"]) for r in top]
+    assert ests == sorted(ests, key=lambda e: (-e[0], e[1]))
+
+
+def test_sample_weighted_vs_naive():
+    """sample_weighted == direct numpy recomputation of the E-S priority
+    top-k per stratum, and weights bias selection: with one heavy-weight
+    row per key, that row is always sampled."""
+    import random
+
+    import numpy as np
+
+    from search_engine_ray.functions.hashing import md5_hash64
+    from search_engine_ray.stages.curation import sample_weighted
+
+    rng = random.Random(31)
+    n = 400
+    keys = [rng.randrange(4) for _ in range(n)]
+    wts = [round(rng.uniform(0.5, 2.0), 3) for _ in range(n)]
+    heavy = {}
+    for i in range(n):   # one row per key gets a crushing weight
+        if keys[i] not in heavy:
+            heavy[keys[i]] = i
+            wts[i] = 1e6
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "i": pa.array(range(n), pa.int64()),
+                  "w": pa.array(wts, pa.float64())})
+    got = sorted((r["k"], r["i"]) for r in sample_weighted(
+        ray.data.from_arrow(t).repartition(6), key="k", id_col="i",
+        weight_col="w", k=3).take_all())
+
+    pri = {}
+    for i in range(n):
+        u = np.float64(md5_hash64(str(i))) / np.float64(2.0) ** 64
+        pri.setdefault(keys[i], []).append((-(np.log(u) / wts[i]), i))
+    expect = sorted((k, i) for k, lst in pri.items()
+                    for _, i in sorted(lst)[:3])
+    assert got == expect
+    for k, i in heavy.items():
+        assert (k, i) in got
