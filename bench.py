@@ -87,8 +87,11 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     # wider reduce fan-out for multi-million-turn corpora (parallelizes the
     # shuffle reduce + segment writes)
     parts = 64 if num_turns > 2_000_000 else 32
+    parts = int(os.environ.get("BENCH_PARTS", parts))
     cfg = EngineConfig(index_dir=index_dir, num_partitions=parts,
-                       tokenize_concurrency=num_cpus)
+                       tokenize_concurrency=num_cpus,
+                       max_broadcast_convs=int(os.environ.get(
+                           "BENCH_MAX_CONVS", 5_000_000)))
 
     queries: dict[str, float] = {}
 

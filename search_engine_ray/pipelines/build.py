@@ -60,7 +60,9 @@ import time
 
 from ..config import EngineConfig
 from ..functions.hashing import hash64
-from ..stages.doc_ids import (add_doc_ids_with_offsets, conv_offsets,
+from ..stages.doc_ids import (BroadcastCapExceeded, add_doc_ids_join,
+                              add_doc_ids_with_offsets, conv_offsets,
+                              conv_offsets_dataset,
                               conv_offsets_arrays)
 from ..stages.postings import build_segments, load_manifest, save_manifest
 from ..stages.stats import corpus_stats, write_stats
@@ -121,12 +123,34 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
 
     # 1) one conv-count pass -> offsets broadcast (+ contiguity validation);
     # broadcast is a (sorted conv array, base array) pair — memcpy put,
-    # near-zero-copy per-actor get (a 1M+-entry dict costs seconds/actor)
-    (convs, bases), n = conv_offsets_arrays(
-        _pruned(["conv_id", "turn_idx"], fan_out=True),
-        max_broadcast_convs=cfg.max_broadcast_convs)
+    # near-zero-copy per-actor get (a 1M+-entry dict costs seconds/actor).
+    # Beyond cfg.max_broadcast_convs conversations the broadcast no longer
+    # fits a driver/worker heap (at 100 TB the conv set is billions): cut
+    # over to JOIN MODE — the offsets become a materialized (conv_id, base)
+    # Dataset computed by the distributed two-phase prefix sum, and every
+    # doc-id consumer hash-joins against it instead of reading a broadcast.
+    offsets_ds = None
+    try:
+        (convs, bases), n = conv_offsets_arrays(
+            _pruned(["conv_id", "turn_idx"], fan_out=True),
+            max_broadcast_convs=cfg.max_broadcast_convs)
+        max_conv = str(convs[-1]) if len(convs) else ""
+    except BroadcastCapExceeded:
+        offsets_ds, n = conv_offsets_dataset(
+            _pruned(["conv_id", "turn_idx"], fan_out=True))
+        offsets_ds = offsets_ds.materialize()
+        # conv_offsets_dataset returns conv_id-sorted blocks; the global max
+        # is the per-batch max of maxima (tiny driver reduce)
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        batch_maxes = offsets_ds.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([_pc.max(t.column("conv_id")).as_py()])}),
+            batch_format="pyarrow").take_all()
+        max_conv = max((r["m"] for r in batch_maxes if r["m"] is not None),
+                       default="")
     manifest["doc_total"] = n
-    manifest["max_conv"] = str(convs[-1]) if len(convs) else ""
+    manifest["max_conv"] = max_conv
     save_manifest(index_dir, manifest)
     _mark("conv_offsets")
 
@@ -145,7 +169,15 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         return {"index_dir": index_dir, "doc_total": 0, "stats": stats,
                 "manifest": manifest}
 
-    offsets_ref = ray.put((convs, bases))
+    offsets_ref = None if offsets_ds is not None \
+        else ray.put((convs, bases))
+
+    def _add_ids(src):
+        """doc_id attach in whichever mode the counting pass selected."""
+        if offsets_ds is not None:
+            return add_doc_ids_join(src, offsets_ds, n=n)
+        return add_doc_ids_with_offsets(src, offsets_ref)
+
     needs_docs = not (resume and manifest.get("docs_fingerprint") == fp)
 
     def _doc_store_plan():
@@ -160,7 +192,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             src = ray.data.read_parquet(
                 transcripts_path,
                 override_num_blocks=default_pool_max() * 3)
-        return add_doc_ids_with_offsets(src, offsets_ref)
+        return _add_ids(src)
 
     def _write_doc_store(with_ids=None):
         if with_ids is None:
@@ -241,7 +273,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             t.start()
 
         idx_src = _pruned(["conv_id", "turn_idx", "text"], fan_out=True)
-        with_ids = add_doc_ids_with_offsets(idx_src, offsets_ref)
+        with_ids = _add_ids(idx_src)
         combined = tokenize_docs(
             with_ids, batch_size=cfg.tokenize_batch_size,
             concurrency=cfg.tokenize_concurrency,

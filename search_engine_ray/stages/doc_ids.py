@@ -252,20 +252,19 @@ def conv_offsets_dataset(ds: "ray.data.Dataset"
     return ray.data.from_arrow_refs(offset_refs), int(sum(totals))
 
 
-def assign_doc_ids_join(ds: "ray.data.Dataset", *,
-                        num_partitions: int | None = None,
-                        conv_stats_source: "ray.data.Dataset | None" = None
-                        ) -> tuple["ray.data.Dataset", int]:
-    """Distributed-join doc_id assigner: no driver conv map, no broadcast —
-    the scale path beyond ``max_broadcast_convs`` (module docstring).  The
-    conv-offset Dataset is hash-joined onto the input on conv_id and
-    doc_id = base + turn_idx.  Property-tested id-identical to the broadcast
-    path.
+def add_doc_ids_join(ds: "ray.data.Dataset",
+                     offsets_ds: "ray.data.Dataset", *,
+                     n: int, num_partitions: int | None = None
+                     ) -> "ray.data.Dataset":
+    """Hash-join a precomputed (conv_id, base) offsets Dataset onto ``ds``
+    and derive doc_id = base + turn_idx — the no-broadcast building block
+    shared by ``assign_doc_ids_join`` and ``build_index``'s join-mode
+    fallback (several consumers can join against one materialized offsets
+    Dataset without recomputing the counting pass).
 
     ``num_partitions`` defaults to ~1 per million turns (each hash-join
     partition is an aggregator ACTOR; at 10^12 turns you want thousands, at
     fixture scale 64 of them would starve a 4-CPU box)."""
-    offsets_ds, n = conv_offsets_dataset(conv_stats_source or ds)
     if num_partitions is None:
         num_partitions = max(2, min(1024, n // 1_000_000))
     joined = ds.join(offsets_ds, "inner", num_partitions, on=("conv_id",))
@@ -277,7 +276,21 @@ def assign_doc_ids_join(ds: "ray.data.Dataset", *,
                 zero_copy_only=False).astype(np.int64), pa.int64())
         return batch.drop_columns(["base"]).append_column("doc_id", doc_id)
 
-    return joined.map_batches(add_id, batch_format="pyarrow"), n
+    return joined.map_batches(add_id, batch_format="pyarrow")
+
+
+def assign_doc_ids_join(ds: "ray.data.Dataset", *,
+                        num_partitions: int | None = None,
+                        conv_stats_source: "ray.data.Dataset | None" = None
+                        ) -> tuple["ray.data.Dataset", int]:
+    """Distributed-join doc_id assigner: no driver conv map, no broadcast —
+    the scale path beyond ``max_broadcast_convs`` (module docstring).  The
+    conv-offset Dataset is hash-joined onto the input on conv_id and
+    doc_id = base + turn_idx.  Property-tested id-identical to the broadcast
+    path."""
+    offsets_ds, n = conv_offsets_dataset(conv_stats_source or ds)
+    return add_doc_ids_join(ds, offsets_ds, n=n,
+                            num_partitions=num_partitions), n
 
 
 def assign_doc_ids(ds: "ray.data.Dataset", *,

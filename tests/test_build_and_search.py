@@ -637,3 +637,31 @@ def test_compact_index_folds_generations_and_tombstones(tmp_path):
     for q, limit, offset in QUERY_SET[:8]:
         assert _rows_key(qc.search(q, limit=limit, offset=offset)) == \
             _rows_key(qf.search(q, limit=limit, offset=offset)), q
+
+
+def test_join_mode_build_equals_broadcast_build(tmp_path):
+    """build_index beyond max_broadcast_convs cuts over to JOIN MODE (conv
+    offsets as a materialized Dataset + hash-join doc-id attach in BOTH the
+    doc-store and the tokenize pipelines) — segments bit-identical and
+    search results equal to the broadcast-mode build."""
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    table = generate_transcripts(60, seed=17)
+    cfg_b = EngineConfig(index_dir=str(tmp_path / "bcast"), num_partitions=8)
+    build_index(ray.data.from_arrow(table).repartition(4), cfg_b,
+                source_desc="jm")
+    cfg_j = EngineConfig(index_dir=str(tmp_path / "join"), num_partitions=8,
+                         max_broadcast_convs=3)
+    info = build_index(ray.data.from_arrow(table).repartition(4), cfg_j,
+                       source_desc="jm")
+    assert info["doc_total"] == table.num_rows
+    assert info["manifest"]["max_conv"] == \
+        max(table.column("conv_id").to_pylist())
+    assert _segments_digest(cfg_j.index_dir) == \
+        _segments_digest(cfg_b.index_dir)
+    qb = QueryEngine(cfg_b.index_dir)
+    qj = QueryEngine(cfg_j.index_dir)
+    assert qb.doc_total == qj.doc_total and qb.avgdl == qj.avgdl
+    for q, limit, offset in QUERY_SET[:8]:
+        assert _rows_key(qj.search(q, limit=limit, offset=offset)) == \
+            _rows_key(qb.search(q, limit=limit, offset=offset)), q
