@@ -257,8 +257,20 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", *,
         "part").map_groups(
         lambda g: _bucket_pairs_partition(g.drop_columns(["part"])),
         batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count()).drop_columns(
-        ["count()"])
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def norm(b: pa.Table) -> pa.Table:
+        # Ray's sort-based aggregate can emit EMPTY blocks with an EMPTY
+        # schema; they poison downstream hash joins (a partition holding
+        # only such blocks can't resolve doc_a/doc_b).  Force the schema.
+        if b.num_rows == 0 or "doc_a" not in b.column_names:
+            return pair_schema.empty_table()
+        return b.select(["doc_a", "doc_b"]).cast(pair_schema)
+
+    from ..util import coalesce_blocks
+    return coalesce_blocks(
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(Count()).map_batches(
+            norm, batch_format="pyarrow"))
 
 
 def _jaccard_features(text: str, mode: str) -> set:
@@ -275,45 +287,34 @@ def _pairs_with_texts(docs: "ray.data.Dataset",
     anywhere, so dup-heavy corpora (where candidates are a large corpus
     fraction) never materialize text on the driver or in one object.
 
-    Shape: the pair list is exploded to one row per (pair, side) keyed by
-    that side's doc id; ONE join moves the doc store; the two sides (now
-    pair-sized) are re-joined on the composite pair key.  Total exchange =
-    one pass over the doc store + two pair-sized shuffles."""
+    Shape: two sequential hash joins of the pair list against the doc
+    store — on ``doc_a`` (attaching ``text_a``) then on ``doc_b``
+    (attaching ``text_b``).  The right side of each join is the full doc
+    store keyed by dense doc ids, so every hash partition is populated
+    (a pair⋈pair join on derived/filtered sides can hand Ray's shuffle
+    aggregator an EMPTY schema-less partition and fail field resolution).
+    Total exchange = two doc-store passes + two pair-sized shuffles."""
     # partitions sized to pair volume, not block count: each hash-join
     # partition carries fixed aggregator-actor overhead, so small candidate
     # sets want few partitions (at cluster scale pair counts in the billions
     # raise this toward the 64 cap)
     nparts = int(max(8, min(64, pairs.count() // 2_000_000 + 8)))
+
+    def as_side(col: str, text_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({col: b.column("doc_id").cast(pa.int64()),
+                             text_col: b.column("text")})
+        return fn
+
     txt = docs.select_columns(["doc_id", "text"])
-
-    def explode(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a").combine_chunks().cast(pa.int64())
-        bb = b.column("doc_b").combine_chunks().cast(pa.int64())
-        n = len(a)
-        return pa.table({
-            "doc_id": pa.concat_arrays([a, bb]),
-            "doc_a": pa.concat_arrays([a, a]),
-            "doc_b": pa.concat_arrays([bb, bb]),
-            "side": pa.array([0] * n + [1] * n, pa.int8()),
-        })
-
-    flat = pairs.map_batches(explode, batch_format="pyarrow")
-    # materialize: both side filters consume this join — without it the
-    # doc-store exchange would execute twice (result is pair-sized)
-    joined = flat.join(txt, "inner", num_partitions=nparts,
-                       on=("doc_id",)).materialize()
-    side_a = joined.filter(expr="side == 0").map_batches(
-        lambda b: pa.table({"doc_a": b.column("doc_a"),
-                            "doc_b": b.column("doc_b"),
-                            "text_a": b.column("text")}),
-        batch_format="pyarrow")
-    side_b = joined.filter(expr="side == 1").map_batches(
-        lambda b: pa.table({"doc_a": b.column("doc_a"),
-                            "doc_b": b.column("doc_b"),
-                            "text_b": b.column("text")}),
-        batch_format="pyarrow")
-    return side_a.join(side_b, "inner", num_partitions=nparts,
-                       on=("doc_a", "doc_b"))
+    txt_a = txt.map_batches(as_side("doc_a", "text_a"),
+                            batch_format="pyarrow")
+    txt_b = txt.map_batches(as_side("doc_b", "text_b"),
+                            batch_format="pyarrow")
+    with_a = pairs.join(txt_a, "inner", num_partitions=nparts,
+                        on=("doc_a",))
+    return with_a.join(txt_b, "inner", num_partitions=nparts,
+                       on=("doc_b",))
 
 
 def _verify_jaccard_batch(batch: pa.Table, *, threshold: float,
@@ -452,18 +453,20 @@ def connected_components(pairs: "ray.data.Dataset", *,
                 [bb.cast(pa.int64()), a.cast(pa.int64())]),
         })
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    from ..util import coalesce_blocks
+    edges = coalesce_blocks(
+        pairs.map_batches(both_dirs, batch_format="pyarrow")).materialize()
     if edges.count() == 0:          # no pairs -> no clustered nodes
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "cluster_rep": pa.array([], pa.int64())}))
 
-    labels = edges.groupby("src").aggregate(Min("dst")).map_batches(
+    labels = coalesce_blocks(edges.groupby("src").aggregate(Min("dst")).map_batches(
         lambda b: pa.table({
             "node": b.column("src"),
             "label": pc.min_element_wise(b.column("src"),
                                          b.column("min(dst)")),
-        }), batch_format="pyarrow").materialize()
+        }), batch_format="pyarrow")).materialize()
 
     def _label_sum(ds: "ray.data.Dataset") -> int:
         return int(ds.sum("label"))
@@ -479,7 +482,7 @@ def connected_components(pairs: "ray.data.Dataset", *,
             lambda b: pa.table({"node": b.column("dst"),
                                 "cand": b.column("label")}),
             batch_format="pyarrow")
-        merged = msgs.groupby("node").aggregate(Min("cand"))
+        merged = coalesce_blocks(msgs.groupby("node").aggregate(Min("cand")))
         new_labels = labels.join(
             merged, "left_outer", num_partitions=max(
                 2, edges.num_blocks() // 4),

@@ -122,9 +122,11 @@ def resolve_edges(edges: "ray.data.Dataset", docs: "ray.data.Dataset",
 
     resolved = edges.map_batches(Resolve, fn_constructor_args=(ref,),
                                  batch_format="pyarrow", concurrency=(1, 8))
-    # DISTINCT
-    return resolved.groupby(["src_doc_id", "dst_doc_id"]).aggregate(
-        Count()).drop_columns(["count()"])
+    # DISTINCT; coalesce: aggregate-derived blocks feed downstream joins
+    from ..util import coalesce_blocks
+    return coalesce_blocks(
+        resolved.groupby(["src_doc_id", "dst_doc_id"]).aggregate(
+            Count()).drop_columns(["count()"]))
 
 
 def resolve_edges_join(edges: "ray.data.Dataset", docs: "ray.data.Dataset",
@@ -144,16 +146,20 @@ def resolve_edges_join(edges: "ray.data.Dataset", docs: "ray.data.Dataset",
     resolved = joined.map_batches(
         lambda b: b.select(["src_doc_id", "dst_doc_id"]),
         batch_format="pyarrow")
-    return resolved.groupby(["src_doc_id", "dst_doc_id"]).aggregate(
-        Count()).drop_columns(["count()"])
+    from ..util import coalesce_blocks
+    return coalesce_blocks(
+        resolved.groupby(["src_doc_id", "dst_doc_id"]).aggregate(
+            Count()).drop_columns(["count()"]))
 
 
 def inlink_counts(resolved: "ray.data.Dataset") -> "ray.data.Dataset":
     """(doc_id, inlink_count) = groupby(dst).count() (pagerank.py:26-27)."""
-    return resolved.groupby("dst_doc_id").aggregate(Count()).map_batches(
-        lambda b: pa.table({"doc_id": b.column("dst_doc_id"),
-                            "inlink_count": b.column("count()")}),
-        batch_format="pyarrow")
+    from ..util import coalesce_blocks
+    return coalesce_blocks(
+        resolved.groupby("dst_doc_id").aggregate(Count()).map_batches(
+            lambda b: pa.table({"doc_id": b.column("dst_doc_id"),
+                                "inlink_count": b.column("count()")}),
+            batch_format="pyarrow"))
 
 
 def _out_degrees(edges: "ray.data.Dataset", num_nodes: int) -> np.ndarray:
@@ -269,11 +275,13 @@ def pagerank_dataset(resolved: "ray.data.Dataset", num_nodes: int, *,
         return pa.table({"src_doc_id": pa.array(ids, pa.int64()),
                          "deg": pa.array(counts.astype(np.int64))})
 
-    deg = edges.map_batches(deg_partial, batch_format="pyarrow").groupby(
+    from ..util import coalesce_blocks
+    deg = coalesce_blocks(edges.map_batches(
+        deg_partial, batch_format="pyarrow").groupby(
         "src_doc_id").aggregate(Sum("deg")).map_batches(
         lambda b: pa.table({"deg_src": b.column("src_doc_id"),
                             "out_deg": b.column("sum(deg)")}),
-        batch_format="pyarrow")
+        batch_format="pyarrow"))
     edges_deg = edges.join(deg, "inner", num_partitions,
                            on=("src_doc_id",),
                            right_on=("deg_src",)).materialize()
@@ -303,8 +311,9 @@ def pagerank_dataset(resolved: "ray.data.Dataset", num_nodes: int, *,
             return pa.table({"dst_doc_id": pa.array(ids, pa.int64()),
                              "contrib": pa.array(sums)})
 
-        summed = joined.map_batches(contribs, batch_format="pyarrow").groupby(
-            "dst_doc_id").aggregate(Sum("contrib"))
+        summed = coalesce_blocks(
+            joined.map_batches(contribs, batch_format="pyarrow").groupby(
+                "dst_doc_id").aggregate(Sum("contrib")))
         merged = nodes.join(summed, "left_outer", num_partitions,
                             on=("doc_id",), right_on=("dst_doc_id",))
         ranks = merged.map_batches(

@@ -40,3 +40,19 @@ def read_parquet_clean(path, **kwargs):
         except Exception:
             pass                      # directories/unreadable: Ray infers
     return ray.data.read_parquet(path, **kwargs)
+
+
+def coalesce_blocks(ds, target_rows: int = 262_144):
+    """Merge a Dataset's blocks up to ``target_rows`` rows per block.
+
+    Primary job here is CORRECTNESS, not block sizing: Ray 2.49's
+    sort-based groupby/aggregate emits EMPTY blocks with an EMPTY schema
+    (observed as ``Operator produced a RefBundle with a different
+    schema … new schema: .`` warnings).  Those schema-less blocks pass
+    through ``map_batches`` UNCALLED, and when one seeds a hash-join
+    aggregator partition the join dies with ``ArrowInvalid: No match or
+    multiple matches for key field reference``.  ``repartition`` (coalesce
+    mode, no key shuffle) concatenates blocks, dropping the schema-less
+    empties and restoring a uniform schema.  Apply to every
+    aggregate-derived Dataset that feeds a ``Dataset.join``."""
+    return ds.repartition(target_num_rows_per_block=target_rows)
