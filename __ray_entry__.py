@@ -92,6 +92,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spellcheck_suggestions": Q.spellcheck_suggestions,
         # multimodal plumbing
         "media_features": Q.media_features,
+        # training-data hygiene: benchmark decontamination + PII redaction
+        "decontaminate": Q.decontaminate,
+        "decontam_survivors": Q.decontam_survivors,
+        "span_dedup": Q.span_dedup,
+        "pii_redact": Q.pii_redact,
     }
 
 
@@ -1657,5 +1662,107 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["ann_lsh_topk"] = _lsh_sql()
     sql["ann_ivf_topk"] = _ivf_sql()
+
+    # -- training-data hygiene: decontamination + PII ------------------------
+    # word 8-grams over lowercased whitespace tokens; md5_number_lower ==
+    # engine md5_hash64, so the hash-join key sets agree exactly
+    _GRAMS = """
+    w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             md5_number_lower(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM w, unnest(range(1, greatest(len(toks) - 6, 1))) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 37 = 0)
+    """
+
+    sql["decontaminate"] = f"""
+    WITH {_GRAMS}
+    SELECT g.doc_id, count(*) AS overlap_ngrams
+    FROM grams g JOIN bench USING (h)
+    WHERE g.doc_id % 37 <> 0
+    GROUP BY g.doc_id
+    """
+
+    sql["decontam_survivors"] = f"""
+    WITH {_GRAMS},
+    bad AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (h)
+      WHERE g.doc_id % 37 <> 0
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 37 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """
+
+    # duplicated spans: 8-grams with corpus frequency > 1 (total occurrences,
+    # in-doc repeats included), gaps-and-islands merge of overlapping spans
+    sql["span_dedup"] = """
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5_number_lower(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM w, unnest(range(1, greatest(len(toks) - 6, 1))) AS r(i)
+    ),
+    freq AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+    hits AS (SELECT doc_id, pos FROM g JOIN freq USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl2 GROUP BY doc_id, island
+    )
+    SELECT doc_id, count(*) AS dup_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """
+
+    # RE2 on both sides (pyarrow compute kernels / DuckDB regexp_*), same
+    # patterns, same EMAIL -> IP -> PHONE redaction order
+    _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    sql["pii_redact"] = f"""
+    WITH inj AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' call 555-' || (100 + doc_id % 900) || '-'
+                     || (1000 + doc_id % 9000)
+                ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(t, '{_EMAIL}')) AS email_count,
+      len(regexp_extract_all(t, '{_IPV4}')) AS ip_count,
+      len(regexp_extract_all(t, '{_PHONE}')) AS phone_count,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '{_EMAIL}', '<EMAIL>', 'g'),
+        '{_IPV4}', '<IP>', 'g'),
+        '{_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM inj
+    """
 
     return sql

@@ -1022,3 +1022,60 @@ def media_features(sf_dir: str) -> "ray.data.Dataset":
         return pa.table(cols)
 
     return feats.map_batches(widen, batch_format="pyarrow")
+
+
+# -- training-data hygiene: decontamination + PII ----------------------------
+
+def _documents_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Column-pruned (doc_id, text) read of the documents table."""
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+
+DECONTAM_BENCH_MOD = 37     # doc_id % 37 == 0 plays the benchmark/holdout
+
+
+def _mod_filter(ds: "ray.data.Dataset", mod: int, keep_zero: bool
+                ) -> "ray.data.Dataset":
+    """Vectorized doc_id % mod filter (Ray's filter-expr grammar has no %)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % mod == 0) if keep_zero else (ids % mod != 0)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, overlap_ngrams): corpus docs sharing >=1 word 8-gram with
+    the synthetic benchmark slice (doc_id % 37 == 0)."""
+    from ..stages.decontam import benchmark_ngram_overlap
+    docs = _documents_docs(sf_dir)
+    bench = _mod_filter(docs, DECONTAM_BENCH_MOD, True)
+    corpus = _mod_filter(docs, DECONTAM_BENCH_MOD, False)
+    return benchmark_ngram_overlap(corpus, bench, n=8)
+
+
+def decontam_survivors(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus doc_ids with zero benchmark 8-gram overlap (the training set
+    after decontamination) — LEFT ANTI hash join, fully distributed."""
+    from ..stages.decontam import decontaminated_survivors
+    docs = _documents_docs(sf_dir)
+    bench = _mod_filter(docs, DECONTAM_BENCH_MOD, True)
+    corpus = _mod_filter(docs, DECONTAM_BENCH_MOD, False)
+    return decontaminated_survivors(corpus, bench, n=8)
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scan + redaction over documents with deterministic synthetic PII
+    injected (the raw corpus has none; see inject_synthetic_pii)."""
+    from ..stages.pii import inject_synthetic_pii, pii_scan_redact
+    return pii_scan_redact(inject_synthetic_pii(_documents_docs(sf_dir)))
+
+
+def span_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc duplicated-span stats (Lee-et-al-style exact-substring
+    signal over word 8-grams with corpus frequency > 1)."""
+    from ..stages.decontam import duplicated_spans
+    return duplicated_spans(_documents_docs(sf_dir), n=8)

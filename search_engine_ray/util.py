@@ -43,16 +43,24 @@ def read_parquet_clean(path, **kwargs):
 
 
 def coalesce_blocks(ds, target_rows: int = 262_144):
-    """Merge a Dataset's blocks up to ``target_rows`` rows per block.
+    """Merge a Dataset's blocks to ~``target_rows`` rows each, ELIMINATING
+    empty blocks.
 
     Primary job here is CORRECTNESS, not block sizing: Ray 2.49's
-    sort-based groupby/aggregate emits EMPTY blocks with an EMPTY schema
-    (observed as ``Operator produced a RefBundle with a different
-    schema … new schema: .`` warnings).  Those schema-less blocks pass
-    through ``map_batches`` UNCALLED, and when one seeds a hash-join
-    aggregator partition the join dies with ``ArrowInvalid: No match or
-    multiple matches for key field reference``.  ``repartition`` (coalesce
-    mode, no key shuffle) concatenates blocks, dropping the schema-less
-    empties and restoring a uniform schema.  Apply to every
-    aggregate-derived Dataset that feeds a ``Dataset.join``."""
-    return ds.repartition(target_num_rows_per_block=target_rows)
+    groupby/aggregate emits EMPTY blocks with an EMPTY schema (observed as
+    ``Operator produced a RefBundle with a different schema … new
+    schema: .`` warnings).  Those schema-less blocks pass through
+    ``map_batches`` UNCALLED, and the hash-join operator broadcasts the
+    FIRST bundle's schema to its aggregators (hash_shuffle.py:545-589) — a
+    schema-less first bundle therefore poisons every join partition that
+    receives no real rows, dying with ``ArrowInvalid: No match or multiple
+    matches for key field reference`` (flaky: depends on bundle arrival
+    order).  Only ``repartition(num_blocks=…)`` rebuilds/merges blocks
+    (``target_num_rows_per_block`` mode SPLITS but never merges, so empty
+    blocks survive it), hence: materialize, size the block count from the
+    now-free row count, merge.  Apply to every aggregate-derived Dataset
+    that feeds a ``Dataset.join``."""
+    m = ds.materialize()
+    n = m.count()                      # metadata-only on a materialized ds
+    nblocks = max(1, min(1000, -(-n // target_rows)))
+    return m.repartition(nblocks)

@@ -991,3 +991,127 @@ def test_sample_weighted_vs_naive():
     assert got == expect
     for k, i in heavy.items():
         assert (k, i) in got
+
+
+# -- training-data hygiene: decontamination + PII -----------------------------
+
+def test_benchmark_ngram_overlap_vs_bruteforce():
+    from search_engine_ray.stages.decontam import (
+        benchmark_ngram_overlap, decontaminated_survivors)
+    n = 4
+    base = "alpha beta gamma delta epsilon zeta eta theta".split()
+    corpus_rows = [
+        (0, " ".join(base)),                       # contains bench 4-grams
+        (1, "one two three four five six"),        # clean
+        (2, " ".join(base[2:6]) + " xx yy zz"),    # one shared 4-gram
+        (3, "short text"),                         # < n tokens -> no grams
+    ]
+    bench_rows = [(100, " ".join(base[:6])), (101, "nothing shared here at all")]
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in corpus_rows], pa.int64()),
+        "text": pa.array([r[1] for r in corpus_rows], pa.string())}))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in bench_rows], pa.int64()),
+        "text": pa.array([r[1] for r in bench_rows], pa.string())}))
+
+    def grams(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    bench_set = set().union(*(grams(t) for _, t in bench_rows))
+    expect = {}
+    for did, t in corpus_rows:
+        k = len(grams(t) & bench_set)
+        if k:
+            expect[did] = k
+    got = {r["doc_id"]: r["overlap_ngrams"]
+           for r in benchmark_ngram_overlap(corpus, bench, n=n).take_all()}
+    assert got == expect
+    assert got                                  # fixture plants overlaps
+
+    surv = sorted(r["doc_id"] for r in
+                  decontaminated_survivors(corpus, bench, n=n).take_all())
+    assert surv == sorted(d for d, _ in corpus_rows if d not in expect)
+
+
+def test_pii_scan_redact_counts_and_masks():
+    from search_engine_ray.stages.pii import pii_scan_redact
+    rows = [
+        (0, "mail Bob.Smith+x@Foo-bar.org or b@c.io now"),
+        (1, "server at 10.2.0.33 and 192.168.1.1"),
+        (2, "call 555-123-4567 or 555.987.6543"),
+        (3, "clean text with no pii at all"),
+        (4, "combo a@b.co 1.2.3.4 111-222-3333"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+    got = {r["doc_id"]: r for r in pii_scan_redact(ds).take_all()}
+    assert (got[0]["email_count"], got[0]["ip_count"]) == (2, 0)
+    assert got[0]["redacted"] == "mail <EMAIL> or <EMAIL> now"
+    assert got[1]["ip_count"] == 2
+    assert got[1]["redacted"] == "server at <IP> and <IP>"
+    assert got[2]["phone_count"] == 2
+    assert got[2]["redacted"] == "call <PHONE> or <PHONE>"
+    assert got[3]["redacted"] == rows[3][1]
+    assert (got[4]["email_count"], got[4]["ip_count"],
+            got[4]["phone_count"]) == (1, 1, 1)
+    assert got[4]["redacted"] == "combo <EMAIL> <IP> <PHONE>"
+
+
+def test_inject_synthetic_pii_roundtrip():
+    """Injected PII is found and fully redacted back out."""
+    from search_engine_ray.stages.pii import (inject_synthetic_pii,
+                                              pii_scan_redact)
+    ids = list(range(30))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"doc {i} body" for i in ids], pa.string())}))
+    got = {r["doc_id"]: r
+           for r in pii_scan_redact(inject_synthetic_pii(ds)).take_all()}
+    for i in ids:
+        assert got[i]["email_count"] == (1 if i % 7 == 0 else 0)
+        assert got[i]["ip_count"] == (1 if i % 11 == 0 else 0)
+        assert got[i]["phone_count"] == (1 if i % 13 == 0 else 0)
+        assert "@" not in got[i]["redacted"]
+
+
+def test_duplicated_spans_vs_bruteforce():
+    from search_engine_ray.stages.decontam import duplicated_spans
+    n = 3
+    rows = [
+        (0, "a b c d e f g"),          # shares "a b c"... with doc 1
+        (1, "a b c d x y z"),          # shares a-b-c, b-c-d with doc 0
+        (2, "p q r p q r p q r"),      # in-doc repetition
+        (3, "unique words only here"),
+        (4, "xx"),                     # < n tokens
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+
+    # brute force
+    from collections import Counter
+    grams: list[tuple[int, int, str]] = []
+    for did, t in rows:
+        w = t.lower().split()
+        for i in range(len(w) - n + 1):
+            grams.append((did, i, " ".join(w[i:i + n])))
+    freq = Counter(g for _, _, g in grams)
+    expect = {}
+    for did, _ in rows:
+        pos = sorted(p for d, p, g in grams if d == did and freq[g] > 1)
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1] - 1:     # overlap/adjacent
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + n))
+            else:
+                spans.append((p, p + n))
+        expect[did] = (len(spans), sum(e - s for s, e in spans))
+
+    got = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"])
+           for r in duplicated_spans(ds, n=n, num_parts=4).take_all()}
+    assert got == expect
+    assert 2 in got and got[2][0] >= 1        # in-doc repeats are caught
