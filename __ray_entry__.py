@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.decontaminate,
         "decontam_survivors": Q.decontam_survivors,
         "span_dedup": Q.span_dedup,
+        "gopher_quality": Q.gopher_quality,
         "pii_redact": Q.pii_redact,
     }
 
@@ -1732,6 +1733,42 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, count(*) AS dup_spans,
            CAST(sum(e - s) AS BIGINT) AS dup_tokens
     FROM spans GROUP BY doc_id
+    """
+
+    # Gopher quality gates — same RE2 patterns; '...' count via the
+    # replace-length trick on both sides; round-6 floats (repo convention)
+    sql["gopher_quality"] = """
+    WITH s AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS wc,
+             len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))
+               AS nonspace
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, wc,
+        round(nonspace * 1.0 / greatest(wc, 1), 6) AS mean_word_len,
+        round(((len(t) - len(replace(t, '#', '')))
+               + (len(t) - len(replace(t, '...', ''))) // 3) * 1.0
+              / greatest(wc, 1), 6) AS symbol_word_ratio,
+        (CASE WHEN regexp_matches(t, '\\bthe\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(t, '\\bbe\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(t, '\\bto\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(t, '\\bof\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(t, '\\band\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(t, '\\bthat\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(t, '\\bhave\\b') THEN 1 ELSE 0 END
+         + CASE WHEN regexp_matches(t, '\\bwith\\b') THEN 1 ELSE 0 END)
+          ::BIGINT AS stop_hits
+      FROM s
+    )
+    SELECT doc_id, wc AS word_count, mean_word_len, symbol_word_ratio,
+           stop_hits,
+           CAST(CASE WHEN wc BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3 AND 10
+                 AND symbol_word_ratio <= 0.1
+                 AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM f
     """
 
     # RE2 on both sides (pyarrow compute kernels / DuckDB regexp_*), same

@@ -88,7 +88,14 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     # shuffle reduce + segment writes)
     parts = 64 if num_turns > 2_000_000 else 32
     parts = int(os.environ.get("BENCH_PARTS", parts))
+    # doc-range split for the big corpus: the synthetic vocabulary is tiny,
+    # so single hot terms dominate whole parts — one reducer encoding a
+    # 50M-posting term was the measured 42-78 s tail of the 32-cpu build.
+    # R=4 spreads each term's encode over 4 reducers (bit-identical index).
+    rsplits = 4 if num_turns > 2_000_000 else 1
+    rsplits = int(os.environ.get("BENCH_RANGE_SPLITS", rsplits))
     cfg = EngineConfig(index_dir=index_dir, num_partitions=parts,
+                       range_splits=rsplits,
                        tokenize_concurrency=num_cpus,
                        max_broadcast_convs=int(os.environ.get(
                            "BENCH_MAX_CONVS", 5_000_000)))
@@ -256,6 +263,27 @@ def _log_scaling_run(rec: dict) -> None:
         pass
 
 
+def _probe_spin(seconds: float) -> int:
+    t = time.time()
+    n = 0
+    while time.time() - t < seconds:
+        n += 1
+    return n
+
+
+def _effective_cores(seconds: float = 1.0) -> float:
+    """Measured parallel CPU capacity actually available RIGHT NOW (shared
+    host!): 32 spin processes, sum-of-iterations / best-single-process.
+    Logged with every scaling child so a neighbor-tenant-contended run is
+    distinguishable from a code regression in the audit trail (observed:
+    the same 32-cpu build at 200 s on a quiet host and 572 s when this
+    probe reads < 12)."""
+    import multiprocessing as mp
+    with mp.Pool(32) as p:
+        r = p.map(_probe_spin, [seconds] * 32)
+    return round(sum(r) / max(r), 1)
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Each level runs SCALING_REPEATS fresh processes on the SAME input and
     the fastest run counts: the shared sandbox host shows 2x run-to-run
@@ -284,7 +312,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             r = json.loads(lines[-1])
             sys.stderr.write(f"scaling child cpus={cpus}: {r['value']}s "
                              f"{ {k: v for k, v in r['queries'].items()} }\n")
-            _log_scaling_run({"cpus": cpus, "mult": SCALING_MULT, **r})
+            _log_scaling_run({"cpus": cpus, "mult": SCALING_MULT,
+                              "effective_cores_probe": _effective_cores(),
+                              **r})
             if best is None or r["value"] < best["value"]:
                 best = r
         results[cpus] = best

@@ -76,6 +76,12 @@ class EngineConfig:
     index_dir: str = "/tmp/search_engine_ray/index"
     num_partitions: int = 32          # hash(term) shuffle fan-out
     salt: int = 1                     # >1 = two-phase salted groupby for skew
+    # >1 = split every part into R doc-id range buckets, each reduced and
+    # written independently (file segment-p{part*R+rb}); the engine
+    # byte-concats a term's chunks at load (block starts are absolute, so
+    # no re-encode).  THE skew control for Zipf head terms: a single term's
+    # encode work parallelizes R ways instead of serializing one reducer.
+    range_splits: int = 1
     block_size: int = 128             # postings per block-max block
     k1: float = 1.2
     b: float = 0.75

@@ -82,7 +82,7 @@ def _reserved_total_tokens(seg_manifest: dict, num_partitions: int) -> int:
 def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
     key = (f"v{_LAYOUT_VERSION}|{source_desc}|stem={int(cfg.do_stem)}|"
            f"stop={int(cfg.drop_stopwords)}|P={cfg.num_partitions}|"
-           f"block={cfg.block_size}")
+           f"R={cfg.range_splits}|block={cfg.block_size}")
     return f"{hash64(key):016x}"
 
 
@@ -251,7 +251,8 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         seg_manifest = build_segments(
             triples, index_dir=index_dir, doc_total=n,
             num_partitions=cfg.num_partitions, salt=cfg.salt,
-            block_size=cfg.block_size, input_fingerprint=fp, resume=resume)
+            block_size=cfg.block_size, input_fingerprint=fp, resume=resume,
+            range_splits=cfg.range_splits)
     else:
         # 2b) FUSED: the doc-store write runs on a side thread while the
         # main thread streams tokenize -> combiner -> one shuffle -> writer
@@ -282,7 +283,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             combined, index_dir=index_dir, doc_total=n,
             num_partitions=cfg.num_partitions, salt=cfg.salt,
             block_size=cfg.block_size, input_fingerprint=fp, resume=resume,
-            with_doclens=True)
+            with_doclens=True, range_splits=cfg.range_splits)
         _mark("segments_pipeline")
 
         if t is not None:
@@ -295,7 +296,8 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             manifest["doc_total"] = n
             save_manifest(index_dir, manifest)
 
-        total_tokens = _reserved_total_tokens(seg_manifest, cfg.num_partitions)
+        total_tokens = _reserved_total_tokens(
+            seg_manifest, cfg.num_partitions * cfg.range_splits)
         stats = {"doc_total": n if n > 0 else 1,
                  "total_tokens": total_tokens,
                  "avgdl": (total_tokens / n) if n > 0 else 0.0}
@@ -381,13 +383,17 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         batch_size=cfg.tokenize_batch_size,
         concurrency=cfg.tokenize_concurrency,
         do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
+    rs = int(manifest.get("range_splits", 1))
+    rbase = int(manifest.get("range_base_n", max(n0, 1)))
     seg_manifest = build_segments(
         combined, index_dir=index_dir, doc_total=n,
         num_partitions=cfg.num_partitions, salt=cfg.salt,
         block_size=cfg.block_size, input_fingerprint=fp, resume=False,
-        with_doclens=True, merge_existing=True)
+        with_doclens=True, merge_existing=True,
+        range_splits=rs, range_base_n=rbase)
 
-    total_tokens = _reserved_total_tokens(seg_manifest, cfg.num_partitions)
+    total_tokens = _reserved_total_tokens(
+        seg_manifest, cfg.num_partitions * rs)
     stats = {"doc_total": n, "total_tokens": total_tokens,
              "avgdl": total_tokens / n}
     write_stats(index_dir, stats)

@@ -1079,3 +1079,9 @@ def span_dedup(sf_dir: str) -> "ray.data.Dataset":
     signal over word 8-grams with corpus frequency > 1)."""
     from ..stages.decontam import duplicated_spans
     return duplicated_spans(_documents_docs(sf_dir), n=8)
+
+
+def gopher_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher/MassiveText whole-doc quality gates (Rae et al. 2021 A1.1)."""
+    from ..stages.textstats import gopher_quality as gq
+    return gq(_documents_docs(sf_dir))

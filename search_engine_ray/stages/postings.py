@@ -76,10 +76,19 @@ class _RunCombiner:
     reducer reconstructs the posting list regardless of how batches split."""
 
     def __init__(self, num_partitions: int, salt: int,
-                 skip_parts: frozenset[int]):
+                 skip_parts: frozenset[int], range_splits: int = 1,
+                 range_base_n: int = 1):
         self._parts = num_partitions
         self._salt = salt
         self._skip = skip_parts
+        # doc-range split: physical part = hash(term)%P * R + rb where
+        # rb = clip(doc_id * R // range_base_n, 0, R-1).  The mapping is
+        # FROZEN at the base build's doc_total (incremental extends clamp
+        # new, higher doc ids into the last bucket) so chunk doc ranges
+        # stay disjoint and rb-ascending forever — the engine's load-time
+        # byte concat depends on that invariant.
+        self._rsplits = max(1, int(range_splits))
+        self._rbase = max(1, int(range_base_n))
 
     DOCLEN_SHARDS = 16          # reserved parts: num_partitions .. +SHARDS-1
     _SHARD_RANGE = 65536        # contiguous doc-id range per shard stripe
@@ -105,8 +114,9 @@ class _RunCombiner:
                     m = shards == shard
                     doc_buf, tf_buf = encode_postings(d[m], t[m])
                     doclen_tables.append(pa.table({
-                        "part": pa.array([self._parts + int(shard)],
-                                         pa.int32()),
+                        "part": pa.array(
+                            [self._parts * self._rsplits + int(shard)],
+                            pa.int32()),
                         "term": pa.array([""], pa.string()),
                         "salt": pa.array([0], pa.int32()),
                         "df": pa.array([int(m.sum())], pa.int64()),
@@ -127,6 +137,7 @@ class _RunCombiner:
             doc_bufs: list[bytes] = []
             tf_bufs: list[bytes] = []
             salts = np.empty(0, dtype=np.int64)
+            run_rb = np.empty(0, dtype=np.int64)
         else:
             # one vb_encode over the whole batch, sliced per term run —
             # a per-term encode loop pays numpy fixed costs ~10k times per
@@ -134,9 +145,15 @@ class _RunCombiner:
             tcol = batch.column("term").combine_chunks()
             import pyarrow.compute as _pc
             changed = _pc.not_equal(tcol.slice(1), tcol.slice(0, n - 1))
-            starts = np.concatenate(
-                ([0], np.flatnonzero(
-                    changed.to_numpy(zero_copy_only=False)) + 1))
+            brk = changed.to_numpy(zero_copy_only=False).copy()
+            if self._rsplits > 1:
+                # runs must be rb-pure: also break where the range bucket
+                # changes (rb is non-decreasing within a (term, doc) sort)
+                rb_all = np.minimum(
+                    doc_ids.astype(np.int64) * self._rsplits // self._rbase,
+                    self._rsplits - 1)
+                brk |= rb_all[1:] != rb_all[:-1]
+            starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
             bounds = np.concatenate((starts, [n]))
 
             gaps = np.empty(n, dtype=np.uint64)
@@ -157,10 +174,18 @@ class _RunCombiner:
             # runs of the same term spread across reducers when salted
             salts = (doc_ids[starts] % self._salt if self._salt > 1
                      else np.zeros(len(starts), dtype=np.int64))
+            run_rb = np.minimum(
+                doc_ids[starts].astype(np.int64) * self._rsplits
+                // self._rbase, self._rsplits - 1) \
+                if self._rsplits > 1 else np.zeros(len(starts),
+                                                   dtype=np.int64)
         dfs, cfs = dfs_a, cfs_a
 
         part = (hash64_column(out_terms) % np.uint64(self._parts)).astype(
-            np.int32)
+            np.int64)
+        if self._rsplits > 1:
+            part = part * self._rsplits + run_rb
+        part = part.astype(np.int32)
         table = pa.table({
             "part": pa.array(part),
             "term": pa.array(out_terms, pa.string()),
@@ -561,13 +586,22 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
                    doc_total: int, num_partitions: int = 32, salt: int = 1,
                    block_size: int = 128, input_fingerprint: str = "",
                    resume: bool = True, with_doclens: bool = False,
-                   merge_existing: bool = False) -> dict:
+                   merge_existing: bool = False, range_splits: int = 1,
+                   range_base_n: int | None = None) -> dict:
     """Posting triples -> segment files + committed manifest.
 
     ``with_doclens=True`` (fused build): the input still carries kind==1
     doc-length rows; they ride the same shuffle to a reserved part whose
     reducer publishes the doclens artifact — one exchange for postings AND
-    lengths.  Returns the manifest dict."""
+    lengths.  Returns the manifest dict.
+
+    ``range_splits=R > 1`` splits every hash part into R doc-id range
+    buckets (physical part = part*R + rb), so one Zipf head term's encode
+    work runs on R reducers instead of one.  Files stay per-physical-part;
+    the engine byte-concats a term's rb-ascending chunks at load (block
+    starts are absolute).  ``range_base_n`` freezes the bucket boundaries
+    (defaults to this build's doc_total; incremental extends MUST reuse the
+    recorded base so chunk ranges stay disjoint)."""
     # always load: non-resume builds reset the part entries but PRESERVE the
     # bookkeeping keys the caller committed before this barrier (max_conv,
     # docs_fingerprint, doc_total) — a fresh dict would drop them from the
@@ -600,9 +634,12 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
         combined = combined.filter(expr="kind == 0")
     # batch_size=None: combine whole blocks — bigger batches = longer runs =
     # less shuffle volume (default 1024-row batches would emit df~1 runs)
+    range_splits = max(1, int(range_splits))
+    if range_base_n is None:
+        range_base_n = max(1, doc_total)
     runs = combined.map_batches(
-        _RunCombiner(num_partitions, salt, done), batch_format="pyarrow",
-        batch_size=None)
+        _RunCombiner(num_partitions, salt, done, range_splits, range_base_n),
+        batch_format="pyarrow", batch_size=None)
 
     if salt > 1:
         runs = runs.groupby(["part", "salt"]).map_groups(
@@ -615,12 +652,16 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
         doc_total=doc_total,
         block_size=block_size,
         input_fingerprint=input_fingerprint,
-        reserved_part=num_partitions if with_doclens else None,
+        reserved_part=(num_partitions * range_splits
+                       if with_doclens else None),
         merge_existing=merge_existing,
     )
-    writer_rows = runs.groupby("part").map_groups(
+    writer_ds = runs.groupby("part").map_groups(
         writer, batch_format="pyarrow",
-    ).take_all()   # manifest rows only: one per part, tiny
+    )
+    writer_rows = writer_ds.take_all()   # manifest rows only: one per part
+    if os.environ.get("BUILD_PRINT_STATS"):
+        print(writer_ds.stats())
 
     for row in writer_rows:
         elapsed = float(row.get("elapsed_s", 0.0) or 0.0)
@@ -636,6 +677,8 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
             "input_fingerprint": row["input_fingerprint"],
         }
     manifest["num_partitions"] = num_partitions
+    manifest["range_splits"] = range_splits
+    manifest["range_base_n"] = range_base_n
     manifest["doc_total"] = doc_total
     manifest["input_fingerprint"] = input_fingerprint
     manifest["completed_parts"] = sorted(int(p) for p in manifest["entries"])

@@ -160,3 +160,75 @@ def rolling_fingerprints(docs: "ray.data.Dataset", *, window: int = 8
         })
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# Gopher/MassiveText quality rules (Rae et al. 2021, appendix A1.1) — the
+# subset expressible as deterministic whole-doc statistics; thresholds are
+# the published ones.  Everything below runs through pyarrow.compute's RE2 /
+# string kernels (vectorized, SQL-mirrorable: DuckDB's regexp_* is RE2 too).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, word_count, mean_word_len, symbol_word_ratio, stop_hits,
+    keep) per doc — the Gopher repetition-free quality gates:
+
+      keep = GOPHER_MIN_WORDS <= word_count <= GOPHER_MAX_WORDS
+           AND 3 <= mean_word_len <= 10
+           AND (#'#' + #'...') / word_count <= 0.1
+           AND >= 2 distinct Gopher stopwords present
+
+    Floats are round-6 on both engine and oracle (repo convention).  The
+    '...' count uses the replace-length trick so engine and SQL share the
+    same non-overlapping greedy-left scan."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if t.type != pa.string():
+            t = t.cast(pa.string())
+        t = pc.fill_null(t, "")
+        wc = pc.count_substring_regex(t, r"\S+").cast(pa.int64())
+        nonspace = pc.utf8_length(
+            pc.replace_substring_regex(t, r"\s+", "")).cast(pa.int64())
+        safe_wc = pc.max_element_wise(wc, 1)
+        mwl = pc.round(pc.divide(nonspace.cast(pa.float64()),
+                                 safe_wc.cast(pa.float64())), ndigits=6)
+        hashes = pc.count_substring(t, "#").cast(pa.int64())
+        tlen = pc.utf8_length(t).cast(pa.int64())
+        no_ell = pc.utf8_length(pc.replace_substring(t, "...", "")
+                                ).cast(pa.int64())
+        ell = pc.divide(pc.subtract(tlen, no_ell), 3)
+        sym = pc.round(pc.divide(
+            pc.add(hashes, ell).cast(pa.float64()),
+            safe_wc.cast(pa.float64())), ndigits=6)
+        stop_hits = None
+        for w in GOPHER_STOPWORDS:
+            hit = pc.match_substring_regex(
+                t, rf"\b{w}\b").cast(pa.int64())
+            stop_hits = hit if stop_hits is None else pc.add(stop_hits, hit)
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(wc, GOPHER_MIN_WORDS),
+                        pc.less_equal(wc, GOPHER_MAX_WORDS)),
+                pc.and_(pc.greater_equal(mwl, GOPHER_MIN_MEAN_WORD_LEN),
+                        pc.less_equal(mwl, GOPHER_MAX_MEAN_WORD_LEN))),
+            pc.and_(pc.less_equal(sym, GOPHER_MAX_SYMBOL_RATIO),
+                    pc.greater_equal(stop_hits, GOPHER_MIN_STOP_HITS)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "word_count": wc,
+            "mean_word_len": mwl,
+            "symbol_word_ratio": sym,
+            "stop_hits": stop_hits,
+            "keep": keep.cast(pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

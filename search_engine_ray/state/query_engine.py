@@ -159,7 +159,13 @@ class QueryEngine:
         self._range_hi = range_hi
 
         # term dictionary: term -> (df, cf, idf, doc_buf, tf_buf, block_meta)
+        # Built via per-term CHUNK accumulation: with range_splits > 1 a
+        # term's postings live in several physical-part files (rb-ascending
+        # doc ranges).  Block starts are absolute (varbyte.py), so merging
+        # chunks is byte concat + block-offset shifts — no re-encode.
+        # File-name order == physical part order == rb-ascending per term.
         self._dict: dict[str, tuple] = {}
+        chunks: dict[str, list] = {}
         import bisect as _bisect
         for f in sorted(glob.glob(os.path.join(index_dir, "segments", "segment-p*.parquet"))):
             t = pq.read_table(f)
@@ -215,17 +221,39 @@ class QueryEngine:
                             bld, bmt = m2["last_doc"], m2["max_tf"]
                             bdo, bto = m2["doc_off"], m2["tf_off"]
                             bct = m2["count"]
-                meta = {"last_doc": bld, "max_tf": bmt,
-                        "doc_off": bdo, "tf_off": bto,
-                        "count": bct}
-                # idf is recomputed from df + the LIVE corpus size: after an
-                # incremental extend, stored idf values in untouched parts
-                # reflect the N at their write time (stats.json is
-                # authoritative; same float expression as build, so a clean
-                # build's stored idf matches bit-for-bit)
-                self._dict[term] = (dfs[i], cfs[i],
-                                    idf_fn(self.doc_total, dfs[i]), dbuf,
-                                    tbuf, meta)
+                chunks.setdefault(term, []).append(
+                    (dfs[i], cfs[i], dbuf, tbuf, bld, bmt, bdo, bto, bct))
+
+        for term, ch in chunks.items():
+            if len(ch) == 1:
+                df_t, cf_t, dbuf, tbuf, bld, bmt, bdo, bto, bct = ch[0]
+            else:
+                df_t = sum(c[0] for c in ch)
+                cf_t = sum(c[1] for c in ch)
+                dbuf = b"".join(c[2] for c in ch)
+                tbuf = b"".join(c[3] for c in ch)
+                bld, bmt, bct = [], [], []
+                bdo, bto = [0], [0]
+                d_base = t_base = 0
+                for c in ch:
+                    bld.extend(c[4])
+                    bmt.extend(c[5])
+                    bct.extend(c[8])
+                    bdo.extend(x + d_base for x in c[6][1:])
+                    bto.extend(x + t_base for x in c[7][1:])
+                    d_base += len(c[2])
+                    t_base += len(c[3])
+            meta = {"last_doc": bld, "max_tf": bmt,
+                    "doc_off": bdo, "tf_off": bto,
+                    "count": bct}
+            # idf is recomputed from df + the LIVE corpus size: after an
+            # incremental extend, stored idf values in untouched parts
+            # reflect the N at their write time (stats.json is
+            # authoritative; same float expression as build, so a clean
+            # build's stored idf matches bit-for-bit)
+            self._dict[term] = (df_t, cf_t,
+                                idf_fn(self.doc_total, df_t), dbuf,
+                                tbuf, meta)
 
         # tombstone mask (delete support over immutable artifacts;
         # state/tombstones.py) — empty arrays when no deletes exist

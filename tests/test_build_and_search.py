@@ -665,3 +665,66 @@ def test_join_mode_build_equals_broadcast_build(tmp_path):
     for q, limit, offset in QUERY_SET[:8]:
         assert _rows_key(qj.search(q, limit=limit, offset=offset)) == \
             _rows_key(qb.search(q, limit=limit, offset=offset)), q
+
+
+def test_range_split_equals_plain(tiny_transcripts, tmp_path, built_index):
+    """range_splits=R build: postings/dict/search bit-identical to plain
+    (the skew control for Zipf head terms — each hot term's encode work is
+    spread over R reducers; the engine byte-concats chunks at load)."""
+    import numpy as np
+    from search_engine_ray.functions.varbyte import decode_postings_blocked
+
+    cfg_ref, _ = built_index
+    e1 = QueryEngine(cfg_ref.index_dir)
+    cfg = EngineConfig(index_dir=str(tmp_path / "rsplit"), num_partitions=8,
+                       range_splits=4)
+    ds = ray.data.from_arrow(tiny_transcripts).repartition(4)
+    build_index(ds, cfg, source_desc="tiny")
+    e4 = QueryEngine(cfg.index_dir)
+    assert set(e1._dict) == set(e4._dict)
+    for t in e1._dict:
+        a, b = e1._dict[t], e4._dict[t]
+        assert (a[0], a[1], a[2]) == (b[0], b[1], b[2])
+        da, ta = decode_postings_blocked(a[3], a[4], a[5])
+        db, tb = decode_postings_blocked(b[3], b[4], b[5])
+        assert np.array_equal(da, db) and np.array_equal(ta, tb)
+        assert b[5]["doc_off"][-1] == len(b[3])     # merged offsets coherent
+    for q in ("word0001 word0002", "word0003 word0001 word0002", ""):
+        assert [(r["url"], r["score"]) for r in e1.search(q, limit=10)] == \
+               [(r["url"], r["score"]) for r in e4.search(q, limit=10)]
+
+
+def test_range_split_extend_equals_full(tmp_path):
+    """Incremental extend on a range-split base (frozen bucket mapping)
+    must equal a clean range-split build of the union — search identity."""
+    from search_engine_ray.pipelines.build import extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(60, seed=23)
+    import pyarrow.compute as pc
+    convs = sorted(set(full.column("conv_id").to_pylist()))
+    first = full.filter(pc.is_in(full.column("conv_id"),
+                                 pa.array(convs[:40])))
+    second = full.filter(pc.is_in(full.column("conv_id"),
+                                  pa.array(convs[40:])))
+
+    cfg_inc = EngineConfig(index_dir=str(tmp_path / "inc"),
+                           num_partitions=4, range_splits=3)
+    build_index(ray.data.from_arrow(first).repartition(3), cfg_inc,
+                source_desc="base")
+    extend_index(ray.data.from_arrow(second).repartition(2), cfg_inc,
+                 source_desc="more")
+
+    cfg_full = EngineConfig(index_dir=str(tmp_path / "fullr"),
+                            num_partitions=4, range_splits=3)
+    build_index(ray.data.from_arrow(full).repartition(4), cfg_full,
+                source_desc="union")
+
+    ei, ef = QueryEngine(cfg_inc.index_dir), QueryEngine(cfg_full.index_dir)
+    assert set(ei._dict) == set(ef._dict)
+    for t in ei._dict:
+        assert ei._dict[t][0] == ef._dict[t][0]       # df
+        assert ei._dict[t][1] == ef._dict[t][1]       # cf
+    for q in ("word0001 word0002", "word0005", "word0002 word0003"):
+        assert [(r["url"], r["score"]) for r in ei.search(q, limit=10)] == \
+               [(r["url"], r["score"]) for r in ef.search(q, limit=10)]

@@ -1115,3 +1115,36 @@ def test_duplicated_spans_vs_bruteforce():
            for r in duplicated_spans(ds, n=n, num_parts=4).take_all()}
     assert got == expect
     assert 2 in got and got[2][0] >= 1        # in-doc repeats are caught
+
+
+def test_gopher_quality_vs_bruteforce():
+    from search_engine_ray.stages.textstats import (GOPHER_STOPWORDS,
+                                                    gopher_quality)
+    import re
+    rows = [
+        (0, "the quick brown fox jumps over lazy dogs and cats " * 6),
+        (1, "short doc"),                               # < 50 words
+        (2, ("be to of and that " * 12) + "#### ### ...... ..."),  # symbols
+        (3, " ".join(["supercalifragilistic"] * 60)),   # mwl > 10, no stops
+        (4, None),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+    got = {r["doc_id"]: r for r in gopher_quality(ds).take_all()}
+    for did, t in rows:
+        t = t or ""
+        words = t.split()
+        wc = len(words)
+        nonspace = len(re.sub(r"\s+", "", t))
+        mwl = round(nonspace / max(wc, 1), 6)
+        sym = round((t.count("#") + t.count("...")) / max(wc, 1), 6)
+        hits = sum(1 for w in GOPHER_STOPWORDS
+                   if re.search(rf"\b{w}\b", t))
+        keep = int(50 <= wc <= 100_000 and 3 <= mwl <= 10
+                   and sym <= 0.1 and hits >= 2)
+        g = got[did]
+        assert (g["word_count"], g["mean_word_len"], g["symbol_word_ratio"],
+                g["stop_hits"], g["keep"]) == (wc, mwl, sym, hits, keep), did
+    assert got[0]["keep"] == 1 and got[1]["keep"] == 0
+    assert got[2]["keep"] == 0 and got[3]["keep"] == 0
