@@ -161,7 +161,8 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     # engine (N client threads, each running the query set once) — measures
     # the multi-node serving shape, not just single-stream latency
     qps, q_p50_ms, q_p99_ms = _bench_qps(index_dir)
-    queries[f"qps_threads{QPS_THREADS}_shards{QPS_SHARDS}"] = qps
+    queries[f"qps_threads{QPS_THREADS}_shards{QPS_SHARDS}"
+            f"x{QPS_REPLICAS}"] = qps
 
     # secondary pipelines over the driver testdata tables
     from search_engine_ray.pipelines import queries as Q
@@ -194,10 +195,16 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
 
 QPS_THREADS = int(os.environ.get("QPS_THREADS", "8"))
 QPS_SHARDS = int(os.environ.get("QPS_SHARDS", "4"))
+# QPS scales with shard-actor count (each actor is single-threaded and a
+# query costs ~num_shards actor-call-ms): replicas add throughput without
+# shrinking the per-actor doc slice
+QPS_REPLICAS = int(os.environ.get("QPS_REPLICAS", "2"))
 
 
 def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
-               n_shards: int = QPS_SHARDS) -> tuple[float, float, float]:
+               n_shards: int = QPS_SHARDS,
+               n_replicas: int = QPS_REPLICAS
+               ) -> tuple[float, float, float]:
     """(qps, p50_ms, p99_ms) for concurrent GET /search load against a
     ThreadingHTTPServer holding one warm ShardedQueryEngine."""
     import threading
@@ -208,7 +215,8 @@ def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
     from search_engine_ray.serving.http import make_handler
     from search_engine_ray.state.sharded import ShardedQueryEngine
 
-    eng = ShardedQueryEngine(index_dir, num_shards=n_shards)
+    eng = ShardedQueryEngine(index_dir, num_shards=n_shards,
+                             num_replicas=n_replicas)
     srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
     port = srv.server_address[1]
     st = threading.Thread(target=srv.serve_forever, daemon=True)

@@ -45,22 +45,41 @@ class _ShardActor:
     def loaded_postings_bytes(self) -> int:
         return self._eng.loaded_postings_bytes()
 
-    def score_range(self, sorted_terms: list[str], cl: int
-                    ) -> tuple[bool, list[tuple]]:
+    def score_range(self, sorted_terms: list[str], cl: int,
+                    ctx: dict | None = None) -> tuple[bool, list[tuple]]:
         """(ok, local top-cl rows) within this shard's range; rows carry
-        (doc_id, token_score, matched, conv_id, turn_idx, role, tool, text).
-        ok=False signals a doc-meta decode failure — the rows then carry
-        stage-1 triples only, and the driver degrades the WHOLE query to the
-        reference's encoding-error fallback page (search_service.py:321)."""
+        (doc_id, token_score, matched, conv_id, turn_idx, role, tool, text
+        [, intent]).  When ``ctx`` (query_phrase/query_compact/query_words/
+        total_terms/intent_bias) is given, the stage-2 intent score is
+        computed HERE, in the shard actor — the per-candidate Python scoring
+        loop was the serving client's GIL bottleneck (~7 ms serialized per
+        query at cl=220 capped the 8-thread QPS bench near 100); in the
+        actors it parallelizes across shards and leaves the client a trivial
+        merge.  ok=False signals a doc-meta decode failure — the rows then
+        carry stage-1 triples only, and the driver degrades the WHOLE query
+        to the reference's encoding-error fallback page
+        (search_service.py:321)."""
         rows = self._eng.score_terms(sorted_terms, candidate_limit=cl,
                                      doc_range=(self._lo, self._hi))
         out = []
         try:
             for doc_id, score, matched in rows:
                 meta = self._eng.doc_meta(doc_id)
-                out.append((doc_id, score, matched, meta["conv_id"],
-                            meta["turn_idx"], meta["role"], meta["tool"],
-                            meta["text"]))
+                row = [doc_id, score, matched, meta["conv_id"],
+                       meta["turn_idx"], meta["role"], meta["tool"],
+                       meta["text"]]
+                if ctx is not None:
+                    url = f"{meta['conv_id']}#{meta['turn_idx']}"
+                    row.append(intent_score(
+                        token_score=score, matched_terms=matched,
+                        total_terms=ctx["total_terms"],
+                        query_phrase=ctx["query_phrase"],
+                        query_compact=ctx["query_compact"],
+                        query_words=ctx["query_words"],
+                        title=meta["tool"] or "",
+                        description=meta["text"] or "",
+                        url=url) + ctx.get("intent_bias", 0.0))
+                out.append(tuple(row))
         except UnicodeDecodeError:
             return False, [(d, s, m) for d, s, m in rows]
         return True, out
@@ -72,15 +91,25 @@ class ShardedQueryEngine:
     QueryEngine.search."""
 
     def __init__(self, index_dir: str, *, num_shards: int = 2,
-                 scoring: str = "reference", k1: float = 1.2,
-                 b: float = 0.75):
+                 num_replicas: int = 1, scoring: str = "reference",
+                 k1: float = 1.2, b: float = 0.75):
+        """``num_shards`` partitions the corpus (per-actor memory = its
+        doc-range slice); ``num_replicas`` adds identical actors per range
+        for query THROUGHPUT — each shard actor is single-threaded, so a
+        query costs ~num_shards actor-call-milliseconds and total QPS caps
+        at (actors / per-call ms).  Queries pick a replica row round-robin;
+        results are replica-independent (same slice, same floats)."""
+        import itertools
         n = int(read_stats(index_dir)["doc_total"])
         bounds = [round(i * n / num_shards) for i in range(num_shards + 1)]
-        self._actors = [
-            _ShardActor.remote(index_dir, bounds[i], bounds[i + 1],
-                               scoring=scoring, k1=k1, b=b)
-            for i in range(num_shards)
+        self._replicas = [
+            [_ShardActor.remote(index_dir, bounds[i], bounds[i + 1],
+                                scoring=scoring, k1=k1, b=b)
+             for i in range(num_shards)]
+            for _ in range(max(1, num_replicas))
         ]
+        self._rr = itertools.count()          # thread-safe round-robin
+        self._actors = self._replicas[0]      # back-compat (tests poke it)
 
     def search(self, q: str, *, limit: int = 20, offset: int = 0,
                intent_bias: float = 0.0) -> list[dict]:
@@ -89,7 +118,14 @@ class ShardedQueryEngine:
             return []
         cl = ctx["candidate_limit"]
         terms = sorted(set(ctx["query_terms"]))
-        futs = [a.score_range.remote(terms, cl) for a in self._actors]
+        shard_ctx = {"total_terms": ctx["total_terms"],
+                     "query_phrase": ctx["query_phrase"],
+                     "query_compact": ctx["query_compact"],
+                     "query_words": ctx["query_words"],
+                     "intent_bias": intent_bias}
+        row = self._replicas[next(self._rr) % len(self._replicas)] \
+            if len(self._replicas) > 1 else self._actors
+        futs = [a.score_range.remote(terms, cl, shard_ctx) for a in row]
         parts = ray.get(futs)
         if not all(ok for ok, _ in parts):
             # any shard hit a doc-meta decode error -> whole query degrades
@@ -101,30 +137,27 @@ class ShardedQueryEngine:
                                  offset=offset)
         rows = [r for _, part in parts for r in part]
         # global stage-1 order: (score DESC, doc_id ASC); each shard returned
-        # its full local top-cl, so the global top-cl is contained in rows
+        # its full local top-cl, so the global top-cl is contained in rows.
+        # Intent scores were computed per candidate in the shard actors; the
+        # candidate CUT still happens here, on the stage-1 key, so semantics
+        # equal the single engine (top-cl by stage-1, then intent re-rank).
         rows.sort(key=lambda r: (-r[1], r[0]))
         rows = rows[:cl]
         ranked = []
         for doc_id, token_score, matched, conv_id, turn_idx, role, tool, \
-                text in rows:
-            url = f"{conv_id}#{turn_idx}"
-            score = intent_score(
-                token_score=token_score, matched_terms=matched,
-                total_terms=ctx["total_terms"],
-                query_phrase=ctx["query_phrase"],
-                query_compact=ctx["query_compact"],
-                query_words=ctx["query_words"],
-                title=tool or "", description=text or "",
-                url=url) + intent_bias
+                text, score in rows:
             ranked.append({
                 "conv_id": conv_id, "turn_idx": turn_idx, "role": role,
-                "tool": tool, "text": text, "url": url, "score": score,
+                "tool": tool, "text": text,
+                "url": f"{conv_id}#{turn_idx}", "score": score,
                 "token_score": token_score, "matched_terms": matched,
             })
         ranked.sort(key=lambda r: (-r["score"], r["url"]))
         return ranked[offset:offset + limit]
 
     def shutdown(self) -> None:
-        for a in self._actors:
-            ray.kill(a)
+        for row in self._replicas:
+            for a in row:
+                ray.kill(a)
+        self._replicas = [[]]
         self._actors = []

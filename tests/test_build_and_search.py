@@ -556,7 +556,7 @@ def test_encoding_error_fallback_sharded_driver(built_index):
         def __init__(self, triples):
             self._t = triples
 
-        def score_range(self, terms, cl):
+        def score_range(self, terms, cl, ctx=None):
             return False, self._t[:cl]
 
     # replace one real shard with a degraded one carrying that shard's
