@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_survivors": Q.near_dedup_survivors,
         "pack_shards": Q.pack_shards,
         "sample_stratified": Q.sample_stratified,
+        "mix_sources": Q.mix_sources,
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
         "events_sample_per_user": Q.events_sample_per_user,
@@ -1146,6 +1147,41 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 'es' THEN 40 WHEN 'fr' THEN 40
                           ELSE 100 END) AS keep
     FROM lng
+    """
+
+    # static source mixing: integer-exact binding-source math (HUGEINT ==
+    # Python arbitrary-precision ints for these magnitudes), md5 ppm draw
+    sql["mix_sources"] = """
+    WITH tc AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '\\b[a-zA-Z0-9]{2,}\\b'))
+               AS n
+      FROM documents
+    ),
+    u AS (
+      SELECT source,
+             CAST(1 + coalesce(try_cast(regexp_replace(source, '[^0-9]', '',
+                  'g') AS BIGINT), 0) % 4 AS HUGEINT) AS unit,
+             CAST(sum(n) AS HUGEINT) AS toks
+      FROM tc GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(unit) AS HUGEINT) AS uu FROM u),
+    star AS (
+      SELECT min(toks * uu // unit) AS nstar FROM u, tot WHERE toks > 0
+    ),
+    rates AS (
+      SELECT source,
+             CASE WHEN toks = 0 THEN CAST(1000000 AS HUGEINT)
+                  ELSE least(CAST(1000000 AS HUGEINT),
+                             unit * nstar * 1000000 // (uu * toks)) END
+               AS keep_ppm
+      FROM u, tot, star
+    )
+    SELECT tc.doc_id, tc.source, CAST(tc.n AS BIGINT) AS token_count,
+           CAST(r.keep_ppm AS BIGINT) AS keep_ppm,
+           (md5_number_lower(CAST(tc.doc_id AS VARCHAR)) % 1000000)
+             < r.keep_ppm AS keep
+    FROM tc JOIN rates r USING (source)
     """
 
     sql["dedup_exact_groups"] = """

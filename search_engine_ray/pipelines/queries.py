@@ -571,6 +571,16 @@ def sample_stratified(sf_dir: str) -> "ray.data.Dataset":
     return ss(_docs_with_ids(sf_dir))
 
 
+def mix_sources(sf_dir: str) -> "ray.data.Dataset":
+    """Static source mixing: downsample each documents.source stratum so
+    output token mass follows the per-source weight units (binding-source
+    integer math + md5 ppm draw — stages/curation.mix_sources)."""
+    from ..stages.curation import mix_sources as mx
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "source"])
+    return mx(docs)
+
+
 def simhash_near_pairs(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.dedup import simhash_near_pairs as snp
     return snp(_docs_with_ids(sf_dir))

@@ -203,3 +203,80 @@ def sample_weighted(ds: "ray.data.Dataset", *, key: str, id_col: str,
     return (ds.select_columns([key, id_col, weight_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(finalize, batch_format="pyarrow"))
+
+
+def _source_unit(source: str) -> int:
+    """Default mixing weight unit for a source name: 1 + (digits % 4).
+
+    Deterministic and derivable from the name alone, so the SQL oracle
+    recomputes it (``1 + coalesce(try_cast(regexp_replace(source,
+    '[^0-9]', '', 'g') AS BIGINT), 0) % 4``).  Callers with real mixing
+    targets pass explicit ``weights`` instead."""
+    digits = "".join(ch for ch in source if ch.isdigit())
+    return 1 + (int(digits) % 4 if digits else 0)
+
+
+def mix_sources(docs: "ray.data.Dataset", *,
+                weights: dict[str, int] | None = None
+                ) -> "ray.data.Dataset":
+    """Static source mixing (the DoReMi-style curation step): downsample
+    each ``source`` stratum so the OUTPUT token mass follows integer weight
+    units, keeping as much data as the binding source allows.
+
+    Math is integer-exact end to end so the SQL oracle matches bit-for-bit
+    (Python ints are arbitrary precision; the mirror casts to HUGEINT):
+
+      U           = sum of units over sources present
+      nstar       = min over sources with tokens of  T_s * U // u_s
+                    (max total output tokens honoring every target share)
+      keep_ppm_s  = min(1e6, u_s * nstar * 1e6 // (U * T_s))
+      keep(doc)   = md5_hash64(str(doc_id)) % 1e6 < keep_ppm_s
+
+    The binding source keeps ~everything; heavier-than-target sources are
+    hash-downsampled.  Token-less sources keep_ppm = 1e6 (nothing to mix).
+
+    Scale shape: tokenization runs ONCE (materialized counts feed both the
+    per-source total and the flag pass); the only driver state is the
+    per-source totals dict (#sources rows — the same cutover class as the
+    conv-offset broadcast) and the keep_ppm closure dict; the flag pass is
+    a pure map.  No shuffle beyond the tiny source groupby."""
+    def count_fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [len(TOKEN_RE.findall((t or "").lower())) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "token_count": pa.array(n, pa.int64()),
+        })
+
+    counts = docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        count_fn, batch_format="pyarrow").materialize()
+
+    totals: dict[str, int] = {
+        r["source"]: int(r["sum(token_count)"])
+        for r in counts.groupby("source").aggregate(
+            Sum("token_count")).take_all()}
+    if weights is not None and (missing := set(totals) - set(weights)):
+        raise ValueError(f"mix_sources: no weight for sources {missing}")
+    units = {s: int(weights[s]) if weights is not None else _source_unit(s)
+             for s in totals}
+    uu = sum(units.values())
+    with_tokens = [s for s, t in totals.items() if t > 0]
+    nstar = (min(totals[s] * uu // units[s] for s in with_tokens)
+             if with_tokens else 0)
+    keep_ppm = {
+        s: (1_000_000 if totals[s] == 0 else
+            min(1_000_000, units[s] * nstar * 1_000_000 // (uu * totals[s])))
+        for s in totals}
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        draws = md5_hash64_column([str(i) for i in ids]) % 1_000_000
+        ppm = np.fromiter((keep_ppm[s] for s in srcs), dtype=np.int64,
+                          count=len(srcs))
+        return batch.append_column(
+            "keep_ppm", pa.array(ppm, pa.int64())).append_column(
+            "keep", pa.array(draws.astype(np.int64) < ppm, pa.bool_()))
+
+    return counts.map_batches(flag, batch_format="pyarrow")

@@ -577,6 +577,45 @@ def test_sample_stratified_deterministic_rates():
         sorted(((r["doc_id"], r["lang"], r["keep"]) for r in out2))
 
 
+def test_mix_sources_binding_and_proportions():
+    """mix_sources keeps ~everything from the binding source and
+    downsamples heavy sources so kept token mass tracks the weight units;
+    integer math + hash draw make the result rerun-deterministic."""
+    from search_engine_ray.stages.curation import mix_sources
+
+    # source "a": 300 docs x 10 tokens; source "b": 30 docs x 10 tokens.
+    # weights 1:1 -> "b" binds (keeps all), "a" keeps ~10% of its tokens.
+    texts = ["tok " * 10] * 330
+    docs = pa.table({
+        "doc_id": pa.array(range(330), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(["a"] * 300 + ["b"] * 30, pa.string()),
+    })
+    ds = ray.data.from_arrow(docs).repartition(4)
+    out = mix_sources(ds, weights={"a": 1, "b": 1}).take_all()
+    assert len(out) == 330
+    kept = {s: sum(r["token_count"] for r in out if r["source"] == s
+                   and r["keep"]) for s in ("a", "b")}
+    assert kept["b"] == 300                      # binding source keeps all
+    assert 150 <= kept["a"] <= 450               # ~300 +/- hash-draw noise
+    ppm = {r["source"]: r["keep_ppm"] for r in out}
+    assert ppm["b"] == 1_000_000 and ppm["a"] == 100_000
+
+    # default name-derived units; rerun-deterministic row-for-row
+    docs2 = docs.set_column(2, "source", pa.array(
+        ["src0"] * 300 + ["src1"] * 30, pa.string()))
+    runs = [sorted((r["doc_id"], r["keep_ppm"], r["keep"]) for r in
+                   mix_sources(ray.data.from_arrow(docs2)).take_all())
+            for _ in range(2)]
+    assert runs[0] == runs[1]
+    # src1 unit=2 vs src0 unit=1: src1 still binds, src0 ppm halves
+    ppm2 = {r[0]: r[1] for r in runs[0]}
+    assert ppm2[0] == 50_000 and ppm2[329] == 1_000_000
+
+    with pytest.raises(ValueError):
+        mix_sources(ds, weights={"a": 1}).take_all()
+
+
 def test_batch_cycle_runner(tmp_path, docs_ds, docs_rows):
     """Maintenance-cycle analogue of the reference batch runner
     (runner.py:36-52): all artifact stages publish, semantics spot-checked
