@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards": Q.pack_shards,
         "sample_stratified": Q.sample_stratified,
         "mix_sources": Q.mix_sources,
+        "line_dedup": Q.line_dedup,
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
         "events_sample_per_user": Q.events_sample_per_user,
@@ -1182,6 +1183,42 @@ def oracle_sql() -> dict[str, str]:
            (md5_number_lower(CAST(tc.doc_id AS VARCHAR)) % 1000000)
              < r.keep_ppm AS keep
     FROM tc JOIN rates r USING (source)
+    """
+
+    # C4-style line dedup: keep each line only at its first (doc_id,
+    # line_idx) occurrence; lines = 8-token chunks, boilerplate injected
+    # into doc_id % 5 == 0 so cross-doc duplicates exist
+    sql["line_dedup"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS line_idx,
+             CASE WHEN doc_id % 5 = 0 AND g = 0
+                  THEN 'subscribe to our newsletter for updates'
+                  ELSE array_to_string(w[(g*8+1):(g*8+8)], ' ') END AS line
+      FROM toks, UNNEST(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(g)
+    ),
+    win AS (
+      SELECT line, min(doc_id * 1048576 + line_idx) AS mp
+      FROM lines GROUP BY line
+    ),
+    flags AS (
+      SELECT l.doc_id, l.line_idx, l.line,
+             (l.doc_id * 1048576 + l.line_idx) = w.mp AS keep
+      FROM lines l JOIN win w ON l.line = w.line
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_lines,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS dropped_lines,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_idx), '') AS text_deduped
+    FROM flags GROUP BY doc_id
     """
 
     sql["dedup_exact_groups"] = """

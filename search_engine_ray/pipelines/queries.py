@@ -586,6 +586,14 @@ def simhash_near_pairs(sf_dir: str) -> "ray.data.Dataset":
     return snp(_docs_with_ids(sf_dir))
 
 
+def line_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style corpus-wide line dedup over documents, with the shared
+    boilerplate line injected into doc_id % 5 == 0 docs so cross-doc
+    duplicates exist (stages/dedup.line_dedup)."""
+    from ..stages.dedup import line_dedup as ld
+    return ld(_documents_docs(sf_dir), boilerplate_mod=5)
+
+
 # -- text stats -------------------------------------------------------------
 
 def text_stats(sf_dir: str) -> "ray.data.Dataset":

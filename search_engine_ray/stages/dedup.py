@@ -517,3 +517,104 @@ def connected_components(pairs: "ray.data.Dataset", *,
         lambda b: pa.table({"doc_id": b.column("node"),
                             "cluster_rep": b.column("label")}),
         batch_format="pyarrow")
+
+
+# -- corpus-wide line dedup (C4-style) ---------------------------------------
+
+LINE_TOKENS = 8                 # tokens per derived "line"
+BOILERPLATE_LINE = "subscribe to our newsletter for updates"
+_LINE_PACK = 1 << 20            # packed key = doc_id * 2^20 + line_idx
+                                # (documented bound: < 2^20 lines per doc)
+
+
+def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
+               boilerplate_mod: int = 0,
+               num_partitions: int | None = None) -> "ray.data.Dataset":
+    """C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2):
+    a line occurring in multiple documents is kept only at its FIRST
+    occurrence in (doc_id, line_idx) order; every other occurrence is
+    dropped and the documents are reassembled from their surviving lines.
+
+    Lines are derived deterministically as ``line_tokens``-token chunks of
+    the whitespace-tokenized text (the synthetic corpus is single-line);
+    with ``boilerplate_mod`` > 0, docs with doc_id % mod == 0 get their
+    first line replaced by a shared boilerplate constant so the dedup is
+    exercised with real cross-doc duplicates (same pattern as the
+    synthetic-PII injection).  Returns (doc_id, kept_lines, dropped_lines,
+    text_deduped) — docs with zero tokens produce zero lines and are
+    absent, matching the SQL mirror.
+
+    Scale shape: the argmin groupby ships only (line_hash, packed-int)
+    pairs; line TEXT crosses exactly one partitioned exchange (the winner
+    join — the irreducible cost of any corpus-wide line dedup), and the
+    reassembly groupby is keyed by doc_id.  No driver state.  64-bit line
+    hashes are fine to ~billions of lines; at 100 TB (trillions) swap
+    hash64 for the 128-bit md5 pair."""
+    from ..util import coalesce_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc: list[int] = []
+        out_idx: list[int] = []
+        out_line: list[str] = []
+        for d, t in zip(ids, texts):
+            toks = (t or "").lower().split()
+            lines = [" ".join(toks[j:j + line_tokens])
+                     for j in range(0, len(toks), line_tokens)]
+            if boilerplate_mod and lines and d % boilerplate_mod == 0:
+                lines[0] = BOILERPLATE_LINE
+            out_doc.extend([d] * len(lines))
+            out_idx.extend(range(len(lines)))
+            out_line.extend(lines)
+        doc = np.asarray(out_doc, dtype=np.int64)
+        idx = np.asarray(out_idx, dtype=np.int64)
+        return pa.table({
+            "line_hash": pa.array(
+                hash64_column(out_line).view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+            "line_idx": pa.array(idx, pa.int64()),
+            "line": pa.array(out_line, pa.string()),
+            "packed": pa.array(doc * _LINE_PACK + idx, pa.int64()),
+        })
+
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = int(max(2, min(64, docs.count() // 500_000 + 2)))
+
+    winners = coalesce_blocks(
+        exploded.select_columns(["line_hash", "packed"])
+        .groupby("line_hash").aggregate(Min("packed")).map_batches(
+            lambda b: pa.table({"line_hash": b.column("line_hash"),
+                                "mp": b.column("min(packed)")}),
+            batch_format="pyarrow"))
+
+    flags = exploded.join(winners, "inner", num_partitions=num_partitions,
+                          on=("line_hash",))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "line_idx": batch.column("line_idx"),
+            "line": batch.column("line"),
+            "keep": pc.equal(batch.column("packed"), batch.column("mp")),
+        })
+
+    def assemble(group: pa.Table) -> pa.Table:
+        idx = group.column("line_idx").to_numpy(zero_copy_only=False)
+        keep = group.column("keep").to_numpy(zero_copy_only=False)
+        lines = group.column("line").to_pylist()
+        order = np.argsort(idx, kind="stable")
+        kept = [lines[i] for i in order if keep[i]]
+        return pa.table({
+            "doc_id": group.column("doc_id").slice(0, 1),
+            "kept_lines": pa.array([int(keep.sum())], pa.int64()),
+            "dropped_lines": pa.array([int(len(keep) - keep.sum())],
+                                      pa.int64()),
+            "text_deduped": pa.array(["\n".join(kept)], pa.string()),
+        })
+
+    return (flags.map_batches(flag, batch_format="pyarrow")
+            .groupby("doc_id").map_groups(assemble, batch_format="pyarrow"))

@@ -616,6 +616,42 @@ def test_mix_sources_binding_and_proportions():
         mix_sources(ds, weights={"a": 1}).take_all()
 
 
+def test_line_dedup_first_occurrence_wins():
+    """C4-style line dedup: a line shared across docs survives only at its
+    first (doc_id, line_idx) occurrence; docs reassemble from surviving
+    lines in order; token-less docs vanish (zero lines)."""
+    from search_engine_ray.stages.dedup import line_dedup
+
+    # 2-token lines for readability: doc0 = [A B], doc1 = [B C], doc2 = [A]
+    a, b, c = "aa bb", "cc dd", "ee ff"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([f"{a} {b}", f"{b} {c}", a, ""], pa.string()),
+    })
+    out = {r["doc_id"]: r for r in line_dedup(
+        ray.data.from_arrow(docs).repartition(3),
+        line_tokens=2).take_all()}
+    assert set(out) == {0, 1, 2}              # empty doc 3 absent
+    assert out[0]["kept_lines"] == 2 and out[0]["dropped_lines"] == 0
+    assert out[0]["text_deduped"] == f"{a}\n{b}"
+    assert out[1]["kept_lines"] == 1 and out[1]["dropped_lines"] == 1
+    assert out[1]["text_deduped"] == c         # b already seen in doc 0
+    assert out[2]["kept_lines"] == 0 and out[2]["dropped_lines"] == 1
+    assert out[2]["text_deduped"] == ""        # a already seen in doc 0
+
+    # boilerplate injection: doc 0 and 5's first line become identical
+    docs2 = pa.table({
+        "doc_id": pa.array([0, 5], pa.int64()),
+        "text": pa.array(["xx yy zz ww", "pp qq rr ss"], pa.string()),
+    })
+    out2 = {r["doc_id"]: r for r in line_dedup(
+        ray.data.from_arrow(docs2), line_tokens=2,
+        boilerplate_mod=5).take_all()}
+    assert out2[0]["dropped_lines"] == 0
+    assert out2[5]["dropped_lines"] == 1       # its boilerplate line lost
+    assert out2[5]["text_deduped"] == "rr ss"
+
+
 def test_batch_cycle_runner(tmp_path, docs_ds, docs_rows):
     """Maintenance-cycle analogue of the reference batch runner
     (runner.py:36-52): all artifact stages publish, semantics spot-checked
