@@ -313,6 +313,20 @@ def _pairs_with_texts(docs: "ray.data.Dataset",
                             batch_format="pyarrow")
     with_a = pairs.join(txt_a, "inner", num_partitions=nparts,
                         on=("doc_a",))
+
+    # The first join can emit EMPTY schema-less blocks for partitions with
+    # no matches; as the LEFT side of the second join those blocks can't
+    # resolve FieldRef(doc_b).  Force the intermediate schema (same guard
+    # as minhash_candidate_pairs.norm).
+    mid_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("text_a", pa.large_string())])
+
+    def norm_mid(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_b" not in b.column_names:
+            return mid_schema.empty_table()
+        return b.select(["doc_a", "doc_b", "text_a"]).cast(mid_schema)
+
+    with_a = with_a.map_batches(norm_mid, batch_format="pyarrow")
     return with_a.join(txt_b, "inner", num_partitions=nparts,
                        on=("doc_b",))
 
