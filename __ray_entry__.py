@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": Q.span_dedup,
         "gopher_quality": Q.gopher_quality,
         "pii_redact": Q.pii_redact,
+        # CCNet-style bigram-LM perplexity quality filter
+        "lm_perplexity": Q.lm_perplexity,
+        "lm_survivors": Q.lm_survivors,
     }
 
 
@@ -1873,6 +1876,64 @@ def oracle_sql() -> dict[str, str]:
         '{_IPV4}', '<IP>', 'g'),
         '{_PHONE}', '<PHONE>', 'g') AS redacted
     FROM inj
+    """
+
+    # Bigram-LM perplexity (stages/lm.py): add-alpha model counts + context
+    # totals + vocab size, per-bigram log-probs fixed to integer microunits
+    # (floor(ln(x)*1e6 + 0.5)) BEFORE the per-doc sum so engine and oracle
+    # sum int64 in any order; derived floats use the pinned expression
+    # (u / 1e6) / n with round-6.
+    _LM_BODY = """
+    tl AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,32}') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM tl, unnest(generate_series(1, len(l) - 1)) AS s(i)
+      WHERE len(l) >= 2
+    ),
+    model AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(cb) AS cu FROM model GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT word) AS v
+      FROM (SELECT unnest(l) AS word FROM tl)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(floor(ln(m.cb + 0.5) * 1000000 + 0.5) AS BIGINT)
+           - CAST(floor(ln(c.cu + 0.5 * vocab.v) * 1000000 + 0.5) AS BIGINT)
+               AS u
+      FROM bg b
+      JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      JOIN ctx c ON b.w1 = c.w1, vocab
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS bigrams,
+             CAST(sum(u) AS BIGINT) AS logprob_u
+      FROM scored GROUP BY doc_id
+    ),
+    avgu AS (
+      SELECT doc_id, bigrams, logprob_u,
+             CAST(floor((logprob_u * 1.0) / bigrams + 0.5) AS BIGINT) AS au
+      FROM agg
+    ),
+    lm AS (
+      SELECT doc_id, bigrams, logprob_u,
+             au / 1000000.0 AS avg_logprob,
+             round(exp(-(au / 1000000.0)), 6) AS ppl
+      FROM avgu
+    )
+    """
+
+    sql["lm_perplexity"] = f"""
+    WITH {_LM_BODY}
+    SELECT doc_id, bigrams, logprob_u, avg_logprob, ppl FROM lm
+    """
+
+    sql["lm_survivors"] = f"""
+    WITH {_LM_BODY}
+    SELECT doc_id, ppl FROM lm WHERE ppl <= 28.8
     """
 
     return sql

@@ -1103,3 +1103,21 @@ def gopher_quality(sf_dir: str) -> "ray.data.Dataset":
     """Gopher/MassiveText whole-doc quality gates (Rae et al. 2021 A1.1)."""
     from ..stages.textstats import gopher_quality as gq
     return gq(_documents_docs(sf_dir))
+
+
+# survivors bar for the bigram-LM quality filter: sf-testdata ppl spans
+# ~24.8-36.0 with median ~28.6, so 28.8 keeps a non-trivial ~55% slice
+LM_MAX_PPL = 28.8
+
+
+def lm_perplexity(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-trained add-alpha bigram-LM perplexity per doc (CCNet-style
+    quality scoring, integer-microunit log-probs)."""
+    from ..stages.lm import lm_perplexity as lp
+    return lp(_documents_docs(sf_dir))
+
+
+def lm_survivors(sf_dir: str) -> "ray.data.Dataset":
+    """Docs clearing the bigram-LM perplexity quality bar."""
+    from ..stages.lm import lm_survivors as ls
+    return ls(_documents_docs(sf_dir), max_ppl=LM_MAX_PPL)

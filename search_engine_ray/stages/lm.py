@@ -1,0 +1,297 @@
+"""Corpus-trained bigram language-model perplexity scoring (CCNet-style
+quality filtering, Wenzek et al. 2020 pattern, simplified to an add-alpha
+bigram model so the whole operator is deterministic and SQL-mirrorable).
+
+Shape (all distributed; strings never cross an exchange):
+
+  1. TRAIN — ``map_batches`` emits per-batch pre-aggregated
+     (gh, ch, cnt) bigram partials, where gh = hash64(w1 + US + w2) and
+     ch = hash64(w1); one keyed ``groupby(gh, ch)`` sum builds the model.
+     Context totals c(w1) come from a model-sized ``groupby(ch)`` sum;
+     vocabulary size V is a distinct word-hash count (per-batch distinct
+     partials, one keyed count — only the scalar reaches the driver).
+  2. SCORE — a second corpus pass emits one (doc_id, gh, ch) row per
+     bigram OCCURRENCE (numpy-flattened, no per-doc Python dicts); the
+     gram stream, the model and the context table are unioned and hit ONE
+     ``groupby(part = ch % nparts)`` exchange; inside each partition the
+     lookups are vectorized ``np.searchsorted`` against the partition's
+     model/context rows (both land in the same partition by construction
+     — same ch key) and per-doc PARTIAL sums leave the partition, so the
+     final ``groupby(doc_id)`` sees combiner-sized input.
+
+Joining on 64-bit hashes instead of strings matches the repo's LSH-band
+convention (band_key vs literal tuple, "modulo 2^-63 collision
+probability"): the hash is only an equality key, so engine/oracle parity
+holds unless two distinct grams collide.
+
+Float discipline: per-bigram log-probs are fixed to integer MICROUNITS
+(floor(ln(x) * 1e6 + .5) as int64) before any per-group summation, so
+per-doc sums are order-free, and the per-doc average is itself pinned to
+microunits (floor-half-up) — no round-half convention (numpy half-even
+vs SQL half-away) can flip the 6th decimal.
+
+Tokenizer: ``[a-z]{2,32}`` over lower(text) — identical to the
+word_counts/_WORDS oracle fragment.  Docs with < 2 tokens have no
+bigrams and are absent from the output (mirrored).
+
+At 100 TB: the one wide exchange keys on hash(w1) — Zipf-skewed (a hot
+context word concentrates its grams in one partition); the documented
+mitigation is salting the gram stream by gh (model rows replicate per
+salt), the same hot-key treatment as the posting-list build.  Reference
+counterpart: none — a north-rule training-data addition (quality scoring
+family, textstats.py neighbors).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+WORD_RE = re.compile(r"[a-z]{2,32}")
+
+LM_ALPHA = 0.5          # add-alpha smoothing mass per vocabulary entry
+LM_NUM_PARTS = 16
+
+
+def _hash_strs(strs: list) -> np.ndarray:
+    """Deterministic-within-run vectorized 64-bit string hash (C siphash
+    via pandas), as int64 (bit view)."""
+    return pd.util.hash_array(
+        np.asarray(strs, dtype=object)).view(np.int64)
+
+
+def _r6u(x: np.ndarray) -> np.ndarray:
+    """ln-microunits: floor(x * 1e6 + 0.5) as int64 (ln values are
+    irrational, so the .5 boundary is unreachable in practice; one
+    convention shared with the oracle)."""
+    return np.floor(x * 1_000_000.0 + 0.5).astype(np.int64)
+
+
+def _batch_grams(texts: list) -> tuple[np.ndarray, list, list]:
+    """Flatten a batch's bigrams: (row_doc_index, w1_list, w2_list)."""
+    idx, w1, w2 = [], [], []
+    for i, t in enumerate(texts):
+        toks = WORD_RE.findall((t or "").lower())
+        if len(toks) < 2:
+            continue
+        w1.extend(toks[:-1])
+        w2.extend(toks[1:])
+        idx.extend([i] * (len(toks) - 1))
+    return np.asarray(idx, dtype=np.int64), w1, w2
+
+
+def _gram_keys(w1: list, w2: list) -> tuple[np.ndarray, np.ndarray]:
+    """(gh, ch) int64 keys for bigrams."""
+    gh = _hash_strs([a + "\x1f" + b for a, b in zip(w1, w2)])
+    ch = _hash_strs(w1)
+    return gh, ch
+
+
+def _doc_gram_rows(batch: pa.Table) -> pa.Table:
+    """One (doc_id, gh, ch) row per bigram occurrence."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    idx, w1, w2 = _batch_grams(batch.column("text").to_pylist())
+    if len(idx) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "gh": pa.array([], pa.int64()),
+                         "ch": pa.array([], pa.int64())})
+    gh, ch = _gram_keys(w1, w2)
+    return pa.table({"doc_id": pa.array(ids[idx], pa.int64()),
+                     "gh": pa.array(gh, pa.int64()),
+                     "ch": pa.array(ch, pa.int64())})
+
+
+def _model_partials(batch: pa.Table) -> pa.Table:
+    """Batch-combined (gh, ch, cnt) training partials."""
+    _, w1, w2 = _batch_grams(batch.column("text").to_pylist())
+    if not w1:
+        return pa.table({"gh": pa.array([], pa.int64()),
+                         "ch": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    gh, ch = _gram_keys(w1, w2)
+    ug, inv = np.unique(gh, return_inverse=True)
+    cnt = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+    # ch is functionally dependent on gh: take it from each gram's first
+    # occurrence
+    first = np.full(len(ug), -1, dtype=np.int64)
+    first[inv[::-1]] = np.arange(len(gh) - 1, -1, -1)
+    return pa.table({"gh": pa.array(ug, pa.int64()),
+                     "ch": pa.array(ch[first], pa.int64()),
+                     "cnt": pa.array(cnt, pa.int64())})
+
+
+def _vocab_size(docs: "ray.data.Dataset") -> int:
+    """Corpus distinct-word count (same tokenizer) via per-batch distinct
+    word-hash partials + one keyed count; only the scalar reaches the
+    driver."""
+    def words(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t in batch.column("text").to_pylist():
+            seen.update(WORD_RE.findall((t or "").lower()))
+        if not seen:
+            return pa.table({"wh": pa.array([], pa.int64())})
+        return pa.table({"wh": pa.array(_hash_strs(sorted(seen)),
+                                        pa.int64())})
+    return docs.select_columns(["text"]).map_batches(
+        words, batch_format="pyarrow").groupby("wh").count().count()
+
+
+def bigram_model(docs: "ray.data.Dataset"
+                 ) -> tuple["ray.data.Dataset", "ray.data.Dataset", int]:
+    """(model, contexts, V): model = (gh, ch, cb); contexts = (ch, cu);
+    V = corpus vocabulary size."""
+    partials = docs.select_columns(["text"]).map_batches(
+        _model_partials, batch_format="pyarrow")
+    model = partials.groupby(["gh", "ch"]).aggregate(Sum("cnt")).map_batches(
+        lambda b: pa.table({"gh": b.column("gh"), "ch": b.column("ch"),
+                            "cb": b.column("sum(cnt)").cast(pa.int64())})
+        if b.num_rows and "gh" in b.column_names else
+        pa.table({"gh": pa.array([], pa.int64()),
+                  "ch": pa.array([], pa.int64()),
+                  "cb": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    contexts = model.groupby("ch").aggregate(Sum("cb")).map_batches(
+        lambda b: pa.table({"ch": b.column("ch"),
+                            "cu": b.column("sum(cb)").cast(pa.int64())})
+        if b.num_rows and "ch" in b.column_names else
+        pa.table({"ch": pa.array([], pa.int64()),
+                  "cu": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    return model, contexts, _vocab_size(docs)
+
+
+# union-side discriminators for the single scoring exchange
+_SIDE_GRAM, _SIDE_MODEL, _SIDE_CTX = 0, 1, 2
+
+
+def _union_schema() -> pa.Schema:
+    return pa.schema([("part", pa.int64()), ("side", pa.int64()),
+                      ("doc_id", pa.int64()), ("gh", pa.int64()),
+                      ("ch", pa.int64()), ("cb", pa.int64()),
+                      ("cu", pa.int64())])
+
+
+def _as_union(b: pa.Table, side: int, nparts: int) -> pa.Table:
+    n = b.num_rows
+    ch = b.column("ch").to_numpy(zero_copy_only=False)
+    part = (ch.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+    nulls = pa.nulls(n, pa.int64())
+    cols = {
+        "part": pa.array(part, pa.int64()),
+        "side": pa.array(np.full(n, side, dtype=np.int64), pa.int64()),
+        "doc_id": b.column("doc_id") if side == _SIDE_GRAM else nulls,
+        "gh": b.column("gh") if side != _SIDE_CTX else nulls,
+        "ch": b.column("ch"),
+        "cb": b.column("cb") if side == _SIDE_MODEL else nulls,
+        "cu": b.column("cu") if side == _SIDE_CTX else nulls,
+    }
+    return pa.table(cols, schema=_union_schema())
+
+
+def lm_perplexity(docs: "ray.data.Dataset", *, alpha: float = LM_ALPHA,
+                  nparts: int = LM_NUM_PARTS) -> "ray.data.Dataset":
+    """(doc_id, bigrams, logprob_u, avg_logprob, ppl) per doc with >= 1
+    bigram.
+
+      p(w2|w1)    = (c(w1,w2) + alpha) / (c(w1) + alpha * V)
+      logprob_u   = sum over doc bigrams of
+                    r6u(ln(cb + alpha)) - r6u(ln(cu + alpha * V))  [int64]
+      avg_u       = floor(logprob_u / bigrams + 0.5)               [int64]
+      avg_logprob = avg_u / 1e6
+      ppl         = round(exp(-avg_u / 1e6), 6)
+    """
+    model, contexts, vocab = bigram_model(docs)
+    grams = docs.select_columns(["doc_id", "text"]).map_batches(
+        _doc_gram_rows, batch_format="pyarrow")
+
+    unioned = (
+        grams.map_batches(lambda b: _as_union(b, _SIDE_GRAM, nparts),
+                          batch_format="pyarrow")
+        .union(model.map_batches(lambda b: _as_union(b, _SIDE_MODEL, nparts),
+                                 batch_format="pyarrow"))
+        .union(contexts.map_batches(lambda b: _as_union(b, _SIDE_CTX, nparts),
+                                    batch_format="pyarrow")))
+
+    av = float(alpha)
+    av_v = float(alpha) * float(vocab)
+
+    def score_partition(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        gmask = side == _SIDE_GRAM
+        if not gmask.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64())})
+        mmask = side == _SIDE_MODEL
+        cmask = side == _SIDE_CTX
+        gh = g.column("gh").to_numpy(zero_copy_only=False)
+        ch = g.column("ch").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)[gmask]
+        # vectorized lookups: model/context rows for every gram in this
+        # partition are co-located (same ch-keyed partition function)
+        m_gh = gh[mmask]
+        m_cb = g.column("cb").to_numpy(zero_copy_only=False)[mmask]
+        order = np.argsort(m_gh, kind="stable")
+        m_gh, m_cb = m_gh[order], m_cb[order]
+        c_ch = g.column("ch").to_numpy(zero_copy_only=False)[cmask]
+        c_cu = g.column("cu").to_numpy(zero_copy_only=False)[cmask]
+        corder = np.argsort(c_ch, kind="stable")
+        c_ch, c_cu = c_ch[corder], c_cu[corder]
+        cb = m_cb[np.searchsorted(m_gh, gh[gmask])].astype(np.float64)
+        cu = c_cu[np.searchsorted(c_ch, ch[gmask])].astype(np.float64)
+        u = _r6u(np.log(cb + av)) - _r6u(np.log(cu + av_v))
+        # per-doc PARTIAL sums leave the partition (combiner)
+        udoc, inv = np.unique(doc, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(udoc, pa.int64()),
+            "n": pa.array(np.bincount(inv, minlength=len(udoc))
+                          .astype(np.int64), pa.int64()),
+            "u": pa.array(np.bincount(inv, weights=u, minlength=len(udoc))
+                          .astype(np.int64), pa.int64()),
+        })
+
+    per_doc = unioned.groupby("part").map_groups(
+        score_partition, batch_format="pyarrow").groupby(
+        "doc_id").aggregate(Sum("n"), Sum("u"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "bigrams": pa.array([], pa.int64()),
+                "logprob_u": pa.array([], pa.int64()),
+                "avg_logprob": pa.array([], pa.float64()),
+                "ppl": pa.array([], pa.float64())})
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False)
+        u = b.column("sum(u)").to_numpy(zero_copy_only=False)
+        avg_u = np.floor(u / n + 0.5).astype(np.int64)
+        avg = avg_u / 1_000_000.0
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "bigrams": pa.array(n, pa.int64()),
+            "logprob_u": pa.array(u, pa.int64()),
+            "avg_logprob": pa.array(avg, pa.float64()),
+            "ppl": pa.array(np.round(np.exp(-avg), 6), pa.float64()),
+        })
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def lm_survivors(docs: "ray.data.Dataset", *, max_ppl: float,
+                 alpha: float = LM_ALPHA) -> "ray.data.Dataset":
+    """(doc_id, ppl) for docs whose bigram perplexity clears the quality
+    bar (ppl <= max_ppl) — the CCNet keep set.  Pure filter over
+    lm_perplexity; the threshold is a fixed constant (CCNet buckets by
+    trained-model percentiles; a fixed bar keeps the oracle exact)."""
+    import pyarrow.compute as pc
+    scored = lm_perplexity(docs, alpha=alpha)
+    return scored.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("ppl"), max_ppl)).select(
+            ["doc_id", "ppl"]),
+        batch_format="pyarrow")
