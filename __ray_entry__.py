@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
+        "ann_pq_topk": Q.ann_pq_topk,
         "embedding_near_dups": Q.embedding_near_dups,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # validation filter (M5) + anti-join (J5) + suggestion path (J4)
@@ -689,6 +690,114 @@ def _ivf_sql(n_lists: int = 16, n_probe: int = 4, iters: int = 10,
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, vec_id) AS rank
       FROM sims
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _pq_sql(m: int = 4, ksub: int = 16, iters: int = 5, train: int = 2048,
+            dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of stages/ann.py pq_topk: each of the ``m`` subspace
+    quantizers is the same seeded-Lloyd chain as _ivf_sql (stride init,
+    assign by ||c||^2 - 2 x.c with cid-ascending ties, element-wise mean,
+    round-6 every iteration, NO re-normalization — PQ is plain L2), then
+    every vector's per-subspace argmin code joins back to the centroid
+    table and the ADC score is the subspace-ORDERED sum of q_sub.centroid
+    dots, rounded to 6 dp before ranking — exactly the engine's rank key."""
+    dsub = dim // m
+    chains = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        prev = f"c{s}x0"
+        parts = [f"""
+    s{s} AS MATERIALIZED (
+      SELECT ridx, list_slice(v, {lo}, {hi}) AS v FROM samp
+    ),
+    c{s}x0 AS MATERIALIZED (
+      SELECT t.cid, list_transform(s.v, x -> round(x, 6)) AS c
+      FROM range(0, {ksub}) t(cid), ns
+      JOIN s{s} s ON s.ridx = (t.cid * ns.n) // {ksub}
+    )"""]
+        for i in range(1, iters + 1):
+            parts.append(f"""
+    a{s}x{i} AS MATERIALIZED (
+      SELECT ridx, v, cid FROM (
+        SELECT s.ridx, s.v, c.cid,
+               row_number() OVER (PARTITION BY s.ridx
+                 ORDER BY list_inner_product(c.c, c.c)
+                          - 2 * list_inner_product(s.v, c.c) ASC,
+                          c.cid) AS rn
+        FROM s{s} s CROSS JOIN {prev} c) WHERE rn = 1
+    ),
+    m{s}x{i} AS (
+      SELECT a.cid, d.di, avg(a.v[d.di]) AS mx
+      FROM a{s}x{i} a CROSS JOIN range(1, {dsub + 1}) d(di)
+      GROUP BY a.cid, d.di
+    ),
+    r{s}x{i} AS (
+      SELECT cid, list(mx ORDER BY di) AS c FROM m{s}x{i} GROUP BY cid
+    ),
+    c{s}x{i} AS MATERIALIZED (
+      SELECT p.cid,
+             list_transform(COALESCE(r.c, p.c), x -> round(x, 6)) AS c
+      FROM {prev} p LEFT JOIN r{s}x{i} r ON r.cid = p.cid
+    )""")
+            prev = f"c{s}x{i}"
+        chains.append(",".join(parts))
+    cents_union = " UNION ALL ".join(
+        f"SELECT {s} AS m, cid, c FROM c{s}x{iters}" for s in range(m))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    en AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+      FROM e
+    ),
+    samp AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ridx, v
+      FROM en WHERE vec_id < {train}
+    ),
+    ns AS (SELECT count(*) AS n FROM samp),
+    {",".join(chains)},
+    cents AS MATERIALIZED ({cents_union}),
+    es AS MATERIALIZED (
+      SELECT vec_id, mm.m,
+             list_slice(v, mm.m * {dsub} + 1, (mm.m + 1) * {dsub}) AS sv
+      FROM en CROSS JOIN range(0, {m}) mm(m)
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, m, cid FROM (
+        SELECT e.vec_id, e.m, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, e.m
+                 ORDER BY list_inner_product(c.c, c.c)
+                          - 2 * list_inner_product(e.sv, c.c) ASC,
+                          c.cid) AS rn
+        FROM es e JOIN cents c ON c.m = e.m) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM en WHERE vec_id IN (0, 1)),
+    qs AS (
+      SELECT query_id, mm.m,
+             list_slice(v, mm.m * {dsub} + 1, (mm.m + 1) * {dsub}) AS qv
+      FROM q CROSS JOIN range(0, {m}) mm(m)
+    ),
+    terms AS (
+      SELECT qq.query_id, a.vec_id, a.m,
+             list_inner_product(qq.qv, c.c) AS t
+      FROM assign a
+      JOIN cents c ON c.m = a.m AND c.cid = a.cid
+      JOIN qs qq ON qq.m = a.m
+    ),
+    adc AS (
+      SELECT query_id, vec_id,
+             round(list_sum(list(t ORDER BY m)), 6) AS cosine
+      FROM terms GROUP BY query_id, vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM adc
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
@@ -1739,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["ann_lsh_topk"] = _lsh_sql()
     sql["ann_ivf_topk"] = _ivf_sql()
+    sql["ann_pq_topk"] = _pq_sql()
 
     # -- training-data hygiene: decontamination + PII ------------------------
     # word 8-grams over lowercased whitespace tokens; md5_number_lower ==

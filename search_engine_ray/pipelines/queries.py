@@ -891,6 +891,14 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
     return _rerank_topk(t)
 
 
+def ann_pq_topk(sf_dir: str) -> pa.Table:
+    """PQ-compressed ADC top-k (Jégou et al. 2011); scores are rounded
+    before ranking on both sides, so no over-fetch/re-rank is needed."""
+    from ..stages.ann import pq_topk
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir), k=ANN_K)
+
+
 def embedding_near_dups(sf_dir: str) -> pa.Table:
     from ..stages.ann import cosine_near_dup_pairs
     emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))

@@ -273,6 +273,144 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     return _merge_topk_partials(partials, k)
 
 
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
+    """Plain-L2 deterministic Lloyd for PQ sub-quantizers (Jégou et al.
+    2011): stride init over the vec_id-ordered sample, centroids rounded
+    to 6 dp every iteration (same oracle-reproducibility contract as
+    ``_kmeans``), assignment = argmin(||c||^2 - 2 x.c) with cid-ascending
+    ties, empty clusters keep their previous centroid."""
+    k = min(k, len(sample))
+    cents = np.round(sample[(np.arange(k) * len(sample)) // k], 6)
+    for _ in range(iters):
+        d = (cents ** 2).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
+        assign = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = np.round(new, 6)
+    return cents
+
+
+def pq_train(embeddings: "ray.data.Dataset", *, m: int = 4, ksub: int = 16,
+             train_sample: int = 2048, iters: int = 5) -> np.ndarray:
+    """(m, ksub, dim/m) PQ codebooks trained on the deterministic id
+    predicate sample (vec_id < train_sample, vec_id order — same contract
+    as ivf_topk), over NORMALIZED vectors so ADC approximates cosine."""
+    import pyarrow.compute as pc
+    sample = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.field("vec_id") < train_sample),
+        batch_format="pyarrow").take_all()
+    sample.sort(key=lambda r: r["vec_id"])
+    train = _normalize(np.asarray([r["embedding"] for r in sample],
+                                  dtype=np.float64))
+    dim = train.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(train[:, s * dsub:(s + 1) * dsub], ksub, iters=iters)
+        for s in range(m)])
+
+
+def _pq_assign(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) int64 PQ codes for normalized vectors."""
+    m, _, dsub = codebooks.shape
+    codes = np.empty((len(vecs), m), dtype=np.int64)
+    for s in range(m):
+        cents = codebooks[s]
+        sub = vecs[:, s * dsub:(s + 1) * dsub]
+        d = (cents ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
+        codes[:, s] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_encode(embeddings: "ray.data.Dataset", codebooks: np.ndarray
+              ) -> "ray.data.Dataset":
+    """(vec_id, code_0..code_{m-1}) — the compressed representation: m
+    small-int codes per vector (m*log2(ksub) bits of payload instead of
+    dim floats; at 100 TB the codes table is what ships/persists, the
+    float vectors stay at rest).  Codebooks are broadcast once."""
+    ref = ray.put(codebooks)
+    m = codebooks.shape[0]
+
+    class Encoder:
+        def __init__(self, ref):
+            self._cb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_matrix(batch))
+            codes = _pq_assign(vecs, self._cb)
+            cols = {"vec_id": batch.column("vec_id")}
+            for s in range(m):
+                cols[f"code_{s}"] = pa.array(codes[:, s], pa.int64())
+            return pa.table(cols)
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        Encoder, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 8))
+
+
+def pq_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
+            query_vecs: np.ndarray, k: int = 10, *, m: int = 4,
+            ksub: int = 16, train_sample: int = 2048,
+            iters: int = 5) -> pa.Table:
+    """PQ-compressed approximate cosine top-k via ADC (asymmetric distance
+    computation, Jégou et al. 2011): queries score against per-subspace
+    lookup tables of q_sub . centroid dots, so each candidate costs m
+    table lookups instead of a dim-float dot.
+
+    Scores are rounded to 6 dp BEFORE ranking on both engine and oracle
+    (adc DESC, vec_id ASC), the m per-subspace terms are summed in
+    subspace order on both sides, and every quantizer iteration rounds
+    centroids to 6 dp — the same ulp-discipline as ivf_topk."""
+    codebooks = pq_train(embeddings, m=m, ksub=ksub,
+                         train_sample=train_sample, iters=iters)
+    codes = pq_encode(embeddings, codebooks)
+
+    qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    dsub = codebooks.shape[2]
+    # (nq, m, ksub) ADC lookup tables
+    lut = np.stack([qv[:, s * dsub:(s + 1) * dsub] @ codebooks[s].T
+                    for s in range(m)], axis=1)
+    ref = ray.put({"ids": list(query_ids), "lut": lut})
+
+    class Scorer:
+        def __init__(self, ref, k):
+            q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self._qids = q["ids"]
+            self._lut = q["lut"]
+            self._k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            codes = np.stack([
+                batch.column(f"code_{s}").to_numpy(zero_copy_only=False)
+                for s in range(m)], axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self._qids):
+                score = self._lut[qi, 0][codes[:, 0]]
+                for s in range(1, m):            # subspace-order sum
+                    score = score + self._lut[qi, s][codes[:, s]]
+                score = np.round(score, 6)       # rank on rounded
+                kk = min(self._k, len(score))
+                order = np.lexsort((ids, -score))[:kk]
+                for j in order:
+                    out_q.append(int(qid))
+                    out_v.append(int(ids[j]))
+                    out_s.append(float(score[j]))
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            })
+
+    partials = codes.map_batches(Scorer, fn_constructor_args=(ref, k),
+                                 batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk_partials(partials, k)
+
+
 def _merge_topk_partials(partials: "ray.data.Dataset", k: int) -> pa.Table:
     """Tiny driver merge of per-batch partial top-ks (num_batches x k rows),
     deterministic (cosine DESC, vec_id ASC) ranking."""

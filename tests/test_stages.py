@@ -397,6 +397,38 @@ def test_ivf_topk_recall_and_determinism():
     assert approx.equals(approx2)       # seeded quantizer => deterministic
 
 
+def test_pq_topk_recall_codes_and_determinism():
+    from search_engine_ray.stages.ann import (brute_force_topk, pq_encode,
+                                              pq_topk, pq_train)
+    t = _rand_embeddings()
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+    dim = len(t.column("embedding")[0].as_py())
+    m, ksub = 4, 8
+
+    cb = pq_train(ds, m=m, ksub=ksub, train_sample=64, iters=3)
+    assert cb.shape == (m, ksub, dim // m)
+    codes = pq_encode(ds, cb).take_all()
+    assert len(codes) == t.num_rows
+    for r in codes:
+        for s in range(m):
+            assert 0 <= r[f"code_{s}"] < ksub
+
+    exact = brute_force_topk(ds, [0, 1], q, k=5)
+    approx = pq_topk(ds, [0, 1], q, k=5, m=m, ksub=ksub, train_sample=64,
+                     iters=3)
+    e = set(zip(exact.column("query_id").to_pylist(),
+                exact.column("vec_id").to_pylist()))
+    a = set(zip(approx.column("query_id").to_pylist(),
+                approx.column("vec_id").to_pylist()))
+    # ADC is lossy (quantized candidates); the planted-twin head still
+    # keeps recall well above chance
+    assert len(e & a) / len(e) >= 0.4
+    approx2 = pq_topk(ds, [0, 1], q, k=5, m=m, ksub=ksub, train_sample=64,
+                      iters=3)
+    assert approx.equals(approx2)       # stride-init Lloyd => deterministic
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 def test_media_featurizer_plumbing():
