@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style bigram-LM perplexity quality filter
         "lm_perplexity": Q.lm_perplexity,
         "lm_survivors": Q.lm_survivors,
+        # composed curation flagship: all four quality gates intersected
+        "curate_corpus": Q.curate_corpus,
     }
 
 
@@ -2044,6 +2046,42 @@ def oracle_sql() -> dict[str, str]:
     sql["lm_survivors"] = f"""
     WITH {_LM_BODY}
     SELECT doc_id, ppl FROM lm WHERE ppl <= 28.8
+    """
+
+    # Composed curation flagship: the INTERSECT of the four component
+    # oracles (each subquery is a component's full mirror, so this stays
+    # definitionally in lockstep with the individual entries).  The Gopher
+    # gate uses the structural rules + stop_hits >= 1: the synthetic corpus
+    # contains only 'the' from Gopher's stopword list, so the published
+    # >= 2 bar would blind the composition (see pipelines.curate_corpus).
+    sql["curate_corpus"] = f"""
+    WITH gop AS (
+      SELECT doc_id FROM ({sql["gopher_quality"]})
+      WHERE word_count BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_word_ratio <= 0.1
+        AND stop_hits >= 1
+    ),
+    lmk AS (SELECT doc_id FROM ({sql["lm_survivors"]})),
+    ndk AS (SELECT doc_id FROM ({sql["near_dedup_survivors"]})),
+    dck AS (SELECT doc_id FROM ({sql["decontam_survivors"]}))
+    SELECT d.doc_id,
+      CAST(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        AS gopher_ok,
+      CAST(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        AS lm_ok,
+      CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        AS dedup_ok,
+      CAST(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        AS decontam_ok,
+      CAST(CASE WHEN g.doc_id IS NOT NULL AND l.doc_id IS NOT NULL
+                 AND n.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents d
+    LEFT JOIN gop g ON g.doc_id = d.doc_id
+    LEFT JOIN lmk l ON l.doc_id = d.doc_id
+    LEFT JOIN ndk n ON n.doc_id = d.doc_id
+    LEFT JOIN dck c ON c.doc_id = d.doc_id
     """
 
     return sql

@@ -1129,3 +1129,99 @@ def lm_survivors(sf_dir: str) -> "ray.data.Dataset":
     """Docs clearing the bigram-LM perplexity quality bar."""
     from ..stages.lm import lm_survivors as ls
     return ls(_documents_docs(sf_dir), max_ppl=LM_MAX_PPL)
+
+
+def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """The composed end-to-end curation flagship: doc_ids passing ALL four
+    quality gates —
+
+      1. Gopher/MassiveText structural rules (word count, mean word
+         length, symbol ratio at the published thresholds) with the
+         stopword-presence bar at >= 1: the synthetic corpus contains
+         only 'the' from Gopher's 8-stopword list, so the published
+         >= 2 bar is unsatisfiable here and would blind the composition
+         (the standalone gopher_quality entry keeps the published
+         keep rule),
+      2. bigram-LM perplexity <= LM_MAX_PPL,
+      3. dedup survivorship (exact collapse + MinHash near-dup clusters),
+      4. benchmark decontamination (zero 8-gram overlap with the holdout).
+
+    Output is the full per-doc gate MATRIX — (doc_id, gopher_ok, lm_ok,
+    dedup_ok, decontam_ok, keep) over every document — rather than just
+    the surviving intersection: each gate's pass set stays visible (on
+    the harsh synthetic corpus the 4-way intersection is nearly empty,
+    which the keep column shows honestly).
+
+    Distribution: each gate's survivor id set (already distinct) unions
+    with a zero-flag base of all doc_ids; one ``groupby(doc_id)`` sums
+    the one-hot flags — no driver materialization beyond what the
+    components themselves do.  Mirrored by LEFT JOINs of the four
+    component oracles against the documents table."""
+    from ray.data.aggregate import Sum
+    from ..stages.textstats import (
+        GOPHER_MAX_MEAN_WORD_LEN, GOPHER_MAX_SYMBOL_RATIO, GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MIN_WORDS)
+
+    FLAGS = ("gopher_ok", "lm_ok", "dedup_ok", "decontam_ok")
+
+    def one_hot(ds, flag):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "doc_id" not in b.column_names:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 **{f: pa.array([], pa.int64())
+                                    for f in FLAGS}})
+            n = b.num_rows
+            return pa.table({
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                **{f: pa.array(
+                    np.full(n, 1 if f == flag else 0, dtype=np.int64),
+                    pa.int64()) for f in FLAGS}})
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def gopher_gate(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(b.column("word_count"),
+                                         GOPHER_MIN_WORDS),
+                        pc.less_equal(b.column("word_count"),
+                                      GOPHER_MAX_WORDS)),
+                pc.and_(pc.greater_equal(b.column("mean_word_len"),
+                                         GOPHER_MIN_MEAN_WORD_LEN),
+                        pc.less_equal(b.column("mean_word_len"),
+                                      GOPHER_MAX_MEAN_WORD_LEN))),
+            pc.and_(pc.less_equal(b.column("symbol_word_ratio"),
+                                  GOPHER_MAX_SYMBOL_RATIO),
+                    pc.greater_equal(b.column("stop_hits"), 1)))
+        return b.filter(keep)
+
+    base = one_hot(_documents_docs(sf_dir), "__none__")
+    gates = [
+        one_hot(gopher_quality(sf_dir).map_batches(
+            gopher_gate, batch_format="pyarrow"), "gopher_ok"),
+        one_hot(lm_survivors(sf_dir), "lm_ok"),
+        one_hot(ray.data.from_arrow(near_dedup_survivors(sf_dir)),
+                "dedup_ok"),
+        one_hot(decontam_survivors(sf_dir), "decontam_ok"),
+    ]
+    unioned = base
+    for g in gates:
+        unioned = unioned.union(g)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             **{f: pa.array([], pa.int64()) for f in FLAGS},
+                             "keep": pa.array([], pa.int64())})
+        flags = {f: b.column(f"sum({f})").to_numpy(zero_copy_only=False)
+                 for f in FLAGS}
+        keep = np.ones(b.num_rows, dtype=np.int64)
+        for f in FLAGS:
+            keep &= flags[f]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            **{f: pa.array(flags[f], pa.int64()) for f in FLAGS},
+            "keep": pa.array(keep, pa.int64())})
+
+    return unioned.groupby("doc_id").aggregate(
+        *[Sum(f) for f in FLAGS]).map_batches(
+        finalize, batch_format="pyarrow")
