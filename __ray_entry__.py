@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": Q.minhash_clusters,
         "near_dedup_survivors": Q.near_dedup_survivors,
         "pack_shards": Q.pack_shards,
+        "shuffle_pack_shards": Q.shuffle_pack_shards,
         "sample_stratified": Q.sample_stratified,
         "mix_sources": Q.mix_sources,
         "line_dedup": Q.line_dedup,
@@ -1227,6 +1228,29 @@ def oracle_sql() -> dict[str, str]:
       FROM tc
     )
     SELECT doc_id, CAST(n AS BIGINT) AS token_count,
+           CAST(c0 // 2048 AS BIGINT) AS shard_id
+    FROM cum
+    """
+
+    # pack_shards over a DETERMINISTIC global shuffle: cumulative window in
+    # md5_number_lower(doc_id) order instead of doc_id order (engine
+    # md5_hash64 == md5_number_lower, verified bit-identical)
+    sql["shuffle_pack_shards"] = """
+    WITH tc AS (
+      SELECT doc_id,
+             md5_number_lower(CAST(doc_id AS VARCHAR)) AS h,
+             len(regexp_extract_all(lower(text), '\\b[a-zA-Z0-9]{2,}\\b'))
+               AS n
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, h, n,
+             coalesce(sum(n) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c0
+      FROM tc
+    )
+    SELECT doc_id, h AS shuffle_key, CAST(n AS BIGINT) AS token_count,
            CAST(c0 // 2048 AS BIGINT) AS shard_id
     FROM cum
     """

@@ -565,6 +565,13 @@ def pack_shards(sf_dir: str) -> "ray.data.Dataset":
     return ps(_docs_with_ids(sf_dir))
 
 
+def shuffle_pack_shards(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic global shuffle (md5 key) + token-budget packing in
+    shuffled order — the training-export last mile."""
+    from ..stages.curation import shuffle_pack_shards as sps
+    return sps(_docs_with_ids(sf_dir))
+
+
 def sample_stratified(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic per-language stratified sample (hash draw, no RNG)."""
     from ..stages.curation import sample_stratified as ss
@@ -832,7 +839,9 @@ ANN_K = 10
 
 def _query_vecs(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
     by_id = {v: e for v, e in zip(t.column("vec_id").to_pylist(),
                                   t.column("embedding").to_pylist())}
     return np.asarray([by_id[q] for q in ANN_QUERY_IDS], dtype=np.float64)

@@ -102,6 +102,66 @@ def pack_shards(docs: "ray.data.Dataset", *,
     return counts.groupby("bucket").map_groups(assign, batch_format="pyarrow")
 
 
+def shuffle_pack_shards(docs: "ray.data.Dataset", *,
+                        budget_tokens: int = DEFAULT_SHARD_BUDGET,
+                        bucket_bits: int = 16) -> "ray.data.Dataset":
+    """(doc_id, shuffle_key, token_count, shard_id): the training-export
+    last mile — a DETERMINISTIC global shuffle (order by
+    md5_hash64(doc_id), the oracle-recomputable stand-in for an RNG
+    permutation) followed by token-budget packing in shuffled order, so
+    every shard is an unbiased corpus sample of ~``budget_tokens``.
+
+    Same two-phase prefix sum as ``pack_shards``, but bucketed by the
+    TOP ``bucket_bits`` bits of the shuffle key, so ascending bucket id
+    IS ascending shuffle order: bucket partial sums (distributed) ->
+    driver exclusive prefix over <= 2^bucket_bits rows -> broadcast
+    bases -> exact in-bucket cumsum ordered by (shuffle_key, doc_id).
+    No global sort, no materialized permutation; at 100 TB the bucket
+    count scales by raising ``bucket_bits`` (driver state stays tiny)."""
+    shift = np.uint64(64 - bucket_bits)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        counts = [len(TOKEN_RE.findall((t or "").lower())) for t in texts]
+        h = md5_hash64_column([str(i) for i in ids])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "shuffle_key": pa.array(h, pa.uint64()),
+            "token_count": pa.array(counts, pa.int64()),
+            "bucket": pa.array((h >> shift).astype(np.int64), pa.int64()),
+        })
+
+    counts = docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow").materialize()
+
+    bucket_rows = counts.groupby("bucket").aggregate(
+        Sum("token_count")).take_all()          # <= 2^bucket_bits rows
+    bucket_rows.sort(key=lambda r: r["bucket"])
+    buckets = np.asarray([r["bucket"] for r in bucket_rows], dtype=np.int64)
+    sums = np.asarray([r["sum(token_count)"] for r in bucket_rows],
+                      dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    bases_ref = ray.put((buckets, bases))
+
+    def assign(group: pa.Table) -> pa.Table:
+        bks, bss = ray.get(bases_ref)
+        group = group.sort_by([("shuffle_key", "ascending"),
+                               ("doc_id", "ascending")])
+        n = group.column("token_count").to_numpy(zero_copy_only=False)
+        b = int(group.column("bucket")[0].as_py())
+        base = int(bss[np.searchsorted(bks, b)])
+        cum_before = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            "doc_id": group.column("doc_id"),
+            "shuffle_key": group.column("shuffle_key"),
+            "token_count": group.column("token_count"),
+            "shard_id": pa.array(cum_before // budget_tokens, pa.int64()),
+        })
+
+    return counts.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
 def sample_stratified(docs: "ray.data.Dataset", *,
                       rates: dict[str, int] | None = None
                       ) -> "ray.data.Dataset":

@@ -583,6 +583,47 @@ def test_pack_shards_vs_naive_cumsum():
         assert (r["token_count"], r["shard_id"]) == (n, s), r
 
 
+def test_shuffle_pack_shards_vs_naive_shuffled_cumsum():
+    """Shuffled-order packing == naive cumsum in md5-key order, with a
+    small bucket width (bucket_bits high -> sparse buckets) so the
+    multi-bucket prefix path is exercised; keys must form the same
+    permutation the oracle's ORDER BY h produces."""
+    import random
+
+    from search_engine_ray.functions.hashing import md5_hash64
+    from search_engine_ray.functions.text import TOKEN_RE
+    from search_engine_ray.stages.curation import shuffle_pack_shards
+
+    rng = random.Random(7)
+    ids = sorted(rng.sample(range(10_000), 300))
+    texts = [" ".join(f"w{rng.randrange(50):02d}"
+                      for _ in range(rng.randrange(0, 40))) for _ in ids]
+    docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+    budget = 64
+    order = sorted(ids, key=lambda i: (md5_hash64(str(i)), i))
+    nmap = {i: len(TOKEN_RE.findall(t.lower())) for i, t in zip(ids, texts)}
+    cum, want = 0, {}
+    for i in order:
+        want[i] = (nmap[i], cum // budget)
+        cum += nmap[i]
+
+    got = shuffle_pack_shards(ray.data.from_arrow(docs).repartition(8),
+                              budget_tokens=budget, bucket_bits=8).take_all()
+    assert len(got) == len(ids)
+    for r in got:
+        n, s = want[r["doc_id"]]
+        assert (r["token_count"], r["shard_id"]) == (n, s), r
+        assert r["shuffle_key"] == md5_hash64(str(r["doc_id"]))
+    # the shuffle is a real permutation: shard_id in key order is
+    # nondecreasing, and doc_id order != key order
+    by_key = sorted(got, key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    assert all(a["shard_id"] <= b["shard_id"]
+               for a, b in zip(by_key, by_key[1:]))
+    assert [r["doc_id"] for r in by_key] != sorted(r["doc_id"] for r in got)
+
+
 def test_sample_stratified_deterministic_rates():
     from search_engine_ray.stages.curation import sample_stratified
 
