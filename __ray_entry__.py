@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_survivors": Q.lm_survivors,
         # composed curation flagship: all four quality gates intersected
         "curate_corpus": Q.curate_corpus,
+        # distributed BPE tokenizer training (first 8 merge rules)
+        "bpe_merges": Q.bpe_merges,
     }
 
 
@@ -803,6 +805,57 @@ def _pq_sql(m: int = 4, ksub: int = 16, iters: int = 5, train: int = 2048,
       FROM adc
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _bpe_sql(k: int = 8) -> str:
+    """DuckDB mirror of stages/bpe.py bpe_train: k chained iterations of
+    (pair-count over the symbolized word-frequency table, deterministic
+    argmax via ORDER BY c DESC, lft, rgt LIMIT 1, greedy-left merge as a
+    list_reduce fold over single-element-list-wrapped symbols).  The
+    empty-pair guard (coalesce over an aggregate of the LIMIT-1 CTE)
+    makes exhausted iterations a no-op emitting no row — matching the
+    engine's break.  Integer/string only: hash-exact."""
+    its = []
+    prev = "w0"
+    for i in range(1, k + 1):
+        its.append(f"""
+    p{i} AS (
+      SELECT l[j] AS lft, l[j + 1] AS rgt, CAST(sum(f) AS BIGINT) AS c
+      FROM {prev}, unnest(generate_series(1, len(l) - 1)) s(j)
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT lft, rgt, c FROM p{i}
+             ORDER BY c DESC, lft, rgt LIMIT 1),
+    b{i} AS (SELECT coalesce(max(lft), '') AS lft,
+                    coalesce(max(rgt), '') AS rgt FROM t{i}),
+    w{i} AS MATERIALIZED (
+      SELECT f, list_reduce(
+        list_transform(l, x -> [x]),
+        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lft
+                              AND x[1] = b.rgt
+                    THEN list_concat(list_slice(acc, 1, len(acc) - 1),
+                                     [b.lft || b.rgt])
+                    ELSE list_concat(acc, x) END) AS l
+      FROM {prev} CROSS JOIN b{i} b
+    )""")
+        prev = f"w{i}"
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, lft, rgt, c AS freq FROM t{i}"
+        for i in range(1, k + 1))
+    return f"""
+    WITH {_WORDS},
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS f
+           FROM words GROUP BY word),
+    w0 AS MATERIALIZED (
+      SELECT f,
+             list_concat(list_transform(generate_series(1, length(word)),
+                                        i -> substr(word, i, 1)),
+                         ['</w>']) AS l
+      FROM wc
+    ),{",".join(its)}
+    SELECT CAST(rank AS BIGINT) AS rank, lft, rgt, freq
+    FROM ({finals}) ORDER BY rank
     """
 
 
@@ -2071,6 +2124,8 @@ def oracle_sql() -> dict[str, str]:
     WITH {_LM_BODY}
     SELECT doc_id, ppl FROM lm WHERE ppl <= 28.8
     """
+
+    sql["bpe_merges"] = _bpe_sql(8)
 
     # Composed curation flagship: the INTERSECT of the four component
     # oracles (each subquery is a component's full mirror, so this stays

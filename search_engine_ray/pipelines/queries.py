@@ -1140,6 +1140,15 @@ def lm_survivors(sf_dir: str) -> "ray.data.Dataset":
     return ls(_documents_docs(sf_dir), max_ppl=LM_MAX_PPL)
 
 
+def bpe_merges(sf_dir: str) -> pa.Table:
+    """First 8 BPE merge rules learned from the corpus word-frequency
+    table (Sennrich et al. 2016) — tokenizer training as a distributed
+    iterative pipeline; integer/string only, so hash-exact vs the
+    chained-CTE DuckDB mirror."""
+    from ..stages.bpe import bpe_train
+    return bpe_train(_documents_docs(sf_dir), num_merges=8)
+
+
 def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
     """The composed end-to-end curation flagship: doc_ids passing ALL four
     quality gates —
