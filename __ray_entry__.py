@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_survivors": Q.near_dedup_survivors,
         "pack_shards": Q.pack_shards,
         "shuffle_pack_shards": Q.shuffle_pack_shards,
+        "pack_examples": Q.pack_examples,
         "sample_stratified": Q.sample_stratified,
         "mix_sources": Q.mix_sources,
         "line_dedup": Q.line_dedup,
@@ -1305,6 +1306,29 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, h AS shuffle_key, CAST(n AS BIGINT) AS token_count,
            CAST(c0 // 2048 AS BIGINT) AS shard_id
+    FROM cum
+    """
+
+    # transcript-native example packing: per-conversation cumulative window
+    # in turn order; conv derivation matches _docs_batch_to_transcripts
+    sql["pack_examples"] = """
+    WITH tr AS (
+      SELECT 'conv-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0')
+               AS conv_id,
+             CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+             len(regexp_extract_all(lower(text), '\\b[a-zA-Z0-9]{2,}\\b'))
+               AS n
+      FROM documents
+    ),
+    cum AS (
+      SELECT conv_id, turn_idx, n,
+             coalesce(sum(n) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c0
+      FROM tr
+    )
+    SELECT conv_id, turn_idx, CAST(n AS BIGINT) AS token_count,
+           CAST(c0 // 512 AS BIGINT) AS example_idx
     FROM cum
     """
 

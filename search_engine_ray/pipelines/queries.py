@@ -572,6 +572,13 @@ def shuffle_pack_shards(sf_dir: str) -> "ray.data.Dataset":
     return sps(_docs_with_ids(sf_dir))
 
 
+def pack_examples(sf_dir: str) -> "ray.data.Dataset":
+    """Transcript-native example assembly: each conversation's turns pack
+    in turn order into ~512-token training examples."""
+    from ..stages.curation import pack_examples as pe
+    return pe(transcripts_from_documents(sf_dir))
+
+
 def sample_stratified(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic per-language stratified sample (hash draw, no RNG)."""
     from ..stages.curation import sample_stratified as ss

@@ -24,6 +24,7 @@ Both are Ray-Data-first and shuffle-light:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -160,6 +161,58 @@ def shuffle_pack_shards(docs: "ray.data.Dataset", *,
         })
 
     return counts.groupby("bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def pack_examples(turns: "ray.data.Dataset", *,
+                  budget_tokens: int = 512,
+                  num_partitions: int = 32) -> "ray.data.Dataset":
+    """(conv_id, turn_idx, token_count, example_idx): transcript-native
+    example assembly — each conversation's turns pack, in turn order,
+    into training examples of ~``budget_tokens`` (example_idx =
+    cumulative tokens BEFORE this turn within its conversation //
+    budget), so a model-ready example never crosses a conversation
+    boundary.
+
+    Scale shape: conversations hash into ``num_partitions`` groups (one
+    exchange) and each partition runs ONE segmented cumsum over its
+    sorted (conv_id, turn_idx) rows — numpy reduce, no per-conversation
+    Python and no per-conv map_groups overhead (billions of small convs
+    at 10^12 turns would drown a group-per-conv plan)."""
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = [len(TOKEN_RE.findall((t or "").lower())) for t in texts]
+        conv = batch.column("conv_id").to_pylist()
+        part = pd.util.hash_array(
+            np.asarray(conv, dtype=object)) % num_partitions
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "token_count": pa.array(n, pa.int64()),
+            "part": pa.array(part.astype(np.int64), pa.int64()),
+        })
+
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("conv_id", "ascending"),
+                               ("turn_idx", "ascending")])
+        n = group.column("token_count").to_numpy(zero_copy_only=False)
+        conv = group.column("conv_id").to_pylist()
+        # segment boundaries where conv_id changes
+        codes = pd.factorize(np.asarray(conv, dtype=object))[0]
+        cs = np.cumsum(n)
+        starts = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1))
+        counts = np.diff(np.append(starts, len(n)))
+        seg_base = np.repeat(cs[starts] - n[starts], counts)
+        cum_before = cs - n - seg_base
+        return pa.table({
+            "conv_id": group.column("conv_id"),
+            "turn_idx": group.column("turn_idx"),
+            "token_count": group.column("token_count"),
+            "example_idx": pa.array(cum_before // budget_tokens, pa.int64()),
+        })
+
+    return turns.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        count, batch_format="pyarrow").groupby("part").map_groups(
+        assign, batch_format="pyarrow")
 
 
 def sample_stratified(docs: "ray.data.Dataset", *,

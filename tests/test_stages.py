@@ -624,6 +624,46 @@ def test_shuffle_pack_shards_vs_naive_shuffled_cumsum():
     assert [r["doc_id"] for r in by_key] != sorted(r["doc_id"] for r in got)
 
 
+def test_pack_examples_per_conversation_budgets():
+    """Segmented-cumsum packing == naive per-conv cumsum; examples never
+    cross conversation boundaries; multi-partition path exercised."""
+    import random
+
+    from search_engine_ray.functions.text import TOKEN_RE
+    from search_engine_ray.stages.curation import pack_examples
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(17):
+        for t in range(rng.randrange(1, 9)):
+            rows.append((f"conv-{c:06d}", t,
+                         " ".join(f"w{rng.randrange(40):02d}"
+                                  for _ in range(rng.randrange(0, 30)))))
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+    budget = 32
+    want, cum = {}, {}
+    for conv, ti, txt in sorted(rows):
+        n = len(TOKEN_RE.findall(txt.lower()))
+        want[(conv, ti)] = (n, cum.get(conv, 0) // budget)
+        cum[conv] = cum.get(conv, 0) + n
+
+    got = pack_examples(ray.data.from_arrow(turns).repartition(6),
+                        budget_tokens=budget, num_partitions=5).take_all()
+    assert len(got) == len(rows)
+    for r in got:
+        n, e = want[(r["conv_id"], r["turn_idx"])]
+        assert (r["token_count"], r["example_idx"]) == (n, e), r
+    # example_idx restarts at 0 for every conversation
+    firsts = {r["conv_id"]: r["example_idx"] for r in got
+              if r["turn_idx"] == 0}
+    assert set(firsts.values()) == {0}
+
+
 def test_sample_stratified_deterministic_rates():
     from search_engine_ray.stages.curation import sample_stratified
 
