@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_survivors": Q.decontam_survivors,
         "span_dedup": Q.span_dedup,
         "gopher_quality": Q.gopher_quality,
+        "gopher_repetition": Q.gopher_repetition,
         "pii_redact": Q.pii_redact,
         # CCNet-style bigram-LM perplexity quality filter
         "lm_perplexity": Q.lm_perplexity,
@@ -2150,6 +2151,78 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["bpe_merges"] = _bpe_sql(8)
+
+    # Gopher repetition gates: integer-microunit fractions; the top-n tie
+    # (count DESC, gram ASC) compares space-joined gram strings, which
+    # orders identically to the engine's token-tuple compare because the
+    # space separator sorts below every token character.
+    def _rep_top(n: int) -> str:
+        return f"""
+    occ{n} AS (
+      SELECT doc_id, array_to_string(list_slice(l, j, j + {n - 1}), ' ') AS g
+      FROM base, unnest(generate_series(1, len(l) - {n - 1})) s(j)
+    ),
+    cnt{n} AS (SELECT doc_id, g, count(*) AS c FROM occ{n} GROUP BY 1, 2),
+    top{n} AS (
+      SELECT x.doc_id,
+             CAST(floor(1000000.0 * (x.c * length(x.g)) / b.den + 0.5)
+                  AS BIGINT) AS u
+      FROM (SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g) AS rn
+            FROM cnt{n}) x
+      JOIN base b ON b.doc_id = x.doc_id
+      WHERE x.rn = 1
+    )"""
+
+    def _rep_dup(n: int) -> str:
+        return f"""
+    occp{n} AS (
+      SELECT doc_id, j,
+             array_to_string(list_slice(l, j, j + {n - 1}), ' ') AS g
+      FROM base, unnest(generate_series(1, len(l) - {n - 1})) s(j)
+    ),
+    cntp{n} AS (SELECT doc_id, g, count(*) AS c FROM occp{n} GROUP BY 1, 2),
+    cov{n} AS (
+      SELECT DISTINCT o.doc_id, o.j + r.k AS p
+      FROM occp{n} o
+      JOIN cntp{n} c ON c.doc_id = o.doc_id AND c.g = o.g AND c.c > 1
+      CROSS JOIN range(0, {n}) r(k)
+    ),
+    dup{n} AS (
+      SELECT b.doc_id,
+             CAST(floor(1000000.0 * sum(length(b.l[c.p])) / b.den + 0.5)
+                  AS BIGINT) AS u
+      FROM base b JOIN cov{n} c ON c.doc_id = b.doc_id
+      GROUP BY b.doc_id, b.den
+    )"""
+
+    sql["gopher_repetition"] = f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    base AS (SELECT doc_id, greatest(length(t), 1) AS den, l FROM d),
+    {_rep_top(2)}, {_rep_top(3)}, {_rep_top(4)}, {_rep_dup(5)}, {_rep_dup(10)}
+    SELECT b.doc_id,
+      coalesce(t2.u, 0) AS top2_u, coalesce(t3.u, 0) AS top3_u,
+      coalesce(t4.u, 0) AS top4_u,
+      coalesce(d5.u, 0) AS dup5_u, coalesce(d10.u, 0) AS dup10_u,
+      CAST(CASE WHEN coalesce(t2.u, 0) <= 200000
+                 AND coalesce(t3.u, 0) <= 180000
+                 AND coalesce(t4.u, 0) <= 160000
+                 AND coalesce(d5.u, 0) <= 150000
+                 AND coalesce(d10.u, 0) <= 100000
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM base b
+    LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+    LEFT JOIN top3 t3 ON t3.doc_id = b.doc_id
+    LEFT JOIN top4 t4 ON t4.doc_id = b.doc_id
+    LEFT JOIN dup5 d5 ON d5.doc_id = b.doc_id
+    LEFT JOIN dup10 d10 ON d10.doc_id = b.doc_id
+    """
 
     # Composed curation flagship: the INTERSECT of the four component
     # oracles (each subquery is a component's full mirror, so this stays

@@ -1147,6 +1147,13 @@ def lm_survivors(sf_dir: str) -> "ray.data.Dataset":
     return ls(_documents_docs(sf_dir), max_ppl=LM_MAX_PPL)
 
 
+def gopher_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher repetition gates (Rae et al. 2021 A1.1): top-n-gram and
+    duplicated-n-gram char fractions in integer microunits + keep flag."""
+    from ..stages.textstats import gopher_repetition as gr
+    return gr(_documents_docs(sf_dir))
+
+
 def bpe_merges(sf_dir: str) -> pa.Table:
     """First 8 BPE merge rules learned from the corpus word-frequency
     table (Sennrich et al. 2016) — tokenizer training as a distributed

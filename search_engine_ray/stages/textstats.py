@@ -162,6 +162,86 @@ def rolling_fingerprints(docs: "ray.data.Dataset", *, window: int = 8
         fn, batch_format="pyarrow")
 
 
+# Gopher/MassiveText repetition rules (Rae et al. 2021 A1.1, the other
+# half of the gate set): per-doc top-n-gram char fraction (n = 2, 3, 4)
+# and duplicated-n-gram char fraction (n = 5, 10), published thresholds.
+# Fractions are pinned to integer microunits (floor(1e6 * num / den + .5))
+# so the SQL mirror compares identical integers — int/int ratios CAN land
+# exactly on a round-half boundary, unlike the irrational-derived floats
+# elsewhere.
+GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM = {5: 0.15, 10: 0.10}
+
+
+def _ngram_repetition_doc(toks: list, text_len: int
+                          ) -> tuple[dict, dict]:
+    """(top_frac_u, dup_frac_u) integer-microunit fractions per n.
+
+    A gram occurrence's char weight is len(' '.join(gram)); the top-n
+    fraction weights the most frequent gram (count DESC, gram ASC ties)
+    by count * weight; the dup-n fraction sums the token-char lengths of
+    positions covered by any gram occurring > 1 time.  Denominator is
+    the raw doc char length."""
+    top_u: dict[int, int] = {}
+    dup_u: dict[int, int] = {}
+    den = max(text_len, 1)
+    for n in GOPHER_TOP_NGRAM:
+        counts: dict[tuple, int] = {}
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i:i + n])
+            counts[g] = counts.get(g, 0) + 1
+        if not counts:
+            top_u[n] = 0
+            continue
+        g, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        num = c * (sum(len(x) for x in g) + (n - 1))
+        top_u[n] = int(np.floor(1_000_000.0 * num / den + 0.5))
+    for n in GOPHER_DUP_NGRAM:
+        counts = {}
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i:i + n])
+            counts[g] = counts.get(g, 0) + 1
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if counts[tuple(toks[i:i + n])] > 1:
+                covered.update(range(i, i + n))
+        num = sum(len(toks[j]) for j in covered)
+        dup_u[n] = int(np.floor(1_000_000.0 * num / den + 0.5))
+    return top_u, dup_u
+
+
+def gopher_repetition(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, top2_u, top3_u, top4_u, dup5_u, dup10_u, keep) — the
+    Gopher repetition gates over whitespace tokens; *_u columns are
+    integer-microunit fractions, keep = every fraction at or under its
+    published threshold (thresholds compared in the integer domain)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        cols: dict[str, list] = {f"top{n}_u": [] for n in GOPHER_TOP_NGRAM}
+        cols.update({f"dup{n}_u": [] for n in GOPHER_DUP_NGRAM})
+        keep = []
+        for t in texts:
+            t = t or ""
+            toks = t.split()
+            top_u, dup_u = _ngram_repetition_doc(toks, len(t))
+            ok = True
+            for n, th in GOPHER_TOP_NGRAM.items():
+                cols[f"top{n}_u"].append(top_u[n])
+                ok = ok and top_u[n] <= int(th * 1_000_000)
+            for n, th in GOPHER_DUP_NGRAM.items():
+                cols[f"dup{n}_u"].append(dup_u[n])
+                ok = ok and dup_u[n] <= int(th * 1_000_000)
+            keep.append(1 if ok else 0)
+        return pa.table({
+            "doc_id": ids,
+            **{k: pa.array(v, pa.int64()) for k, v in cols.items()},
+            "keep": pa.array(keep, pa.int64()),
+        })
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
 # Gopher/MassiveText quality rules (Rae et al. 2021, appendix A1.1) — the
 # subset expressible as deterministic whole-doc statistics; thresholds are
 # the published ones.  Everything below runs through pyarrow.compute's RE2 /

@@ -1305,6 +1305,38 @@ def test_duplicated_spans_vs_bruteforce():
     assert 2 in got and got[2][0] >= 1        # in-doc repeats are caught
 
 
+def test_gopher_repetition_handcrafted():
+    from search_engine_ray.stages.textstats import gopher_repetition
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            # "a b" occurs 3x: top2 num = 3 * 3 chars
+            "a b a b a b",
+            # all tokens distinct and long enough that no single n-gram
+            # dominates: every gate passes
+            " ".join(f"token{i:02d}word" for i in range(30)),
+            # a repeated 5-gram: "q w e r t ... q w e r t"
+            "q w e r t x q w e r t",
+        ], pa.string()),
+    })
+    out = {r["doc_id"]: r
+           for r in gopher_repetition(ray.data.from_arrow(docs)).take_all()}
+
+    d0 = out[0]             # len("a b a b a b") = 11
+    assert d0["top2_u"] == int(np.floor(1e6 * (3 * 3) / 11 + 0.5))
+    assert d0["keep"] == 0  # 9/11 > 0.20
+
+    d1 = out[1]
+    assert d1["dup5_u"] == 0 and d1["dup10_u"] == 0
+    assert d1["keep"] == 1
+
+    d2 = out[2]             # positions 0-4 and 6-10 covered (10 tokens
+    # of 1 char each); den = len(text) = 21
+    assert d2["dup5_u"] == int(np.floor(1e6 * 10 / 21 + 0.5))
+    assert d2["keep"] == 0
+
+
 def test_gopher_quality_vs_bruteforce():
     from search_engine_ray.stages.textstats import (GOPHER_STOPWORDS,
                                                     gopher_quality)
