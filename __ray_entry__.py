@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": Q.span_dedup,
         "gopher_quality": Q.gopher_quality,
         "gopher_repetition": Q.gopher_repetition,
+        "transcript_tool_stats": Q.transcript_tool_stats,
         "pii_redact": Q.pii_redact,
         # CCNet-style bigram-LM perplexity quality filter
         "lm_perplexity": Q.lm_perplexity,
@@ -2151,6 +2152,24 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["bpe_merges"] = _bpe_sql(8)
+
+    # role/tool derivation matches _docs_batch_to_transcripts
+    # (ROLES[doc_id % 4], TOOLS[doc_id % 5], conv = doc_id // 8)
+    sql["transcript_tool_stats"] = """
+    WITH tr AS (
+      SELECT doc_id // 8 AS conv,
+             ['user','assistant','system','tool'][CAST(doc_id % 4 AS INT) + 1]
+               AS role,
+             ['bash','search','edit','',''][CAST(doc_id % 5 AS INT) + 1]
+               AS tool,
+             length(coalesce(text, '')) AS chars
+      FROM documents
+    )
+    SELECT role, tool, count(*) AS turns,
+           count(DISTINCT conv) AS convs,
+           CAST(sum(chars) AS BIGINT) AS chars
+    FROM tr GROUP BY role, tool
+    """
 
     # Gopher repetition gates: integer-microunit fractions; the top-n tie
     # (count DESC, gram ASC) compares space-joined gram strings, which

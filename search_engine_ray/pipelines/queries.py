@@ -1147,6 +1147,75 @@ def lm_survivors(sf_dir: str) -> "ray.data.Dataset":
     return ls(_documents_docs(sf_dir), max_ppl=LM_MAX_PPL)
 
 
+def transcript_tool_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per (role, tool) transcript usage stats — turn count, distinct
+    conversations, total text chars: a per-batch combine (groupby inside
+    map_batches over the full input-hint columns role/tool/conv_id) then
+    one tiny keyed sum over <= roles x tools x batches partial rows; the
+    distinct-conv count stays exact because a conversation's turns share
+    one (role, tool) cell only within a conv-aligned block boundary —
+    so it's computed from per-(role, tool, conv) partials instead,
+    keyed shuffle bounded by distinct (role, tool, conv)."""
+    from ray.data.aggregate import Sum
+
+    turns = transcripts_from_documents(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import collections
+        conv = b.column("conv_id").to_pylist()
+        role = b.column("role").to_pylist()
+        tool = b.column("tool").to_pylist()
+        ln = pc.utf8_length(pc.fill_null(b.column("text"), "")).to_pylist()
+        agg: dict[tuple, list] = collections.defaultdict(lambda: [0, 0])
+        for c, r, t, n in zip(conv, role, tool, ln):
+            a = agg[(r, t, c)]
+            a[0] += 1
+            a[1] += n
+        rows = sorted(agg.items())
+        return pa.table({
+            "role": pa.array([k[0] for k, _ in rows], pa.string()),
+            "tool": pa.array([k[1] for k, _ in rows], pa.string()),
+            "conv_id": pa.array([k[2] for k, _ in rows], pa.string()),
+            "turns": pa.array([v[0] for _, v in rows], pa.int64()),
+            "chars": pa.array([v[1] for _, v in rows], pa.int64()),
+        })
+
+    per_conv = turns.select_columns(
+        ["conv_id", "role", "tool", "text"]).map_batches(
+        partial, batch_format="pyarrow").groupby(
+        ["role", "tool", "conv_id"]).aggregate(Sum("turns"), Sum("chars"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "role" not in b.column_names:
+            return pa.table({"role": pa.array([], pa.string()),
+                             "tool": pa.array([], pa.string()),
+                             "turns": pa.array([], pa.int64()),
+                             "convs": pa.array([], pa.int64()),
+                             "chars": pa.array([], pa.int64())})
+        return pa.table({
+            "role": b.column("role"), "tool": b.column("tool"),
+            "turns": b.column("sum(turns)").cast(pa.int64()),
+            "convs": pa.array(np.ones(b.num_rows, dtype=np.int64),
+                              pa.int64()),
+            "chars": b.column("sum(chars)").cast(pa.int64())})
+
+    return per_conv.map_batches(fold, batch_format="pyarrow").groupby(
+        ["role", "tool"]).aggregate(
+        Sum("turns"), Sum("convs"), Sum("chars")).map_batches(
+        lambda b: pa.table({
+            "role": b.column("role"), "tool": b.column("tool"),
+            "turns": b.column("sum(turns)").cast(pa.int64()),
+            "convs": b.column("sum(convs)").cast(pa.int64()),
+            "chars": b.column("sum(chars)").cast(pa.int64())})
+        if b.num_rows and "role" in b.column_names else
+        pa.table({"role": pa.array([], pa.string()),
+                  "tool": pa.array([], pa.string()),
+                  "turns": pa.array([], pa.int64()),
+                  "convs": pa.array([], pa.int64()),
+                  "chars": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def gopher_repetition(sf_dir: str) -> "ray.data.Dataset":
     """Gopher repetition gates (Rae et al. 2021 A1.1): top-n-gram and
     duplicated-n-gram char fractions in integer microunits + keep flag."""
