@@ -155,7 +155,11 @@ def bigram_model(docs: "ray.data.Dataset"
         pa.table({"gh": pa.array([], pa.int64()),
                   "ch": pa.array([], pa.int64()),
                   "cb": pa.array([], pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    # materialized: the model feeds BOTH the context aggregate and the
+    # scoring union — lazy, its corpus-pass lineage would execute twice.
+    # Size is distinct-bigrams-bounded (object store, spillable), not
+    # corpus-bounded.
     contexts = model.groupby("ch").aggregate(Sum("cb")).map_batches(
         lambda b: pa.table({"ch": b.column("ch"),
                             "cu": b.column("sum(cb)").cast(pa.int64())})
