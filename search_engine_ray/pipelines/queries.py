@@ -1161,23 +1161,24 @@ def transcript_tool_stats(sf_dir: str) -> "ray.data.Dataset":
     turns = transcripts_from_documents(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
-        import collections
-        conv = b.column("conv_id").to_pylist()
-        role = b.column("role").to_pylist()
-        tool = b.column("tool").to_pylist()
-        ln = pc.utf8_length(pc.fill_null(b.column("text"), "")).to_pylist()
-        agg: dict[tuple, list] = collections.defaultdict(lambda: [0, 0])
-        for c, r, t, n in zip(conv, role, tool, ln):
-            a = agg[(r, t, c)]
-            a[0] += 1
-            a[1] += n
-        rows = sorted(agg.items())
+        # vectorized per-batch combine (C-speed pandas groupby — this runs
+        # over every turn, so no per-row Python)
+        import pandas as pd
+        df = pd.DataFrame({
+            "role": b.column("role").to_pandas(),
+            "tool": b.column("tool").to_pandas(),
+            "conv_id": b.column("conv_id").to_pandas(),
+            "chars": pc.utf8_length(
+                pc.fill_null(b.column("text"), "")).to_pandas(),
+        })
+        g = df.groupby(["role", "tool", "conv_id"], sort=False).agg(
+            turns=("chars", "size"), chars=("chars", "sum")).reset_index()
         return pa.table({
-            "role": pa.array([k[0] for k, _ in rows], pa.string()),
-            "tool": pa.array([k[1] for k, _ in rows], pa.string()),
-            "conv_id": pa.array([k[2] for k, _ in rows], pa.string()),
-            "turns": pa.array([v[0] for _, v in rows], pa.int64()),
-            "chars": pa.array([v[1] for _, v in rows], pa.int64()),
+            "role": pa.array(g["role"], pa.string()),
+            "tool": pa.array(g["tool"], pa.string()),
+            "conv_id": pa.array(g["conv_id"], pa.string()),
+            "turns": pa.array(g["turns"].to_numpy(), pa.int64()),
+            "chars": pa.array(g["chars"].to_numpy(), pa.int64()),
         })
 
     per_conv = turns.select_columns(
