@@ -17,11 +17,19 @@ def main() -> None:
     p.add_argument("--no-stem", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--address", default=None,
+                   help="Ray address: 'local' (default), 'auto' to join an "
+                        "existing cluster (the `ray job submit` path), or "
+                        "an explicit head address; RAY_ADDRESS wins if set")
     args = p.parse_args()
+
+    import os
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
+        addr = args.address or os.environ.get("RAY_ADDRESS", "local")
+        ray.init(address=addr,
+                 num_cpus=args.num_cpus if addr == "local" else None,
                  include_dashboard=False)
     import ray.data
 
