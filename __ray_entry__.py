@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": Q.gopher_quality,
         "gopher_repetition": Q.gopher_repetition,
         "transcript_tool_stats": Q.transcript_tool_stats,
+        # batched embedding generation (actor-pool inference plumbing)
+        "embed_documents": Q.embed_documents,
         "pii_redact": Q.pii_redact,
         # CCNet-style bigram-LM perplexity quality filter
         "lm_perplexity": Q.lm_perplexity,
@@ -2152,6 +2154,45 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["bpe_merges"] = _bpe_sql(8)
+
+    # Hashed-projection embedding generation: md5 per token + per-dim
+    # splitmix64 remix — the exact permutation arithmetic the MinHash
+    # mirror reproduces; integer-exact sums per (doc, dim).
+    _E_DIMS = 8
+    _e_cols = ", ".join(
+        f"CAST(sum(CASE WHEN p = {d + 1} THEN v ELSE 0 END) AS BIGINT)"
+        f" AS e{d}" for d in range(_E_DIMS))
+    sql["embed_documents"] = f"""
+    WITH tok AS (
+      SELECT doc_id, u.tk AS token
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z]{{2,32}}')) u(tk)
+    ),
+    base AS (
+      SELECT doc_id, CAST(md5_number_lower(token) AS HUGEINT) AS b FROM tok
+    ),
+    perm AS (
+      SELECT p, (CAST(p AS HUGEINT) * {_GOLDEN}) % {_M64} AS seed
+      FROM range(1, {_E_DIMS + 1}) r(p)
+    ),
+    x0 AS (
+      SELECT doc_id, p,
+             CAST(xor(CAST(b AS UBIGINT), CAST(seed AS UBIGINT)) AS HUGEINT)
+               AS z
+      FROM base CROSS JOIN perm
+    ),
+    z1 AS (SELECT doc_id, p, (z + {_GOLDEN}) % {_M64} AS z FROM x0),
+    z2 AS (SELECT doc_id, p, {_mulmod64(_xorshift('z', 30), _SM_C2)} AS z
+           FROM z1),
+    z3 AS (SELECT doc_id, p, {_mulmod64(_xorshift('z', 27), _SM_C3)} AS z
+           FROM z2),
+    v AS (
+      SELECT doc_id, p,
+             CAST(({_xorshift('z', 31)}) % 1000 AS BIGINT) - 500 AS v
+      FROM z3
+    )
+    SELECT doc_id, {_e_cols} FROM v GROUP BY doc_id
+    """
 
     # role/tool derivation matches _docs_batch_to_transcripts
     # (ROLES[doc_id % 4], TOOLS[doc_id % 5], conv = doc_id // 8)

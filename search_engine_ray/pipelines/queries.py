@@ -1147,6 +1147,13 @@ def lm_survivors(sf_dir: str) -> "ray.data.Dataset":
     return ls(_documents_docs(sf_dir), max_ppl=LM_MAX_PPL)
 
 
+def embed_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Batched embedding generation (deterministic hashed-projection
+    encoder in an actor pool; the model-inference plumbing pattern)."""
+    from ..stages.embed import embed_documents as ed
+    return ed(_documents_docs(sf_dir))
+
+
 def transcript_tool_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per (role, tool) transcript usage stats — turn count, distinct
     conversations, total text chars: a per-batch combine (groupby inside

@@ -1305,6 +1305,36 @@ def test_duplicated_spans_vs_bruteforce():
     assert 2 in got and got[2][0] >= 1        # in-doc repeats are caught
 
 
+def test_embed_documents_deterministic_projection():
+    from search_engine_ray.functions.hashing import (md5_hash64,
+                                                     splitmix64)
+    from search_engine_ray.stages.embed import GOLDEN, embed_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["cat dog cat", "zebra", ""], pa.string()),
+    })
+    out = {r["doc_id"]: r for r in embed_documents(
+        ray.data.from_arrow(docs).repartition(2), dims=4).take_all()}
+    assert set(out) == {0, 1}          # empty doc absent
+
+    def ref(tokens, dims=4):
+        e = [0] * dims
+        for t in tokens:
+            b = md5_hash64(t)
+            for i in range(dims):
+                seed = ((i + 1) * GOLDEN) & ((1 << 64) - 1)
+                e[i] += (splitmix64(b ^ seed) % 1000) - 500
+        return e
+
+    assert [out[0][f"e{i}"] for i in range(4)] == ref(["cat", "dog", "cat"])
+    assert [out[1][f"e{i}"] for i in range(4)] == ref(["zebra"])
+    # same input -> identical vectors (encode is stateless-deterministic)
+    out2 = {r["doc_id"]: r for r in embed_documents(
+        ray.data.from_arrow(docs).repartition(2), dims=4).take_all()}
+    assert out == out2
+
+
 def test_gopher_repetition_handcrafted():
     from search_engine_ray.stages.textstats import gopher_repetition
 
