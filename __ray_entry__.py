@@ -2112,10 +2112,7 @@ def oracle_sql() -> dict[str, str]:
     ),
     model AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
     ctx AS (SELECT w1, sum(cb) AS cu FROM model GROUP BY w1),
-    vocab AS (
-      SELECT count(DISTINCT word) AS v
-      FROM (SELECT unnest(l) AS word FROM tl)
-    ),
+    vocab AS (SELECT count(*) AS v FROM ctx),
     scored AS (
       SELECT b.doc_id,
              CAST(floor(ln(m.cb + 0.5) * 1000000 + 0.5) AS BIGINT)

@@ -20,7 +20,8 @@ def main() -> None:
     p.add_argument("--address", default=None,
                    help="Ray address: 'local' (default), 'auto' to join an "
                         "existing cluster (the `ray job submit` path), or "
-                        "an explicit head address; RAY_ADDRESS wins if set")
+                        "an explicit head address; the flag wins over "
+                        "RAY_ADDRESS, which wins over the 'local' default")
     args = p.parse_args()
 
     import os

@@ -217,17 +217,9 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     (per-batch mask), which preserves the scan-fraction semantics without a
     re-layout.  Same output shape as brute_force_topk; recall pytest.
 
-    The training sample is ``vec_id < train_sample`` in vec_id order — a
-    deterministic predicate (not ``limit``, whose block order Ray does not
-    guarantee) that a SQL oracle can reproduce; assumes dense-ish ids as in
-    the driver tables.  At scale substitute any deterministic id predicate
-    (e.g. ``hash(vec_id) % m == 0``)."""
-    import pyarrow.compute as pc
-    sample = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        lambda b: b.filter(pc.field("vec_id") < train_sample),
-        batch_format="pyarrow").take_all()
-    sample.sort(key=lambda r: r["vec_id"])
-    train = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    The training sample contract lives in ``_train_sample`` (shared with
+    pq_train)."""
+    train = _train_sample(embeddings, train_sample)
     cents = _kmeans(train, n_lists, seed=seed)
     qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
     probe_lists = np.argsort(-(qv @ cents.T), axis=1)[:, :n_probe]
@@ -273,6 +265,24 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     return _merge_topk_partials(partials, k)
 
 
+def _train_sample(embeddings: "ray.data.Dataset", n: int) -> np.ndarray:
+    """Deterministic RAW training sample: ``vec_id < n`` in vec_id order —
+    an id predicate (not ``limit``, whose block order Ray does not
+    guarantee) that a SQL oracle can reproduce; assumes dense-ish ids as
+    in the driver tables.  At scale substitute any deterministic id
+    predicate (e.g. ``hash(vec_id) % m == 0``).  Shared by the IVF and PQ
+    quantizer trainers so the sampling contract lives in one place.
+    Raw, not normalized: each trainer applies exactly ONE normalization
+    (inside _kmeans for IVF, before _kmeans_l2 for PQ) so the engine
+    matches the oracle's single-normalize arithmetic at ulp level."""
+    import pyarrow.compute as pc
+    sample = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.field("vec_id") < n),
+        batch_format="pyarrow").take_all()
+    sample.sort(key=lambda r: r["vec_id"])
+    return np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+
+
 def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
     """Plain-L2 deterministic Lloyd for PQ sub-quantizers (Jégou et al.
     2011): stride init over the vec_id-ordered sample, centroids rounded
@@ -295,16 +305,10 @@ def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
 
 def pq_train(embeddings: "ray.data.Dataset", *, m: int = 4, ksub: int = 16,
              train_sample: int = 2048, iters: int = 5) -> np.ndarray:
-    """(m, ksub, dim/m) PQ codebooks trained on the deterministic id
-    predicate sample (vec_id < train_sample, vec_id order — same contract
-    as ivf_topk), over NORMALIZED vectors so ADC approximates cosine."""
-    import pyarrow.compute as pc
-    sample = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        lambda b: b.filter(pc.field("vec_id") < train_sample),
-        batch_format="pyarrow").take_all()
-    sample.sort(key=lambda r: r["vec_id"])
-    train = _normalize(np.asarray([r["embedding"] for r in sample],
-                                  dtype=np.float64))
+    """(m, ksub, dim/m) PQ codebooks trained on the shared deterministic
+    sample (``_train_sample``, same contract as ivf_topk), over NORMALIZED
+    vectors so ADC approximates cosine."""
+    train = _normalize(_train_sample(embeddings, train_sample))
     dim = train.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -8,8 +8,10 @@ Shape (all distributed; strings never cross an exchange):
      (gh, ch, cnt) bigram partials, where gh = hash64(w1 + US + w2) and
      ch = hash64(w1); one keyed ``groupby(gh, ch)`` sum builds the model.
      Context totals c(w1) come from a model-sized ``groupby(ch)`` sum;
-     vocabulary size V is a distinct word-hash count (per-batch distinct
-     partials, one keyed count — only the scalar reaches the driver).
+     the smoothing vocabulary V is the CONTEXT vocabulary (distinct w1
+     count — a metadata-only count on the materialized context table,
+     standard for context-conditional add-alpha smoothing, and it keeps
+     training at exactly ONE corpus pass).
   2. SCORE — a second corpus pass emits one (doc_id, gh, ch) row per
      bigram OCCURRENCE (numpy-flattened, no per-doc Python dicts); the
      gram stream, the model and the context table are unioned and hit ONE
@@ -126,26 +128,10 @@ def _model_partials(batch: pa.Table) -> pa.Table:
                      "cnt": pa.array(cnt, pa.int64())})
 
 
-def _vocab_size(docs: "ray.data.Dataset") -> int:
-    """Corpus distinct-word count (same tokenizer) via per-batch distinct
-    word-hash partials + one keyed count; only the scalar reaches the
-    driver."""
-    def words(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for t in batch.column("text").to_pylist():
-            seen.update(WORD_RE.findall((t or "").lower()))
-        if not seen:
-            return pa.table({"wh": pa.array([], pa.int64())})
-        return pa.table({"wh": pa.array(_hash_strs(sorted(seen)),
-                                        pa.int64())})
-    return docs.select_columns(["text"]).map_batches(
-        words, batch_format="pyarrow").groupby("wh").count().count()
-
-
 def bigram_model(docs: "ray.data.Dataset"
                  ) -> tuple["ray.data.Dataset", "ray.data.Dataset", int]:
     """(model, contexts, V): model = (gh, ch, cb); contexts = (ch, cu);
-    V = corpus vocabulary size."""
+    V = context vocabulary size (distinct w1)."""
     partials = docs.select_columns(["text"]).map_batches(
         _model_partials, batch_format="pyarrow")
     model = partials.groupby(["gh", "ch"]).aggregate(Sum("cnt")).map_batches(
@@ -166,8 +152,8 @@ def bigram_model(docs: "ray.data.Dataset"
         if b.num_rows and "ch" in b.column_names else
         pa.table({"ch": pa.array([], pa.int64()),
                   "cu": pa.array([], pa.int64())}),
-        batch_format="pyarrow")
-    return model, contexts, _vocab_size(docs)
+        batch_format="pyarrow").materialize()
+    return model, contexts, contexts.count()
 
 
 # union-side discriminators for the single scoring exchange
@@ -204,6 +190,7 @@ def lm_perplexity(docs: "ray.data.Dataset", *, alpha: float = LM_ALPHA,
     bigram.
 
       p(w2|w1)    = (c(w1,w2) + alpha) / (c(w1) + alpha * V)
+                    with V = |distinct contexts w1|
       logprob_u   = sum over doc bigrams of
                     r6u(ln(cb + alpha)) - r6u(ln(cu + alpha * V))  [int64]
       avg_u       = floor(logprob_u / bigrams + 0.5)               [int64]
@@ -234,30 +221,40 @@ def lm_perplexity(docs: "ray.data.Dataset", *, alpha: float = LM_ALPHA,
                              "u": pa.array([], pa.int64())})
         mmask = side == _SIDE_MODEL
         cmask = side == _SIDE_CTX
-        gh = g.column("gh").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+        # fill nulls BEFORE to_numpy: a nullable int64 column converts to
+        # float64, which would truncate 64-bit hash keys (ulp at 2^62 is
+        # 1024 — distinct grams would silently collide in the lookup)
+        gh = pc.fill_null(g.column("gh"), 0).to_numpy(zero_copy_only=False)
         ch = g.column("ch").to_numpy(zero_copy_only=False)
-        doc = g.column("doc_id").to_numpy(zero_copy_only=False)[gmask]
+        doc = pc.fill_null(g.column("doc_id"), 0).to_numpy(
+            zero_copy_only=False)[gmask]
         # vectorized lookups: model/context rows for every gram in this
         # partition are co-located (same ch-keyed partition function)
         m_gh = gh[mmask]
-        m_cb = g.column("cb").to_numpy(zero_copy_only=False)[mmask]
+        m_cb = pc.fill_null(g.column("cb"), 0).to_numpy(
+            zero_copy_only=False)[mmask]
         order = np.argsort(m_gh, kind="stable")
         m_gh, m_cb = m_gh[order], m_cb[order]
-        c_ch = g.column("ch").to_numpy(zero_copy_only=False)[cmask]
-        c_cu = g.column("cu").to_numpy(zero_copy_only=False)[cmask]
+        c_ch = ch[cmask]
+        c_cu = pc.fill_null(g.column("cu"), 0).to_numpy(
+            zero_copy_only=False)[cmask]
         corder = np.argsort(c_ch, kind="stable")
         c_ch, c_cu = c_ch[corder], c_cu[corder]
         cb = m_cb[np.searchsorted(m_gh, gh[gmask])].astype(np.float64)
         cu = c_cu[np.searchsorted(c_ch, ch[gmask])].astype(np.float64)
         u = _r6u(np.log(cb + av)) - _r6u(np.log(cu + av_v))
-        # per-doc PARTIAL sums leave the partition (combiner)
+        # per-doc PARTIAL sums leave the partition (combiner).  int64
+        # accumulation (np.add.at), NOT bincount's float64 weights path:
+        # a partial sum past 2^53 would round and break integer exactness
         udoc, inv = np.unique(doc, return_inverse=True)
+        usum = np.zeros(len(udoc), dtype=np.int64)
+        np.add.at(usum, inv, u)
         return pa.table({
             "doc_id": pa.array(udoc, pa.int64()),
             "n": pa.array(np.bincount(inv, minlength=len(udoc))
                           .astype(np.int64), pa.int64()),
-            "u": pa.array(np.bincount(inv, weights=u, minlength=len(udoc))
-                          .astype(np.int64), pa.int64()),
+            "u": pa.array(usum, pa.int64()),
         })
 
     per_doc = unioned.groupby("part").map_groups(

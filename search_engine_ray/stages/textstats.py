@@ -172,6 +172,12 @@ def rolling_fingerprints(docs: "ray.data.Dataset", *, window: int = 8
 GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM = {5: 0.15, 10: 0.10}
 
+# ASCII-whitespace tokenization, matching the oracle's RE2 '\s' class
+# (str.split would also split on unicode whitespace).  Known residual
+# tie-break assumption: a token containing a char below 0x20 would order
+# differently under tuple-compare vs the oracle's space-joined strings.
+_ASCII_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
 
 def _ngram_repetition_doc(toks: list, text_len: int
                           ) -> tuple[dict, dict]:
@@ -223,7 +229,10 @@ def gopher_repetition(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         keep = []
         for t in texts:
             t = t or ""
-            toks = t.split()
+            # ASCII \S+ (not str.split): the oracle's RE2 '\s' is
+            # ASCII-only, so unicode whitespace (\xa0 etc.) must NOT
+            # split tokens on the engine side either
+            toks = _ASCII_TOKEN_RE.findall(t)
             top_u, dup_u = _ngram_repetition_doc(toks, len(t))
             ok = True
             for n, th in GOPHER_TOP_NGRAM.items():

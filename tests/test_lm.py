@@ -30,17 +30,17 @@ def _docs_ds():
 
 
 def _hand_model():
-    """Reference add-alpha bigram model computed in plain Python."""
+    """Reference add-alpha bigram model computed in plain Python.
+    V = context vocabulary (distinct w1), matching stages/lm.py."""
     import re
     word_re = re.compile(r"[a-z]{2,32}")
-    cb, cu, vocab = {}, {}, set()
+    cb, cu = {}, {}
     for _, text in DOCS:
         toks = word_re.findall(text.lower())
-        vocab.update(toks)
         for a, b in zip(toks, toks[1:]):
             cb[(a, b)] = cb.get((a, b), 0) + 1
             cu[a] = cu.get(a, 0) + 1
-    return cb, cu, len(vocab)
+    return cb, cu, len(cu)
 
 
 def test_bigram_model_counts_match_hand_oracle():

@@ -69,14 +69,13 @@ def test_random_corpus_lm_perplexity_vs_reference(seed, nparts):
     })
 
     word_re = re.compile(r"[a-z]{2,32}")
-    cb, cu, vset = {}, {}, set()
+    cb, cu = {}, {}
     for t in texts:
         toks = word_re.findall(t.lower())
-        vset.update(toks)
         for a, b in zip(toks, toks[1:]):
             cb[(a, b)] = cb.get((a, b), 0) + 1
             cu[a] = cu.get(a, 0) + 1
-    v = len(vset)
+    v = len(cu)          # context vocabulary, matching stages/lm.py
 
     def r6u(x):
         return int(math.floor(x * 1e6 + 0.5))
