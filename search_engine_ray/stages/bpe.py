@@ -47,22 +47,14 @@ DEFAULT_NUM_MERGES = 8
 
 
 def word_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(word, freq) — occurrence counts, per-batch partials + one keyed
-    sum (freq = total occurrences, matching the _WORDS oracle count)."""
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for w in WORD_RE.findall((t or "").lower()):
-                counts[w] = counts.get(w, 0) + 1
-        return pa.table({
-            "word": pa.array(list(counts), pa.string()),
-            "cnt": pa.array(list(counts.values()), pa.int64()),
-        })
-    return docs.select_columns(["text"]).map_batches(
-        partial, batch_format="pyarrow").groupby("word").aggregate(
-        Sum("cnt")).map_batches(
-        lambda b: pa.table({"word": b.column("word"),
-                            "freq": b.column("sum(cnt)").cast(pa.int64())})
+    """(word, freq) — the A4 corpus word count (same [a-z]{2,32}
+    tokenizer, per-batch Counter partials + one keyed sum), reused from
+    the spellcheck stage so the plan lives in one place."""
+    from .spellcheck import word_counts as _wc
+    return _wc(docs).map_batches(
+        lambda b: pa.table({
+            "word": b.column("word"),
+            "freq": b.column("total_frequency").cast(pa.int64())})
         if b.num_rows and "word" in b.column_names else
         pa.table({"word": pa.array([], pa.string()),
                   "freq": pa.array([], pa.int64())}),
