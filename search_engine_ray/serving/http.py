@@ -185,10 +185,13 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                 if name not in ("search_web", "search_news"):
                     self._rpc_error(rid, -32602, f"unknown tool {name!r}")
                     return
-                limit, offset = _bounded(
-                    int(args.get("limit") or (10 if name == "search_web"
-                                              else 20)),
-                    int(args.get("offset") or 0))
+                # explicit None check: a client's limit=0 is a value (the
+                # reference clamps it to 1 via _bounded), not "absent"
+                raw_limit = args.get("limit")
+                if raw_limit is None:
+                    raw_limit = 10 if name == "search_web" else 20
+                limit, offset = _bounded(int(raw_limit),
+                                         int(args.get("offset") or 0))
                 bias = 8.0 if name == "search_news" else 0.0
                 rows = self._search_rows(str(args.get("query") or ""),
                                          limit, offset, bias)

@@ -113,11 +113,18 @@ def decontaminated_survivors(corpus: "ray.data.Dataset",
     after decontamination) — a distributed LEFT ANTI hash join against the
     contaminated-id set, so a heavily contaminated corpus (ids too numerous
     for any driver set) still streams."""
-    overlap = benchmark_ngram_overlap(corpus, benchmark, n=n)
+    # count the corpus ONCE on a materialized handle: .count() on a lazy
+    # dataset re-executes the whole upstream pipeline, and this function
+    # would otherwise trigger it twice (here + benchmark_ngram_overlap)
+    corpus = corpus.materialize()
+    n_docs = corpus.count()
+    overlap = benchmark_ngram_overlap(
+        corpus, benchmark, n=n,
+        num_partitions=int(max(2, min(64, n_docs * 16 // 2_000_000 + 2))))
     bad = overlap.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id")}),
         batch_format="pyarrow")
-    nparts = int(max(2, min(64, corpus.count() // 2_000_000 + 2)))
+    nparts = int(max(2, min(64, n_docs // 2_000_000 + 2)))
     return corpus.select_columns(["doc_id"]).join(
         bad, "left_anti", num_partitions=nparts, on=("doc_id",))
 

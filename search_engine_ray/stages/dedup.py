@@ -576,6 +576,13 @@ def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
             toks = (t or "").lower().split()
             lines = [" ".join(toks[j:j + line_tokens])
                      for j in range(0, len(toks), line_tokens)]
+            if len(lines) >= _LINE_PACK:
+                # past the packing bound the key would bleed into the
+                # next doc_id's space and corrupt first-occurrence wins —
+                # fail loudly instead of silently mis-deduping
+                raise ValueError(
+                    f"doc {d}: {len(lines)} lines >= packing bound "
+                    f"{_LINE_PACK}; raise _LINE_PACK for this corpus")
             if boilerplate_mod and lines and d % boilerplate_mod == 0:
                 lines[0] = BOILERPLATE_LINE
             out_doc.extend([d] * len(lines))

@@ -204,6 +204,10 @@ def approx_percentiles_hist(ds: "ray.data.Dataset", *, key: str, col: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch.column(key).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:          # empty block: sk[starts] would raise
+            return pa.table({key: batch.column(key),
+                             "bin": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
         vals = batch.column(col).to_numpy(zero_copy_only=False)
         bins = np.floor(vals / bin_width).astype(np.int64)
         order = np.lexsort((bins, keys))

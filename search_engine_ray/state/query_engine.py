@@ -166,6 +166,15 @@ class QueryEngine:
         # File-name order == physical part order == rb-ascending per term.
         self._dict: dict[str, tuple] = {}
         chunks: dict[str, list] = {}
+        # df/cf accumulate over ALL of a term's chunks — including chunks
+        # whose postings lie entirely outside this shard's doc range and
+        # are skipped below.  With range_splits > 1 a term's global df is
+        # split across rb-chunk files; dropping out-of-range chunks from
+        # the df sum would give each shard a partial (per-range) df and an
+        # inflated idf, breaking the invariant that sharded scores equal
+        # the full engine's (postings may be range-sliced, stats may not).
+        df_glob: dict[str, int] = {}
+        cf_glob: dict[str, int] = {}
         import bisect as _bisect
         for f in sorted(glob.glob(os.path.join(index_dir, "segments", "segment-p*.parquet"))):
             t = pq.read_table(f)
@@ -184,6 +193,8 @@ class QueryEngine:
                 dbuf, tbuf = dbufs[i], tbufs[i]
                 bld, bmt, bdo, bto, bct = (blds[i], bmts[i], bdos[i],
                                            btos[i], bcts[i])
+                df_glob[term] = df_glob.get(term, 0) + dfs[i]
+                cf_glob[term] = cf_glob.get(term, 0) + cfs[i]
                 if doc_range is not None:
                     # blocks fully below lo have last_doc < lo; blocks after
                     # the one containing hi-1 start past it (docs sorted)
@@ -225,11 +236,10 @@ class QueryEngine:
                     (dfs[i], cfs[i], dbuf, tbuf, bld, bmt, bdo, bto, bct))
 
         for term, ch in chunks.items():
+            df_t, cf_t = df_glob[term], cf_glob[term]
             if len(ch) == 1:
-                df_t, cf_t, dbuf, tbuf, bld, bmt, bdo, bto, bct = ch[0]
+                _, _, dbuf, tbuf, bld, bmt, bdo, bto, bct = ch[0]
             else:
-                df_t = sum(c[0] for c in ch)
-                cf_t = sum(c[1] for c in ch)
                 dbuf = b"".join(c[2] for c in ch)
                 tbuf = b"".join(c[3] for c in ch)
                 bld, bmt, bct = [], [], []

@@ -694,6 +694,41 @@ def test_range_split_equals_plain(tiny_transcripts, tmp_path, built_index):
                [(r["url"], r["score"]) for r in e4.search(q, limit=10)]
 
 
+def test_range_split_build_sharded_serving_identity(tiny_transcripts,
+                                                    tmp_path):
+    """The combination the individual tests missed: a range_splits>1 build
+    served through doc-range shards.  A shard skips a term's out-of-range
+    rb-chunks, but df/cf/idf must stay GLOBAL (sum over ALL chunks) or
+    per-shard idf inflates and merged scores diverge from the full
+    engine."""
+    from search_engine_ray.state.sharded import ShardedQueryEngine
+
+    cfg = EngineConfig(index_dir=str(tmp_path / "rss"), num_partitions=8,
+                       range_splits=4)
+    build_index(ray.data.from_arrow(tiny_transcripts).repartition(4), cfg,
+                source_desc="tiny")
+    single = QueryEngine(cfg.index_dir)
+
+    # per-shard df equals the global df for every term the shard holds
+    lo, hi = 0, single.doc_total // 2
+    shard = QueryEngine(cfg.index_dir, doc_range=(lo, hi))
+    for t, entry in shard._dict.items():
+        assert entry[0] == single._dict[t][0], t       # df global
+        assert entry[2] == single._dict[t][2], t       # idf global
+
+    for shards in (2, 3):
+        sharded = ShardedQueryEngine(cfg.index_dir, num_shards=shards)
+        for q, limit, offset in (("word0001 word0002", 10, 0),
+                                 ("word0003", 5, 3),
+                                 ("the and of", 10, 0)):
+            a = single.search(q, limit=limit, offset=offset)
+            b = sharded.search(q, limit=limit, offset=offset)
+            assert [(r["url"], r["score"], r["matched_terms"]) for r in a] \
+                == [(r["url"], r["score"], r["matched_terms"]) for r in b], \
+                (shards, q)
+        sharded.shutdown()
+
+
 def test_range_split_extend_equals_full(tmp_path):
     """Incremental extend on a range-split base (frozen bucket mapping)
     must equal a clean range-split build of the union — search identity."""
