@@ -100,6 +100,19 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     fp = _fingerprint(source_desc, cfg)
     manifest = load_manifest(index_dir) if resume else {"entries": {}}
     os.makedirs(index_dir, exist_ok=True)
+    if not resume:
+        # truncate semantics: a fresh build must clear EVERY artifact the
+        # engine discovers by glob/dir-scan (segments, doclens, docs,
+        # triples, tombstones, extend marker) — a rebuild with fewer
+        # partitions or a smaller corpus would otherwise leave stale
+        # files that double-count df or index-error doclen assignment
+        for sub in ("segments", "doclens", "docs", "triples"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        for f in ("tombstones.parquet", "extend.inprogress"):
+            try:
+                os.remove(os.path.join(index_dir, f))
+            except OSError:
+                pass
     _t = timings if timings is not None else {}
     _t0 = time.time()
 
@@ -341,15 +354,43 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     manifest = load_manifest(index_dir)
     if "doc_total" not in manifest:
         raise ValueError(f"no existing index at {index_dir}")
+    # retry guard: segment merges and doc-store appends commit
+    # incrementally, so a retry after a mid-extend crash would merge the
+    # same postings twice and append duplicate doc rows — fail loudly and
+    # point at the recovery path instead of silently corrupting
+    marker = os.path.join(index_dir, "extend.inprogress")
+    if os.path.exists(marker):
+        raise RuntimeError(
+            f"a previous extend of {index_dir} did not complete "
+            f"({marker} exists); the index may hold partially merged "
+            f"segments — run compact_index (or a clean rebuild) before "
+            f"extending again")
     n0 = int(manifest["doc_total"])
     max_conv = manifest.get("max_conv", "")
     fp = _fingerprint(source_desc, cfg)
+    # partitioning is an index property, not a caller choice: merging new
+    # postings into existing part files requires the SAME term->part
+    # mapping as the base build (a different num_partitions would split a
+    # term across overlapping-doc-range files, breaking the rb-ascending
+    # chunk-concat invariant)
+    num_partitions = int(manifest.get("num_partitions",
+                                      cfg.num_partitions))
 
     src = (ray.data.read_parquet(transcripts_path,
                                  columns=["conv_id", "turn_idx"])
            if transcripts_path else new_transcripts)
-    offsets, n_new = conv_offsets(src,
-                                  max_broadcast_convs=cfg.max_broadcast_convs)
+    try:
+        offsets, n_new = conv_offsets(
+            src, max_broadcast_convs=cfg.max_broadcast_convs)
+    except BroadcastCapExceeded as exc:
+        # the documented join-mode path exists for full builds; an extend
+        # batch past the cap needs the same treatment at the doc-id join —
+        # not yet implemented, so fail with the recovery path rather than
+        # an internal cutover exception
+        raise RuntimeError(
+            f"extend batch exceeds max_broadcast_convs "
+            f"({cfg.max_broadcast_convs}): split the batch into smaller "
+            f"extends or rebuild with build_index (join mode)") from exc
     if n_new == 0:
         return {"index_dir": index_dir, "doc_total": n0,
                 "manifest": manifest}
@@ -369,6 +410,9 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     offsets_ref = ray.put(offsets)
     n = n0 + n_new
 
+    with open(marker, "w") as f:
+        f.write(fp)
+
     # append to the doc store (new files alongside the old ones)
     with_ids = add_doc_ids_with_offsets(new_transcripts, offsets_ref)
     with_ids.write_parquet(os.path.join(index_dir, "docs"),
@@ -387,13 +431,13 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
     rbase = int(manifest.get("range_base_n", max(n0, 1)))
     seg_manifest = build_segments(
         combined, index_dir=index_dir, doc_total=n,
-        num_partitions=cfg.num_partitions, salt=cfg.salt,
+        num_partitions=num_partitions, salt=cfg.salt,
         block_size=cfg.block_size, input_fingerprint=fp, resume=False,
         with_doclens=True, merge_existing=True,
         range_splits=rs, range_base_n=rbase)
 
     total_tokens = _reserved_total_tokens(
-        seg_manifest, cfg.num_partitions * rs)
+        seg_manifest, num_partitions * rs)
     stats = {"doc_total": n, "total_tokens": total_tokens,
              "avgdl": total_tokens / n}
     write_stats(index_dir, stats)
@@ -405,6 +449,7 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
                  "out_of_order": bool(max_conv and low <= max_conv)})
     seg_manifest["generations"] = gens
     save_manifest(index_dir, seg_manifest)
+    os.remove(marker)
     return {"index_dir": index_dir, "doc_total": n, "stats": stats,
             "manifest": seg_manifest}
 

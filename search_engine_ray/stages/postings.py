@@ -37,7 +37,6 @@ from ..functions.text import idf as idf_fn
 from ..functions.varbyte import (decode_postings, encode_postings,
                                  encode_postings_blocked,
                                  vb_encode_with_sizes)
-from ..util import default_pool_max
 
 RUN_SCHEMA = pa.schema([
     ("part", pa.int32()),
@@ -235,7 +234,6 @@ def _decode_runs_segmented(doc_bufs: list[bytes], tf_bufs: list[bytes],
     dfs = np.asarray(dfs, dtype=np.int64)
     vbounds = np.concatenate(([0], np.cumsum(dfs)))
     c = np.cumsum(gaps, dtype=np.uint64)
-    base = np.zeros(len(gaps), dtype=np.uint64)
     starts = vbounds[:-1]
     nonzero = starts > 0
     run_base = np.zeros(len(starts), dtype=np.uint64)
@@ -287,12 +285,11 @@ def _commit_part_sidecar(index_dir: str, part: int, entry: dict) -> None:
     instead of losing all progress to the post-barrier driver commit.
     ``load_manifest`` merges sidecars whose artifact file still exists; the
     final driver commit consolidates and removes them."""
-    import json as _json
     side_dir = os.path.join(index_dir, "manifest.parts")
     os.makedirs(side_dir, exist_ok=True)
     fd, tmp = tempfile.mkstemp(prefix=f"part-{part}.", dir=side_dir)
     with os.fdopen(fd, "w") as f:
-        _json.dump({"part": part, **entry}, f)
+        json.dump({"part": part, **entry}, f)
     os.replace(tmp, os.path.join(side_dir, f"part-{part:05d}.json"))
 
 
@@ -407,8 +404,11 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
                               f"segment-p{part:05d}.parquet")
         if os.path.exists(fpath0):
             old = pq.read_table(fpath0)
+            # one to_pylist per column (vectorized Arrow conversion), not
+            # O(rows x cols) scalar .as_py() calls
+            cols = {c: old.column(c).to_pylist() for c in old.schema.names}
             for i in range(old.num_rows):
-                row = {c: old.column(c)[i].as_py() for c in old.schema.names}
+                row = {c: v[i] for c, v in cols.items()}
                 existing_rows[row["term"]] = row
 
     o_terms: list[str] = []
@@ -664,18 +664,7 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
         print(writer_ds.stats())
 
     for row in writer_rows:
-        elapsed = float(row.get("elapsed_s", 0.0) or 0.0)
-        n_post = int(row["num_postings"])
-        manifest["entries"][str(int(row["part"]))] = {
-            "file": row["file"],
-            "num_terms": int(row["num_terms"]),
-            "num_postings": n_post,
-            "total_tokens": int(row["total_tokens"]),
-            "reduce_elapsed_s": elapsed,
-            "postings_per_sec": round(n_post / elapsed, 1) if elapsed > 0
-            else None,
-            "input_fingerprint": row["input_fingerprint"],
-        }
+        manifest["entries"][str(int(row["part"]))] = _entry_from_row(row)
     manifest["num_partitions"] = num_partitions
     manifest["range_splits"] = range_splits
     manifest["range_base_n"] = range_base_n

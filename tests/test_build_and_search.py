@@ -262,6 +262,73 @@ def test_incremental_extend_equals_full_build(tmp_path):
                      source_desc="inc-bad")
 
 
+def test_rebuild_clears_stale_artifacts(tmp_path):
+    """A fresh (non-resume) rebuild into an existing index dir must
+    truncate: rebuilding a smaller corpus with fewer partitions may leave
+    old segment/doclen files behind otherwise, and QueryEngine discovers
+    those by glob — stale doclens index-error, stale segments double-count
+    df and resurrect deleted docs."""
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    big = generate_transcripts(80, seed=3)
+    small = generate_transcripts(24, seed=4)
+    cfg_big = EngineConfig(index_dir=str(tmp_path / "re"),
+                           num_partitions=16)
+    build_index(ray.data.from_arrow(big).repartition(4), cfg_big,
+                source_desc="big")
+    cfg_small = EngineConfig(index_dir=str(tmp_path / "re"),
+                             num_partitions=4)
+    build_index(ray.data.from_arrow(small).repartition(2), cfg_small,
+                source_desc="small")
+
+    qe = QueryEngine(cfg_small.index_dir)
+    assert qe.doc_total == small.num_rows
+    # no stale double counts: df can never exceed the live corpus
+    for term, entry in qe._dict.items():
+        assert entry[0] <= small.num_rows, term
+    # and a clean build of the small corpus matches exactly
+    cfg_ref = EngineConfig(index_dir=str(tmp_path / "ref"),
+                           num_partitions=4)
+    build_index(ray.data.from_arrow(small).repartition(2), cfg_ref,
+                source_desc="small")
+    qr = QueryEngine(cfg_ref.index_dir)
+    assert set(qe._dict) == set(qr._dict)
+    for term in qr._dict:
+        assert qe.term_stats(term) == qr.term_stats(term), term
+    for q, limit, offset in QUERY_SET[:6]:
+        assert _rows_key(qe.search(q, limit=limit, offset=offset)) == \
+            _rows_key(qr.search(q, limit=limit, offset=offset)), q
+
+
+def test_extend_retry_guard(tmp_path):
+    """An interrupted extend leaves extend.inprogress; a retry must refuse
+    (segment merges commit incrementally — re-merging would double-count)
+    and a completed extend must clear the marker."""
+    import pytest as _pytest
+
+    from search_engine_ray.pipelines.build import extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(40, seed=9)
+    import pyarrow.compute as pc
+    mask = pc.less(full.column("conv_id"), "conv-000003")
+    cfg = EngineConfig(index_dir=str(tmp_path / "g"), num_partitions=4)
+    build_index(ray.data.from_arrow(full.filter(mask)), cfg,
+                source_desc="g-a")
+
+    marker = os.path.join(cfg.index_dir, "extend.inprogress")
+    with open(marker, "w") as f:
+        f.write("crashed")
+    with _pytest.raises(RuntimeError, match="did not complete"):
+        extend_index(ray.data.from_arrow(full.filter(pc.invert(mask))),
+                     cfg, source_desc="g-b")
+    os.remove(marker)
+    extend_index(ray.data.from_arrow(full.filter(pc.invert(mask))), cfg,
+                 source_desc="g-b")
+    assert not os.path.exists(marker)
+    assert QueryEngine(cfg.index_dir).doc_total == full.num_rows
+
+
 def test_out_of_order_extend_and_recrawl(tmp_path):
     """Generation-based ingest: a conv-id slice that sorts BEFORE max_conv
     lands as its own tail doc-id generation; search results equal a clean
