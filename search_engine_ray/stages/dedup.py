@@ -28,7 +28,7 @@ from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import (hash64_column, md5_hash64_column,
                                  splitmix64_array)
-from ..functions.simhash import simhash_text
+from ..functions.simhash import hamming64, simhash_text
 
 
 # -- fingerprints (reference D1) -------------------------------------------
@@ -259,18 +259,12 @@ def minhash_candidate_pairs(docs: "ray.data.Dataset", *,
         batch_format="pyarrow")
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
-    def norm(b: pa.Table) -> pa.Table:
-        # Ray's sort-based aggregate can emit EMPTY blocks with an EMPTY
-        # schema; they poison downstream hash joins (a partition holding
-        # only such blocks can't resolve doc_a/doc_b).  Force the schema.
-        if b.num_rows == 0 or "doc_a" not in b.column_names:
-            return pair_schema.empty_table()
-        return b.select(["doc_a", "doc_b"]).cast(pair_schema)
-
-    from ..util import coalesce_blocks
+    # Ray's sort-based aggregate can emit EMPTY blocks with an EMPTY
+    # schema; they poison downstream hash joins.  force_schema + coalesce.
+    from ..util import coalesce_blocks, force_schema
     return coalesce_blocks(
         pairs.groupby(["doc_a", "doc_b"]).aggregate(Count()).map_batches(
-            norm, batch_format="pyarrow"))
+            force_schema(pair_schema, "doc_a"), batch_format="pyarrow"))
 
 
 def _jaccard_features(text: str, mode: str) -> set:
@@ -316,17 +310,12 @@ def _pairs_with_texts(docs: "ray.data.Dataset",
 
     # The first join can emit EMPTY schema-less blocks for partitions with
     # no matches; as the LEFT side of the second join those blocks can't
-    # resolve FieldRef(doc_b).  Force the intermediate schema (same guard
-    # as minhash_candidate_pairs.norm).
+    # resolve FieldRef(doc_b).  Force the intermediate schema.
+    from ..util import force_schema
     mid_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("text_a", pa.large_string())])
-
-    def norm_mid(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "doc_b" not in b.column_names:
-            return mid_schema.empty_table()
-        return b.select(["doc_a", "doc_b", "text_a"]).cast(mid_schema)
-
-    with_a = with_a.map_batches(norm_mid, batch_format="pyarrow")
+    with_a = with_a.map_batches(force_schema(mid_schema, "doc_b"),
+                                batch_format="pyarrow")
     return with_a.join(txt_b, "inner", num_partitions=nparts,
                        on=("doc_b",))
 
@@ -388,6 +377,11 @@ def simhash_near_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3
                        ) -> "ray.data.Dataset":
     """Hamming-<=k SimHash pairs via 4x16-bit band blocking (pigeonhole: <=3
     differing bits leave at least one band identical)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4-band blocking only guarantees "
+            f"recall for hamming <= 3 (pigeonhole); pairs differing by one "
+            f"bit per band would be silently missed — use more bands")
     fps = fingerprints(docs)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -420,7 +414,7 @@ def simhash_near_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3
         a, b, h = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
-                d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                d = hamming64(rows[i][1], rows[j][1])
                 if d <= max_hamming and rows[i][0] != rows[j][0]:
                     a.append(rows[i][0])
                     b.append(rows[j][0])
@@ -497,7 +491,12 @@ def connected_components(pairs: "ray.data.Dataset", *,
                                 "cand": b.column("label")}),
             batch_format="pyarrow")
         merged = coalesce_blocks(msgs.groupby("node").aggregate(Min("cand")))
-        new_labels = labels.join(
+        # coalesce_blocks on the round's OUTPUT too: the left_outer join's
+        # empty partitions can emit schema-less blocks, and feeding those
+        # back into the NEXT round's hash joins reproduces the flaky
+        # ArrowInvalid documented on util.coalesce_blocks (materialize()
+        # alone does not merge blocks)
+        new_labels = coalesce_blocks(labels.join(
             merged, "left_outer", num_partitions=max(
                 2, edges.num_blocks() // 4),
             on=("node",)).map_batches(
@@ -507,7 +506,7 @@ def connected_components(pairs: "ray.data.Dataset", *,
                     b.column("label"),
                     pc.fill_null(b.column("min(cand)"),
                                  pa.scalar(2**62, pa.int64()))),
-            }), batch_format="pyarrow").materialize()
+            }), batch_format="pyarrow"))
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
@@ -599,10 +598,15 @@ def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
             "packed": pa.array(doc * _LINE_PACK + idx, pa.int64()),
         })
 
+    if num_partitions is None:
+        # materialize before counting: .count() on a lazy derived dataset
+        # (the callers pass transcripts_from_documents + assign_doc_ids)
+        # would execute the whole upstream pipeline once just to size the
+        # partitions, then again for the real run
+        docs = docs.select_columns(["doc_id", "text"]).materialize()
+        num_partitions = int(max(2, min(64, docs.count() // 500_000 + 2)))
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow")
-    if num_partitions is None:
-        num_partitions = int(max(2, min(64, docs.count() // 500_000 + 2)))
 
     winners = coalesce_blocks(
         exploded.select_columns(["line_hash", "packed"])

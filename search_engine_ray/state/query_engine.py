@@ -47,9 +47,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import EngineConfig
-from ..functions.text import (DEFAULT_FIELD_WEIGHT, bm25_score,
+from ..functions.text import (DEFAULT_FIELD_WEIGHT,
                               fallback_score, idf as idf_fn, intent_score,
                               search_context)
+import bisect
+
 from ..functions.varbyte import decode_block, decode_postings_blocked
 from ..stages.stats import read_stats
 
@@ -95,7 +97,6 @@ class _TermIter:
         self._load_block(0)
 
     def _load_block(self, b: int) -> None:
-        from ..functions.varbyte import decode_block
         self.b = b
         docs, tfs = decode_block(self.dbuf, self.tbuf, self.meta, b)
         self.docs = docs.astype(np.int64)
@@ -121,7 +122,6 @@ class _TermIter:
     def next_geq(self, target: int) -> None:
         if self.cur_doc >= target:
             return
-        import bisect
         nb = bisect.bisect_left(self.meta["last_doc"], target, lo=self.b)
         if nb >= self.nblocks:
             self._exhaust()
@@ -175,13 +175,11 @@ class QueryEngine:
         # the full engine's (postings may be range-sliced, stats may not).
         df_glob: dict[str, int] = {}
         cf_glob: dict[str, int] = {}
-        import bisect as _bisect
         for f in sorted(glob.glob(os.path.join(index_dir, "segments", "segment-p*.parquet"))):
             t = pq.read_table(f)
             terms = t.column("term").to_pylist()
             dfs = t.column("df").to_pylist()
             cfs = t.column("cf").to_pylist()
-            idfs = t.column("idf").to_pylist()
             dbufs = t.column("doc_ids_enc").to_pylist()
             tbufs = t.column("tfs_enc").to_pylist()
             blds = t.column("block_last_doc").to_pylist()
@@ -198,8 +196,8 @@ class QueryEngine:
                 if doc_range is not None:
                     # blocks fully below lo have last_doc < lo; blocks after
                     # the one containing hi-1 start past it (docs sorted)
-                    b0 = _bisect.bisect_left(bld, self._base)
-                    b1 = min(_bisect.bisect_left(bld, range_hi - 1) + 1,
+                    b0 = bisect.bisect_left(bld, self._base)
+                    b1 = min(bisect.bisect_left(bld, range_hi - 1) + 1,
                              len(bld))
                     if b0 >= b1:
                         continue                     # no postings in range
@@ -607,6 +605,11 @@ class QueryEngine:
 
     def doc_meta(self, doc_id: int) -> dict:
         d = self._docs
+        if d is None:
+            raise RuntimeError(
+                "doc_meta/search need document metadata but this engine "
+                "was constructed with load_docs=False (stage-1 scoring "
+                "only); rebuild it with load_docs=True")
         i = doc_id - self._base
         return {
             "conv_id": d["conv_id"][i],

@@ -17,6 +17,22 @@ def default_pool_max(cap: int = 64) -> int:
     return 8
 
 
+def force_schema(schema, sentinel: str):
+    """``map_batches`` fn pinning blocks to ``schema``: blocks that are
+    empty or missing the ``sentinel`` column (Ray's sort-based aggregates
+    can emit empty blocks with an EMPTY schema) become properly-schema'd
+    empty tables; real blocks are column-selected and cast.  Use on
+    aggregate-derived datasets BEFORE they feed a ``Dataset.join`` — and
+    note the stronger guarantee of :func:`coalesce_blocks` when the
+    schema-less block could be the join input's FIRST bundle (schema-less
+    blocks skip ``map_batches`` entirely)."""
+    def fn(b):
+        if b.num_rows == 0 or sentinel not in b.column_names:
+            return schema.empty_table()
+        return b.select(schema.names).cast(schema)
+    return fn
+
+
 def read_parquet_clean(path, **kwargs):
     """``ray.data.read_parquet`` with the file's schema METADATA stripped.
 
