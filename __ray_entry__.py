@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": Q.media_features,
         # training-data hygiene: benchmark decontamination + PII redaction
         "decontaminate": Q.decontaminate,
+        "bloom_decontaminate": Q.bloom_decontaminate,
         "decontam_survivors": Q.decontam_survivors,
         "span_dedup": Q.span_dedup,
         "gopher_quality": Q.gopher_quality,
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": Q.curate_corpus,
         # distributed BPE tokenizer training (first 8 merge rules)
         "bpe_merges": Q.bpe_merges,
+        "bpe_token_counts": Q.bpe_token_counts,
     }
 
 
@@ -813,7 +815,7 @@ def _pq_sql(m: int = 4, ksub: int = 16, iters: int = 5, train: int = 2048,
     """
 
 
-def _bpe_sql(k: int = 8) -> str:
+def _bpe_sql(k: int = 8, final: str = "merges") -> str:
     """DuckDB mirror of stages/bpe.py bpe_train: k chained iterations of
     (pair-count over the symbolized word-frequency table, deterministic
     argmax via ORDER BY c DESC, lft, rgt LIMIT 1, greedy-left merge as a
@@ -848,6 +850,13 @@ def _bpe_sql(k: int = 8) -> str:
     finals = " UNION ALL ".join(
         f"SELECT {i} AS rank, lft, rgt, c AS freq FROM t{i}"
         for i in range(1, k + 1))
+    if final == "merges":
+        tail = (f"SELECT CAST(rank AS BIGINT) AS rank, lft, rgt, freq\n"
+                f"    FROM ({finals}) ORDER BY rank")
+    else:  # token counts after ENCODING with the learned rules: one
+        # unnest+GROUP BY over the fully-merged vocabulary (w{k})
+        tail = (f"SELECT u.s AS token, CAST(sum(f) AS BIGINT) AS total\n"
+                f"    FROM w{k}, unnest(l) u(s) GROUP BY u.s")
     return f"""
     WITH {_WORDS},
     wc AS (SELECT word, CAST(count(*) AS BIGINT) AS f
@@ -859,8 +868,7 @@ def _bpe_sql(k: int = 8) -> str:
                          ['</w>']) AS l
       FROM wc
     ),{",".join(its)}
-    SELECT CAST(rank AS BIGINT) AS rank, lft, rgt, freq
-    FROM ({finals}) ORDER BY rank
+    {tail}
     """
 
 
@@ -1981,6 +1989,46 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY g.doc_id
     """
 
+    # Bloom-filter decontamination: bit_j(h) = splitmix64(h XOR j*GOLDEN)
+    # % m over the md5 gram hash — the same splitmix chain the embed /
+    # MinHash mirrors reproduce.  A corpus gram "hits" iff all k bits are
+    # in the benchmark bit set; per-doc hit counts over DISTINCT grams.
+    _BLOOM_M = 65536
+    _BLOOM_K = 3
+    _bl_z0 = (f"(CAST(xor(CAST(h AS UBIGINT), CAST(seed AS UBIGINT)) "
+              f"AS HUGEINT))")
+    sql["bloom_decontaminate"] = f"""
+    WITH {_GRAMS},
+    seeds AS (
+      SELECT (CAST(p AS HUGEINT) * {_GOLDEN}) % {_M64} AS seed
+      FROM range(1, {_BLOOM_K + 1}) r(p)
+    ),
+    allg AS (
+      SELECT doc_id, CAST(h AS HUGEINT) AS h FROM grams
+    ),
+    gz0 AS (SELECT doc_id, h, seed, ({_bl_z0} + {_GOLDEN}) % {_M64} AS z
+            FROM allg CROSS JOIN seeds),
+    gz1 AS (SELECT doc_id, h, seed,
+                   {_mulmod64(_xorshift('z', 30), _SM_C2)} AS z FROM gz0),
+    gz2 AS (SELECT doc_id, h, seed,
+                   {_mulmod64(_xorshift('z', 27), _SM_C3)} AS z FROM gz1),
+    gbits AS (
+      SELECT doc_id, h, seed,
+             CAST(({_xorshift('z', 31)}) % {_BLOOM_M} AS BIGINT) AS bit
+      FROM gz2
+    ),
+    bbits AS (SELECT DISTINCT bit FROM gbits WHERE doc_id % 37 = 0),
+    hits AS (
+      SELECT g.doc_id, g.h
+      FROM gbits g JOIN bbits b ON b.bit = g.bit
+      WHERE g.doc_id % 37 <> 0
+      GROUP BY g.doc_id, g.h
+      HAVING count(*) = {_BLOOM_K}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS bloom_hits
+    FROM hits GROUP BY doc_id
+    """
+
     sql["decontam_survivors"] = f"""
     WITH {_GRAMS},
     bad AS (
@@ -2151,6 +2199,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["bpe_merges"] = _bpe_sql(8)
+    sql["bpe_token_counts"] = _bpe_sql(8, final="tokens")
 
     # Hashed-projection embedding generation: md5 per token + per-dim
     # splitmix64 remix — the exact permutation arithmetic the MinHash

@@ -1099,6 +1099,19 @@ def decontaminate(sf_dir: str) -> "ray.data.Dataset":
     return benchmark_ngram_overlap(corpus, bench, n=8)
 
 
+def bloom_decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, bloom_hits): Bloom-filter variant of decontaminate — the
+    broadcast scale path (fixed-size bitset of benchmark gram hashes,
+    pure streaming corpus filter, no gram-row exchange); flags a SUPERSET
+    of the exact-overlap docs (bounded false positives, no false
+    negatives)."""
+    from ..stages.decontam import bloom_decontaminate as bd
+    docs = _documents_docs(sf_dir)
+    bench = _mod_filter(docs, DECONTAM_BENCH_MOD, True)
+    corpus = _mod_filter(docs, DECONTAM_BENCH_MOD, False)
+    return bd(corpus, bench, n=8)
+
+
 def decontam_survivors(sf_dir: str) -> "ray.data.Dataset":
     """Corpus doc_ids with zero benchmark 8-gram overlap (the training set
     after decontamination) — LEFT ANTI hash join, fully distributed."""
@@ -1238,6 +1251,14 @@ def bpe_merges(sf_dir: str) -> pa.Table:
     chained-CTE DuckDB mirror."""
     from ..stages.bpe import bpe_train
     return bpe_train(_documents_docs(sf_dir), num_merges=8)
+
+
+def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus token-frequency table after ENCODING with the 8 learned
+    merge rules — the tokenizer-application half (what a training-data
+    export runs); vocabulary-sized apply + one keyed sum."""
+    from ..stages.bpe import bpe_encode_token_counts
+    return bpe_encode_token_counts(_documents_docs(sf_dir), num_merges=8)
 
 
 def curate_corpus(sf_dir: str) -> "ray.data.Dataset":

@@ -81,6 +81,17 @@ def bpe_train(docs: "ray.data.Dataset", *,
     """Learn the first ``num_merges`` BPE merge rules; returns
     (rank, lft, rgt, freq) — rank is 1-based merge order, freq the
     pair's weighted count when it was chosen."""
+    merges, _ = _bpe_train_state(docs, num_merges=num_merges)
+    return merges
+
+
+def _bpe_train_state(docs: "ray.data.Dataset", *,
+                     num_merges: int = DEFAULT_NUM_MERGES
+                     ) -> tuple[pa.Table, "ray.data.Dataset"]:
+    """Shared trainer: returns (merge-rule table, final symbolized
+    word-frequency Dataset) so the encode stage reuses the fully-merged
+    vocabulary the training loop already materialized instead of
+    re-applying every rule from scratch."""
     def symbolize(b: pa.Table) -> pa.Table:
         words = b.column("word").to_pylist()
         syms = [list(w) + [END_SYM] for w in words]
@@ -153,4 +164,46 @@ def bpe_train(docs: "ray.data.Dataset", *,
         "lft": pa.array([m[1] for m in merges], pa.string()),
         "rgt": pa.array([m[2] for m in merges], pa.string()),
         "freq": pa.array([m[3] for m in merges], pa.int64()),
-    })
+    }), vocab
+
+
+def bpe_encode_token_counts(docs: "ray.data.Dataset", *,
+                            num_merges: int = DEFAULT_NUM_MERGES
+                            ) -> "ray.data.Dataset":
+    """Apply the learned merge rules to the corpus and return the token
+    frequency table (token, total) — the tokenizer-APPLICATION half of
+    the BPE story (train learns the rules; encode is what a training-data
+    export actually runs over every document).
+
+    Because classic BPE segments each word independently, encoding the
+    corpus == encoding the word-frequency table and weighting by word
+    freq: the expensive corpus pass is the ONE word count the trainer
+    already does, and the apply runs over the vocabulary-sized table the
+    training loop left fully merged (zero re-application).  Exploding
+    (syms, freq) -> per-batch (token, partial) Counter partials + one
+    keyed sum mirrors every other count in the suite.
+
+    Integer/string only — the DuckDB mirror extends the training CTE
+    chain with one unnest+GROUP BY, hash-exact.  At 100 TB the explode
+    and sum stay vocabulary-sized (distinct words), not corpus-sized."""
+    _, vocab = _bpe_train_state(docs, num_merges=num_merges)
+
+    def explode(b: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for f, syms in zip(b.column("freq").to_pylist(),
+                           b.column("syms").to_pylist()):
+            for s in syms:
+                counts[s] = counts.get(s, 0) + f
+        return pa.table({
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "partial": pa.array(list(counts.values()), pa.int64())})
+
+    return vocab.map_batches(explode, batch_format="pyarrow").groupby(
+        "token").aggregate(Sum("partial")).map_batches(
+        lambda b: pa.table({
+            "token": b.column("token"),
+            "total": b.column("sum(partial)").cast(pa.int64())})
+        if b.num_rows and "token" in b.column_names else
+        pa.table({"token": pa.array([], pa.string()),
+                  "total": pa.array([], pa.int64())}),
+        batch_format="pyarrow")

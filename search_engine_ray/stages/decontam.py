@@ -251,3 +251,111 @@ def duplicated_spans(docs: "ray.data.Dataset", *, n: int = DEFAULT_NGRAM,
         "part").map_groups(
         lambda g: _span_partition(g.drop_columns(["part"]), n=n),
         batch_format="pyarrow")
+
+
+# -- Bloom-filter decontamination ---------------------------------------------
+# The broadcast-side scale path: when the benchmark set is small relative to
+# the corpus (the usual case — evaluation suites are MBs, the corpus is TBs),
+# a fixed-size Bloom bitset of the benchmark grams replaces the distributed
+# hash join entirely.  One tiny aggregate builds the bitset, `ray.put`
+# broadcasts it ONCE, and the corpus pass becomes a pure streaming filter —
+# no all-to-all exchange of corpus gram rows at all.  The price is a bounded
+# false-positive rate (docs flagged that share no gram), which is the right
+# trade for decontamination: dropping a few extra docs from a 100 TB corpus
+# is free, shuffling 10^12 gram rows is not.
+#
+# Bit function (mirrored exactly by the SQL oracle, same arithmetic as the
+# MinHash permutations): bit_j(h) = splitmix64(h XOR j*GOLDEN) % m_bits for
+# j in 1..k_hashes, over the md5_hash64 gram hash.
+
+BLOOM_GOLDEN = 0x9E3779B97F4A7C15
+DEFAULT_BLOOM_BITS = 1 << 16
+DEFAULT_BLOOM_HASHES = 3
+
+
+def _bloom_bit_matrix(hashes: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(n, k) int64 bit positions for uint64 gram hashes."""
+    from ..functions.hashing import splitmix64_array
+    seeds = (np.arange(1, k + 1, dtype=np.uint64)
+             * np.uint64(BLOOM_GOLDEN))
+    with np.errstate(over="ignore"):
+        mixed = splitmix64_array(hashes[:, None] ^ seeds[None, :])
+    return (mixed % np.uint64(m)).astype(np.int64)
+
+
+def bloom_decontaminate(corpus: "ray.data.Dataset",
+                        benchmark: "ray.data.Dataset", *,
+                        n: int = DEFAULT_NGRAM,
+                        m_bits: int = DEFAULT_BLOOM_BITS,
+                        k_hashes: int = DEFAULT_BLOOM_HASHES
+                        ) -> "ray.data.Dataset":
+    """(doc_id, bloom_hits): corpus docs whose word n-grams hit the
+    benchmark Bloom filter — a SUPERSET of the exact-overlap flag set
+    (false positives allowed, false negatives impossible).
+
+    ``bloom_hits`` counts DISTINCT corpus-doc grams passing all
+    ``k_hashes`` bit tests.  The bitset is at most ``m_bits`` bits of
+    driver/broadcast state regardless of corpus or benchmark size."""
+    from ray.data.aggregate import Count
+
+    bench_rows = benchmark.select_columns(["doc_id", "text"]).map_batches(
+        _gram_rows(n), batch_format="pyarrow")
+
+    def bench_bits(b: pa.Table) -> pa.Table:
+        h = b.column("ngram_hash").to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        bits = np.unique(_bloom_bit_matrix(h, k_hashes, m_bits))
+        return pa.table({"bit": pa.array(bits, pa.int64())})
+
+    # distinct bit positions: per-batch unique -> keyed distinct -> the
+    # bitset itself (<= m_bits rows) is the ONLY driver materialization
+    bit_rows = bench_rows.map_batches(
+        bench_bits, batch_format="pyarrow").groupby("bit").aggregate(
+        Count()).take_all()
+    bitset = np.zeros(m_bits, dtype=bool)
+    if bit_rows:
+        bitset[np.asarray([r["bit"] for r in bit_rows], dtype=np.int64)] = \
+            True
+    bitset_ref = ray.put(bitset)
+
+    class BloomFlag:
+        def __init__(self, ref, k, m):
+            self._bits = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+                else ref
+            self._k = k
+            self._m = m
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "partial": pa.array([], pa.int64())})
+            h = batch.column("ngram_hash").to_numpy(
+                zero_copy_only=False).astype(np.int64).view(np.uint64)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            bm = _bloom_bit_matrix(h, self._k, self._m)
+            hit = self._bits[bm].all(axis=1)
+            if not hit.any():
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "partial": pa.array([], pa.int64())})
+            uid, cnt = np.unique(ids[hit], return_counts=True)
+            return pa.table({"doc_id": pa.array(uid, pa.int64()),
+                             "partial": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    from ..util import coalesce_blocks
+
+    corpus_rows = corpus.select_columns(["doc_id", "text"]).map_batches(
+        _gram_rows(n), batch_format="pyarrow")
+    partials = corpus_rows.map_batches(
+        BloomFlag, fn_constructor_args=(bitset_ref, k_hashes, m_bits),
+        batch_format="pyarrow", concurrency=(1, 8))
+    return coalesce_blocks(
+        partials.groupby("doc_id").aggregate(Sum("partial")).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "bloom_hits": b.column("sum(partial)").cast(pa.int64())})
+            if b.num_rows and "doc_id" in b.column_names else
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "bloom_hits": pa.array([], pa.int64())}),
+            batch_format="pyarrow"))

@@ -7,7 +7,8 @@ import pyarrow as pa
 
 import ray.data
 
-from search_engine_ray.stages.bpe import bpe_train, word_counts
+from search_engine_ray.stages.bpe import (bpe_encode_token_counts, bpe_train,
+                                          word_counts)
 
 DOCS = [
     "lower lowest newer newest low new",
@@ -77,3 +78,46 @@ def test_bpe_train_matches_reference():
     # the learned rules are real merges: later symbols compose earlier ones
     assert any(len(l) + len(r) > 2 and "</w>" not in (l, r)
                for _, l, r, _ in rows[3:])
+
+
+def _ref_encode_counts(texts, k):
+    """Token counts after applying _ref_bpe's merges (same vocab walk)."""
+    word_re = re.compile(r"[a-z]{2,32}")
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in word_re.findall(t.lower()):
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    for _, a, b, _ in _ref_bpe(texts, k):
+        for w in vocab:
+            s, out, i = vocab[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    counts: dict[str, int] = {}
+    for w, f in wc.items():
+        for s in vocab[w]:
+            counts[s] = counts.get(s, 0) + f
+    return counts
+
+
+def test_bpe_encode_token_counts_matches_reference():
+    k = 6
+    got = {r["token"]: r["total"]
+           for r in bpe_encode_token_counts(_docs_ds(),
+                                            num_merges=k).take_all()}
+    want = _ref_encode_counts(DOCS, k)
+    assert got == want
+    # merged tokens actually appear, and merging strictly shrank the
+    # corpus symbol mass vs the unmerged char+</w> symbolization
+    assert any(len(tok) > 2 and tok != "</w>" for tok in got)
+    unmerged_mass = 0
+    for t in DOCS:
+        for w in re.findall(r"[a-z]{2,32}", t.lower()):
+            unmerged_mass += len(w) + 1
+    assert sum(got.values()) < unmerged_mass

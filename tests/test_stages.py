@@ -1221,6 +1221,39 @@ def test_benchmark_ngram_overlap_vs_bruteforce():
                   decontaminated_survivors(corpus, bench, n=n).take_all())
     assert surv == sorted(d for d, _ in corpus_rows if d not in expect)
 
+    # Bloom variant: no false negatives (every exact-overlap doc flagged
+    # with hits >= its exact overlap), and with a roomy bitset the small
+    # fixture has no false positives either
+    from search_engine_ray.stages.decontam import bloom_decontaminate
+    bloom = {r["doc_id"]: r["bloom_hits"]
+             for r in bloom_decontaminate(corpus, bench, n=n).take_all()}
+    for did, k in expect.items():
+        assert bloom.get(did, 0) >= k
+    assert bloom == expect      # m=65536 bits, ~20 grams -> no collisions
+
+
+def test_bloom_decontaminate_tiny_bitset_false_positives():
+    """With a deliberately tiny bitset the flag set is a strict SUPERSET
+    of the exact overlap — false positives appear, false negatives never."""
+    from search_engine_ray.stages.decontam import (benchmark_ngram_overlap,
+                                                   bloom_decontaminate)
+    n = 3
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"w{i} x{i} y{i} z{i} q{i}" for i in range(40)],
+                         pa.string())}))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["w7 x7 y7 z7 q7", "a b c d e f"], pa.string())}))
+    exact = {r["doc_id"] for r in
+             benchmark_ngram_overlap(corpus, bench, n=n).take_all()}
+    assert exact == {7}
+    bloom = {r["doc_id"] for r in
+             bloom_decontaminate(corpus, bench, n=n, m_bits=32,
+                                 k_hashes=2).take_all()}
+    assert exact <= bloom           # no false negatives, ever
+    assert len(bloom) > len(exact)  # 32 bits over ~120 gram-bit draws
+
 
 def test_pii_scan_redact_counts_and_masks():
     from search_engine_ray.stages.pii import pii_scan_redact
