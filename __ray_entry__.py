@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": Q.ann_ivf_topk,
         "ann_pq_topk": Q.ann_pq_topk,
         "embedding_near_dups": Q.embedding_near_dups,
+        "semdedup_flags": Q.semdedup_flags,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # validation filter (M5) + anti-join (J5) + suggestion path (J4)
         "validate_turns": Q.validate_turns,
@@ -621,15 +622,18 @@ def _lsh_sql(n_bits: int = 12, probe: int = 2, k: int = 10) -> str:
 
 # -- ANN IVF mirror ----------------------------------------------------------
 
-def _ivf_sql(n_lists: int = 16, n_probe: int = 4, iters: int = 10,
-             train: int = 2048, dim: int = 64, k: int = 10) -> str:
-    """DuckDB mirror of stages/ann.py ivf_topk: the seeded-Lloyd coarse
-    quantizer is recomputed as ``iters`` chained CTE triples (assign ->
-    element-wise mean -> normalize+round-6) over the deterministic training
-    sample (vec_id < train, vec_id order; stride init).  Centroids are
-    rounded to 6 dp each iteration on BOTH sides, so assignments never
-    diverge at ulp level.  Probe lists, vector assignment and cosine top-k
-    mirror the engine's tie rules (dot DESC, cid/vec_id ASC)."""
+_IVF_E_CTE = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+def _quantizer_prefix(n_lists: int, iters: int, train: int, dim: int,
+                      e_cte: str = _IVF_E_CTE) -> tuple[str, str]:
+    """The seeded-Lloyd coarse-quantizer CTE chain shared by the IVF and
+    SemDeDup mirrors: ``iters`` chained triples (assign -> element-wise
+    mean -> normalize+round-6) over the deterministic training sample
+    (vec_id < train, vec_id order; stride init).  Centroids are rounded
+    to 6 dp each iteration on BOTH sides, so assignments never diverge at
+    ulp level.  Returns (CTE text after 'WITH ', last centroid CTE name);
+    the prefix also defines ``en`` (normalized vectors)."""
     prev = "c0"
     its = []
     for i in range(1, iters + 1):
@@ -656,9 +660,8 @@ def _ivf_sql(n_lists: int = 16, n_probe: int = 4, iters: int = 10,
       FROM {prev} p LEFT JOIN r{i} r ON r.cid = p.cid
     )""")
         prev = f"c{i}"
-    return f"""
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    prefix = f"""e AS (
+      {e_cte}
     ),
     en AS MATERIALIZED (
       SELECT vec_id,
@@ -674,7 +677,18 @@ def _ivf_sql(n_lists: int = 16, n_probe: int = 4, iters: int = 10,
       SELECT t.cid, list_transform(s.v, x -> round(x, 6)) AS c
       FROM range(0, {n_lists}) t(cid), ns
       JOIN samp s ON s.ridx = (t.cid * ns.n) // {n_lists}
-    ),{",".join(its)},
+    ),{",".join(its)}"""
+    return prefix, prev
+
+
+def _ivf_sql(n_lists: int = 16, n_probe: int = 4, iters: int = 10,
+             train: int = 2048, dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of stages/ann.py ivf_topk: the shared quantizer chain
+    (``_quantizer_prefix``), then probe lists, vector assignment and cosine
+    top-k mirroring the engine's tie rules (dot DESC, cid/vec_id ASC)."""
+    quant, prev = _quantizer_prefix(n_lists, iters, train, dim)
+    return f"""
+    WITH {quant},
     q AS (SELECT vec_id AS query_id, v AS qv FROM en WHERE vec_id IN (0, 1)),
     probe AS (
       SELECT query_id, cid FROM (
@@ -704,6 +718,49 @@ def _ivf_sql(n_lists: int = 16, n_probe: int = 4, iters: int = 10,
       FROM sims
     )
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _semdedup_sql(n_lists: int = 16, tau: float = 0.95, iters: int = 10,
+                  train: int = 2048, dim: int = 64) -> str:
+    """DuckDB mirror of stages/ann.py semdedup over the augmented
+    embeddings (x1.5 float32-rounded copies of vec_id < 25 at +100000 —
+    the embedding_near_dups_aug injection): shared quantizer chain, assign
+    with the winning dot kept, members ordered (round(dot,6) ASC, vec_id
+    ASC) per cluster, and is_dup = EXISTS an EARLIER cluster-mate with
+    pairwise cosine (round 6) > tau."""
+    aug_e = f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding,
+                            x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE))
+      FROM embeddings WHERE vec_id < 25"""
+    quant, prev = _quantizer_prefix(n_lists, iters, train, dim, e_cte=aug_e)
+    return f"""
+    WITH {quant},
+    assign AS (
+      SELECT vec_id, cid, dot FROM (
+        SELECT en.vec_id, c.cid, list_inner_product(en.v, c.c) AS dot,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY list_inner_product(en.v, c.c) DESC, c.cid) AS rn
+        FROM en CROSS JOIN {prev} c) WHERE rn = 1
+    ),
+    ord AS MATERIALIZED (
+      SELECT vec_id, cid, round(dot, 6) AS cent_cos,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY round(dot, 6), vec_id) AS rn
+      FROM assign
+    )
+    SELECT o.vec_id, CAST(o.cid AS BIGINT) AS cluster_id, o.cent_cos,
+           CAST(CASE WHEN EXISTS (
+             SELECT 1 FROM ord a
+             JOIN en ea ON ea.vec_id = a.vec_id
+             JOIN en eb ON eb.vec_id = o.vec_id
+             WHERE a.cid = o.cid AND a.rn < o.rn
+               AND round(list_inner_product(ea.v, eb.v), 6) > {tau}
+           ) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+    FROM ord o
     """
 
 
@@ -1964,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh_topk"] = _lsh_sql()
     sql["ann_ivf_topk"] = _ivf_sql()
     sql["ann_pq_topk"] = _pq_sql()
+    sql["semdedup_flags"] = _semdedup_sql()
 
     # -- training-data hygiene: decontamination + PII ------------------------
     # word 8-grams over lowercased whitespace tokens; md5_number_lower ==

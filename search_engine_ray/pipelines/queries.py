@@ -928,15 +928,11 @@ def embedding_near_dups(sf_dir: str) -> pa.Table:
     })
 
 
-def embedding_near_dups_aug(sf_dir: str) -> pa.Table:
-    """embedding_near_dups with the threshold path actually exercised: the
-    synthetic embeddings table has no natural near-dups (max pairwise cosine
-    ~0.51 at sf0.01), so this entry deterministically augments it with scaled
-    copies (x1.5, float32 rounding) of the first 25 vectors at vec_id+100000.
-    A positive scaling keeps the direction, hence the LSH signature, identical
-    — recall of the injected pairs is guaranteed, cosine rounds to 1.0 — while
-    every other in-bucket pair exercises the threshold-reject branch."""
-    from ..stages.ann import cosine_near_dup_pairs
+def _aug_embeddings(sf_dir: str) -> "ray.data.Dataset":
+    """embeddings ∪ scaled copies (x1.5, float32 rounding) of the first 25
+    vectors at vec_id+100000 — the deterministic near-dup injection shared
+    by embedding_near_dups_aug and semdedup_flags (the raw synthetic table
+    has no natural near-dups, so without it the dup branch never fires)."""
     emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
     def scaled_copies(batch: pa.Table) -> pa.Table:
@@ -959,8 +955,31 @@ def embedding_near_dups_aug(sf_dir: str) -> pa.Table:
                 cols[name] = sel.column(name)
         return pa.table(cols)
 
-    aug = emb.union(emb.map_batches(scaled_copies, batch_format="pyarrow"))
-    rows = cosine_near_dup_pairs(aug, threshold=0.98).take_all()
+    return emb.union(emb.map_batches(scaled_copies, batch_format="pyarrow"))
+
+
+def semdedup_flags(sf_dir: str) -> "ray.data.Dataset":
+    """SemDeDup flag matrix (Abbas et al. 2023) over the augmented
+    embeddings: k-means clusters (the IVF quantizer), intra-cluster
+    pairwise cosine > 0.95 flags duplicates, keep-low-centroid-sim order.
+    The 25 injected scaled copies flag against their originals; every
+    natural pair exercises the reject branch (max natural cosine ~0.51)."""
+    from ..stages.ann import semdedup
+    return semdedup(_aug_embeddings(sf_dir), n_lists=16, tau=0.95,
+                    train_sample=2048)
+
+
+def embedding_near_dups_aug(sf_dir: str) -> pa.Table:
+    """embedding_near_dups with the threshold path actually exercised: the
+    synthetic embeddings table has no natural near-dups (max pairwise cosine
+    ~0.51 at sf0.01), so this entry deterministically augments it with scaled
+    copies (x1.5, float32 rounding) of the first 25 vectors at vec_id+100000.
+    A positive scaling keeps the direction, hence the LSH signature, identical
+    — recall of the injected pairs is guaranteed, cosine rounds to 1.0 — while
+    every other in-bucket pair exercises the threshold-reject branch."""
+    from ..stages.ann import cosine_near_dup_pairs
+    rows = cosine_near_dup_pairs(_aug_embeddings(sf_dir),
+                                 threshold=0.98).take_all()
     rows.sort(key=lambda r: (r["vec_a"], r["vec_b"]))
     return pa.table({
         "vec_a": pa.array([r["vec_a"] for r in rows], pa.int64()),

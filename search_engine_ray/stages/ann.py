@@ -495,3 +495,78 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", *,
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         sig_batch, batch_format="pyarrow").groupby("sig").map_groups(
         bucket_pairs, batch_format="pyarrow")
+
+
+# -- SemDeDup: semantic deduplication via k-means + intra-cluster cosine ------
+
+def semdedup(embeddings: "ray.data.Dataset", *, n_lists: int = 16,
+             tau: float = 0.95, train_sample: int = 2048
+             ) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the IVF coarse
+    quantizer, then flag semantic duplicates INSIDE each cluster — a member
+    is a duplicate iff some cluster-mate EARLIER in (centroid-cosine ASC,
+    vec_id ASC) order has pairwise cosine > ``tau``.  Keep-low-centroid-sim
+    matches the paper's rule (retain the example farthest from the cluster
+    centroid); the earlier-in-order formulation makes the flag a plain
+    EXISTS self-join the SQL oracle reproduces exactly.
+
+    Output: (vec_id, cluster_id, cent_cos, is_dup) — the full flag matrix;
+    survivors = ``is_dup = 0``.
+
+    Scale shape: the quantizer trains once on a deterministic sample
+    (``_train_sample``) and broadcasts; assignment is a streaming
+    ``map_batches``; the pairwise pass is a ``groupby(cluster_id)`` — the
+    cluster id is the partition key, exactly how the published recipe
+    shards (at 100 TB use enough clusters that m^2 per cluster is bounded;
+    the paper runs 50k clusters for 100M+ docs).  Cosines and centroid
+    dots round to 6 dp before any compare, the shared oracle contract."""
+    train = _train_sample(embeddings, train_sample)
+    cents = _kmeans(train, n_lists)
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, ref):
+            self._cents = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+                else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cluster_id": pa.array([], pa.int64()),
+                                 "cent_cos": pa.array([], pa.float64()),
+                                 "embedding": batch.column("embedding")})
+            vecs = _normalize(_batch_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            dots = vecs @ self._cents.T
+            assign = np.argmax(dots, axis=1)
+            cent = np.round(dots[np.arange(len(ids)), assign], 6)
+            return pa.table({
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "cluster_id": pa.array(assign.astype(np.int64), pa.int64()),
+                "cent_cos": pa.array(cent, pa.float64()),
+                "embedding": batch.column("embedding"),
+            })
+
+    def flag_group(g: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(g))
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        cent = g.column("cent_cos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cent))        # cent_cos ASC, vec_id ASC
+        v = vecs[order]
+        sims = np.round(v @ v.T, 6)
+        dup_ord = np.logical_and(
+            sims > tau, np.tri(len(v), k=-1, dtype=bool)).any(axis=1)
+        is_dup = np.empty(len(v), dtype=np.int64)
+        is_dup[order] = dup_ord.astype(np.int64)
+        return pa.table({
+            "vec_id": g.column("vec_id"),
+            "cluster_id": g.column("cluster_id"),
+            "cent_cos": g.column("cent_cos"),
+            "is_dup": pa.array(is_dup, pa.int64()),
+        })
+
+    assigned = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        Assign, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=(1, 8))
+    return assigned.groupby("cluster_id").map_groups(
+        flag_group, batch_format="pyarrow")

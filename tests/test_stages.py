@@ -397,6 +397,38 @@ def test_ivf_topk_recall_and_determinism():
     assert approx.equals(approx2)       # seeded quantizer => deterministic
 
 
+def test_semdedup_flags_planted_dups_and_reference():
+    from search_engine_ray.stages.ann import _kmeans, semdedup
+    t = _rand_embeddings()                  # vec 10 ~ vec 7 planted
+    ds = ray.data.from_arrow(t).repartition(4)
+    tau = 0.95
+    got = {r["vec_id"]: r
+           for r in semdedup(ds, n_lists=8, tau=tau,
+                             train_sample=64).take_all()}
+    assert set(got) == set(range(t.num_rows))   # full flag matrix
+
+    # plain-numpy reference of the same spec
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cents = _kmeans(vecs[:64], 8)
+    dots = vecs @ cents.T
+    assign = np.argmax(dots, axis=1)
+    cent = np.round(dots[np.arange(len(vecs)), assign], 6)
+    for cid in range(8):
+        members = np.where(assign == cid)[0]
+        order = members[np.lexsort((members, cent[members]))]
+        for i, vid in enumerate(order):
+            sims = np.round(vecs[order[:i]] @ vecs[vid], 6)
+            want_dup = bool((sims > tau).any())
+            assert got[int(vid)]["is_dup"] == int(want_dup), vid
+            assert got[int(vid)]["cluster_id"] == int(cid)
+            assert got[int(vid)]["cent_cos"] == cent[vid]
+    # the planted near-identical pair lands in one cluster; exactly the
+    # later-in-keep-order one is flagged
+    assert got[7]["cluster_id"] == got[10]["cluster_id"]
+    assert got[7]["is_dup"] + got[10]["is_dup"] == 1
+
+
 def test_pq_topk_recall_codes_and_determinism():
     from search_engine_ray.stages.ann import (brute_force_topk, pq_encode,
                                               pq_topk, pq_train)
