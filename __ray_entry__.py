@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data hygiene: benchmark decontamination + PII redaction
         "decontaminate": Q.decontaminate,
         "bloom_decontaminate": Q.bloom_decontaminate,
+        "dsir_logweights": Q.dsir_logweights,
         "decontam_survivors": Q.decontam_survivors,
         "span_dedup": Q.span_dedup,
         "gopher_quality": Q.gopher_quality,
@@ -2244,6 +2245,46 @@ def oracle_sql() -> dict[str, str]:
              round(exp(-(au / 1000000.0)), 6) AS ppl
       FROM avgu
     )
+    """
+
+    # DSIR importance log-weights: hashed uni+bigram buckets
+    # (md5_number_lower % B), add-1-smoothed bucket models, per-bucket
+    # log-ratio pinned to integer microunits (floor-half-up, the lm.py
+    # convention) before the order-free per-doc int64 sum.
+    _DSIR_B = 1024
+    sql["dsir_logweights"] = f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z]{{2,32}}') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(md5_number_lower(g) % {_DSIR_B} AS BIGINT) AS b
+      FROM (
+        SELECT doc_id, source, tk[i] AS g
+        FROM w, unnest(generate_series(1, len(tk))) r(i)
+        UNION ALL
+        SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS g
+        FROM w, unnest(generate_series(1, len(tk) - 1)) r(i)
+      )
+    ),
+    tc AS (SELECT b, count(*) AS c FROM feats WHERE source = 'src0'
+           GROUP BY b),
+    rc AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+    nt AS (SELECT coalesce(sum(c), 0) AS n FROM tc),
+    nr AS (SELECT coalesce(sum(c), 0) AS n FROM rc),
+    lr AS (
+      SELECT r.b,
+             CAST(floor((ln((coalesce(t.c, 0) + 1.0)
+                            / (nt.n + 1.0 * {_DSIR_B}))
+                         - ln((r.c + 1.0) / (nr.n + 1.0 * {_DSIR_B})))
+                        * 1000000.0 + 0.5) AS BIGINT) AS l
+      FROM rc r LEFT JOIN tc t ON t.b = r.b CROSS JOIN nt CROSS JOIN nr
+    )
+    SELECT f.doc_id, CAST(sum(l.l) AS BIGINT) AS logw_micro
+    FROM feats f JOIN lr l ON l.b = f.b
+    GROUP BY f.doc_id
     """
 
     sql["lm_perplexity"] = f"""

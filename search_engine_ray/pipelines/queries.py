@@ -1141,6 +1141,22 @@ def decontam_survivors(sf_dir: str) -> "ray.data.Dataset":
     return decontaminated_survivors(corpus, bench, n=8)
 
 
+def dsir_logweights(sf_dir: str) -> "ray.data.Dataset":
+    """DSIR importance log-weights (Xie et al. 2023) of every document
+    toward the source='src0' stratum as the target distribution — hashed
+    uni+bigram bucket models, integer-microunit log-ratios."""
+    from ..stages.dsir import dsir_logweights as dlw
+    docs = _documents_docs(sf_dir)
+    with_src = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    target = with_src.map_batches(
+        lambda b: b.filter(pc.equal(b.column("source"),
+                                    "src0")).select(["doc_id", "text"]),
+        batch_format="pyarrow")
+    return dlw(docs, target, buckets=1024)
+
+
 def pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """PII scan + redaction over documents with deterministic synthetic PII
     injected (the raw corpus has none; see inject_synthetic_pii)."""

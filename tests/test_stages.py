@@ -1287,6 +1287,59 @@ def test_bloom_decontaminate_tiny_bitset_false_positives():
     assert len(bloom) > len(exact)  # 32 bits over ~120 gram-bit draws
 
 
+def test_dsir_logweights_vs_bruteforce():
+    from search_engine_ray.functions.hashing import md5_hash64
+    from search_engine_ray.stages.dsir import dsir_logweights
+    B = 64
+    corpus_rows = [
+        (0, "alpha beta alpha beta gamma"),       # target-like
+        (1, "alpha beta gamma alpha"),            # target-like
+        (2, "delta epsilon zeta delta epsilon"),  # off-target
+        (3, "zeta zeta epsilon delta"),           # off-target
+        (4, "???"),                               # zero features -> absent
+    ]
+    target_rows = [(0, corpus_rows[0][1]), (1, corpus_rows[1][1])]
+
+    def feats(t):
+        import re
+        toks = re.findall(r"[a-z]{2,32}", t.lower())
+        return toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+
+    def buckets(t):
+        return [md5_hash64(g) % B for g in feats(t)]
+
+    tc = np.zeros(B)
+    for _, t in target_rows:
+        for b in buckets(t):
+            tc[b] += 1
+    rc = np.zeros(B)
+    for _, t in corpus_rows:
+        for b in buckets(t):
+            rc[b] += 1
+    lr = np.floor((np.log((tc + 1) / (tc.sum() + B))
+                   - np.log((rc + 1) / (rc.sum() + B)))
+                  * 1e6 + 0.5).astype(np.int64)
+    expect = {}
+    for did, t in corpus_rows:
+        bs = buckets(t)
+        if bs:
+            expect[did] = int(sum(lr[b] for b in bs))
+
+    def ds(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}
+        )).repartition(2)
+
+    got = {r["doc_id"]: r["logw_micro"]
+           for r in dsir_logweights(ds(corpus_rows), ds(target_rows),
+                                    buckets=B).take_all()}
+    assert got == expect
+    assert 4 not in got                     # zero-feature doc absent
+    # target-like docs outweigh off-target docs
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
 def test_pii_scan_redact_counts_and_masks():
     from search_engine_ray.stages.pii import pii_scan_redact
     rows = [
