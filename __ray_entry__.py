@@ -626,6 +626,22 @@ def _lsh_sql(n_bits: int = 12, probe: int = 2, k: int = 10) -> str:
 _IVF_E_CTE = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
 
+def _aug_embeddings_sql(alias: str = "v") -> str:
+    """The augmented-embeddings injection (x1.5 float32-rounded copies of
+    vec_id < 25 at +100000) mirroring queries._aug_embeddings — ONE
+    definition shared by every oracle that reads the augmented table.
+    x*1.5 inside a double then CAST to FLOAT reproduces the engine's
+    float32 multiply exactly (the double product of a float32 and 1.5 is
+    exact, so both sides round the same exact value to float32)."""
+    return f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS {alias}
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding,
+                            x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE))
+      FROM embeddings WHERE vec_id < 25"""
+
+
 def _quantizer_prefix(n_lists: int, iters: int, train: int, dim: int,
                       e_cte: str = _IVF_E_CTE) -> tuple[str, str]:
     """The seeded-Lloyd coarse-quantizer CTE chain shared by the IVF and
@@ -730,14 +746,8 @@ def _semdedup_sql(n_lists: int = 16, tau: float = 0.95, iters: int = 10,
     with the winning dot kept, members ordered (round(dot,6) ASC, vec_id
     ASC) per cluster, and is_dup = EXISTS an EARLIER cluster-mate with
     pairwise cosine (round 6) > tau."""
-    aug_e = f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000,
-             list_transform(embedding,
-                            x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE))
-      FROM embeddings WHERE vec_id < 25"""
-    quant, prev = _quantizer_prefix(n_lists, iters, train, dim, e_cte=aug_e)
+    quant, prev = _quantizer_prefix(n_lists, iters, train, dim,
+                                    e_cte=_aug_embeddings_sql("v"))
     return f"""
     WITH {quant},
     assign AS (
@@ -1686,17 +1696,9 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(b.embedding AS DOUBLE[])) >= 0.98
     """
 
-    # x*1.5 inside a double then CAST to FLOAT reproduces the engine's
-    # float32 multiply exactly (the double product of a float32 and 1.5 is
-    # exact, so both sides round the same exact value to float32).
-    sql["embedding_near_dups_aug"] = """
+    sql["embedding_near_dups_aug"] = f"""
     WITH aug AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000,
-             list_transform(embedding,
-                            x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE))
-      FROM embeddings WHERE vec_id < 25
+      {_aug_embeddings_sql("emb")}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine

@@ -1146,7 +1146,10 @@ def dsir_logweights(sf_dir: str) -> "ray.data.Dataset":
     toward the source='src0' stratum as the target distribution — hashed
     uni+bigram bucket models, integer-microunit log-ratios."""
     from ..stages.dsir import dsir_logweights as dlw
-    docs = _documents_docs(sf_dir)
+    # one column-pruned plan feeds both sides; the target slice (1/20 of
+    # the corpus) re-scans rather than materializing raw text — a second
+    # streaming parquet scan is the scale-correct price vs pinning the
+    # whole text corpus in the object store
     with_src = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source"])
@@ -1154,7 +1157,8 @@ def dsir_logweights(sf_dir: str) -> "ray.data.Dataset":
         lambda b: b.filter(pc.equal(b.column("source"),
                                     "src0")).select(["doc_id", "text"]),
         batch_format="pyarrow")
-    return dlw(docs, target, buckets=1024)
+    return dlw(with_src.select_columns(["doc_id", "text"]), target,
+               buckets=1024)
 
 
 def pii_redact(sf_dir: str) -> "ray.data.Dataset":

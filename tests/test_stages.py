@@ -407,10 +407,11 @@ def test_semdedup_flags_planted_dups_and_reference():
                              train_sample=64).take_all()}
     assert set(got) == set(range(t.num_rows))   # full flag matrix
 
-    # plain-numpy reference of the same spec
-    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    cents = _kmeans(vecs[:64], 8)
+    # plain-numpy reference of the same spec; _kmeans gets the RAW slice
+    # (it normalizes once itself — the single-normalize ulp discipline)
+    raw = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    cents = _kmeans(raw[:64], 8)
+    vecs = raw / np.linalg.norm(raw, axis=1, keepdims=True)
     dots = vecs @ cents.T
     assign = np.argmax(dots, axis=1)
     cent = np.round(dots[np.arange(len(vecs)), assign], 6)
