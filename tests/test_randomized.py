@@ -124,3 +124,92 @@ def test_random_corpus_bpe_vs_reference(seed):
                     got.column("rgt").to_pylist(),
                     got.column("freq").to_pylist()))
     assert rows == _ref_bpe(texts, 6)
+
+
+@pytest.mark.parametrize("seed,nparts", [(5, 3), (42, 7)])
+def test_random_corpus_dsir_vs_reference(seed, nparts):
+    """dsir_logweights over random small-vocab docs == a pure-Python
+    reimplementation of the hashed-bucket log-ratio formula, exactly."""
+    import random
+    import re
+
+    import numpy as np
+
+    from search_engine_ray.functions.hashing import md5_hash64
+    from search_engine_ray.stages.dsir import dsir_logweights
+
+    rng = random.Random(seed)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = [" ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+            for _ in range(60)]
+    target_ids = [i for i in range(60) if i % 5 == 0]
+    B = 128
+
+    def ds(ids):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([docs[i] for i in ids], pa.string()),
+        })).repartition(nparts)
+
+    got = {r["doc_id"]: r["logw_micro"]
+           for r in dsir_logweights(ds(list(range(60))), ds(target_ids),
+                                    buckets=B).take_all()}
+
+    def buckets(t):
+        toks = re.findall(r"[a-z]{2,32}", t.lower())
+        feats = toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+        return [md5_hash64(g) % B for g in feats]
+
+    tc = np.zeros(B)
+    for i in target_ids:
+        for b in buckets(docs[i]):
+            tc[b] += 1
+    rc = np.zeros(B)
+    for i in range(60):
+        for b in buckets(docs[i]):
+            rc[b] += 1
+    lr = np.floor((np.log((tc + 1) / (tc.sum() + B))
+                   - np.log((rc + 1) / (rc.sum() + B))) * 1e6
+                  + 0.5).astype(np.int64)
+    expect = {}
+    for i in range(60):
+        bs = buckets(docs[i])
+        if bs:
+            expect[i] = int(sum(lr[b] for b in bs))
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [11, 77])
+def test_random_corpus_bloom_superset_of_exact(seed):
+    """bloom_decontaminate is always a superset of the exact overlap with
+    per-doc hit counts >= exact counts, at any bitset size."""
+    import random
+
+    from search_engine_ray.stages.decontam import (benchmark_ngram_overlap,
+                                                   bloom_decontaminate)
+
+    rng = random.Random(seed)
+    vocab = [f"t{i:02d}" for i in range(40)]
+    mk = lambda k: " ".join(rng.choices(vocab, k=k))
+    corpus_rows = [(i, mk(rng.randint(2, 14))) for i in range(50)]
+    bench_rows = [(100 + i, mk(rng.randint(4, 10))) for i in range(6)]
+    # plant guaranteed overlap: doc 0 contains bench doc 100's text
+    corpus_rows[0] = (0, bench_rows[0][1] + " " + corpus_rows[0][1])
+
+    def ds(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })).repartition(4)
+
+    n = 4
+    exact = {r["doc_id"]: r["overlap_ngrams"] for r in
+             benchmark_ngram_overlap(ds(corpus_rows), ds(bench_rows),
+                                     n=n).take_all()}
+    assert 0 in exact
+    for m_bits in (64, 4096):
+        bloom = {r["doc_id"]: r["bloom_hits"] for r in
+                 bloom_decontaminate(ds(corpus_rows), ds(bench_rows), n=n,
+                                     m_bits=m_bits, k_hashes=3).take_all()}
+        for did, k in exact.items():
+            assert bloom.get(did, 0) >= k, (m_bits, did)
