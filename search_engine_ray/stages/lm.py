@@ -37,9 +37,12 @@ word_counts/_WORDS oracle fragment.  Docs with < 2 tokens have no
 bigrams and are absent from the output (mirrored).
 
 At 100 TB: the one wide exchange keys on hash(w1) — Zipf-skewed (a hot
-context word concentrates its grams in one partition); the documented
-mitigation is salting the gram stream by gh (model rows replicate per
-salt), the same hot-key treatment as the posting-list build.  Reference
+context word concentrates its grams in one partition); ``n_salts > 1``
+splits every ch partition by the GRAM hash: gram and model rows are both
+gh-keyed so they co-locate under the same salt with NO replication, and
+only the tiny context table replicates across salts — the same hot-key
+treatment as the posting-list build, property-tested bit-identical to
+the unsalted exchange.  Reference
 counterpart: none — a north-rule training-data addition (quality scoring
 family, textstats.py neighbors).
 """
@@ -167,25 +170,53 @@ def _union_schema() -> pa.Schema:
                       ("cu", pa.int64())])
 
 
-def _as_union(b: pa.Table, side: int, nparts: int) -> pa.Table:
+def _as_union(b: pa.Table, side: int, nparts: int,
+              n_salts: int = 1) -> pa.Table:
+    """Tag a side's rows with their exchange partition.
+
+    Hot-context salting (``n_salts > 1``): a Zipf-hot w1 concentrates its
+    grams in one ch-keyed partition; salting splits every ch partition
+    ``n_salts`` ways by the GRAM hash.  Because model rows are gh-keyed
+    too, gram and model rows co-locate under the same ``gh % n_salts``
+    salt with NO replication — only the context table (one row per
+    distinct w1, the tiny side) replicates across the salts of its ch.
+    Results are bit-identical at any n_salts (property-tested)."""
     n = b.num_rows
     ch = b.column("ch").to_numpy(zero_copy_only=False)
-    part = (ch.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
+    base = (ch.view(np.uint64) % np.uint64(nparts)).astype(np.int64)
     nulls = pa.nulls(n, pa.int64())
+    if side == _SIDE_CTX:
+        reps = np.repeat(np.arange(n_salts, dtype=np.int64), n)
+        idx = np.tile(np.arange(n, dtype=np.int64), n_salts)
+        cols = {
+            "part": pa.array(np.tile(base, n_salts) * n_salts + reps,
+                             pa.int64()),
+            "side": pa.array(np.full(n * n_salts, side, dtype=np.int64),
+                             pa.int64()),
+            "doc_id": pa.nulls(n * n_salts, pa.int64()),
+            "gh": pa.nulls(n * n_salts, pa.int64()),
+            "ch": b.column("ch").take(pa.array(idx, pa.int64())),
+            "cb": pa.nulls(n * n_salts, pa.int64()),
+            "cu": b.column("cu").take(pa.array(idx, pa.int64())),
+        }
+        return pa.table(cols, schema=_union_schema())
+    gh_np = b.column("gh").to_numpy(zero_copy_only=False)
+    salt = (gh_np.view(np.uint64) % np.uint64(n_salts)).astype(np.int64)
     cols = {
-        "part": pa.array(part, pa.int64()),
+        "part": pa.array(base * n_salts + salt, pa.int64()),
         "side": pa.array(np.full(n, side, dtype=np.int64), pa.int64()),
         "doc_id": b.column("doc_id") if side == _SIDE_GRAM else nulls,
-        "gh": b.column("gh") if side != _SIDE_CTX else nulls,
+        "gh": b.column("gh"),
         "ch": b.column("ch"),
         "cb": b.column("cb") if side == _SIDE_MODEL else nulls,
-        "cu": b.column("cu") if side == _SIDE_CTX else nulls,
+        "cu": nulls,
     }
     return pa.table(cols, schema=_union_schema())
 
 
 def lm_perplexity(docs: "ray.data.Dataset", *, alpha: float = LM_ALPHA,
-                  nparts: int = LM_NUM_PARTS) -> "ray.data.Dataset":
+                  nparts: int = LM_NUM_PARTS,
+                  n_salts: int = 1) -> "ray.data.Dataset":
     """(doc_id, bigrams, logprob_u, avg_logprob, ppl) per doc with >= 1
     bigram.
 
@@ -202,12 +233,15 @@ def lm_perplexity(docs: "ray.data.Dataset", *, alpha: float = LM_ALPHA,
         _doc_gram_rows, batch_format="pyarrow")
 
     unioned = (
-        grams.map_batches(lambda b: _as_union(b, _SIDE_GRAM, nparts),
-                          batch_format="pyarrow")
-        .union(model.map_batches(lambda b: _as_union(b, _SIDE_MODEL, nparts),
-                                 batch_format="pyarrow"))
-        .union(contexts.map_batches(lambda b: _as_union(b, _SIDE_CTX, nparts),
-                                    batch_format="pyarrow")))
+        grams.map_batches(
+            lambda b: _as_union(b, _SIDE_GRAM, nparts, n_salts),
+            batch_format="pyarrow")
+        .union(model.map_batches(
+            lambda b: _as_union(b, _SIDE_MODEL, nparts, n_salts),
+            batch_format="pyarrow"))
+        .union(contexts.map_batches(
+            lambda b: _as_union(b, _SIDE_CTX, nparts, n_salts),
+            batch_format="pyarrow")))
 
     av = float(alpha)
     av_v = float(alpha) * float(vocab)

@@ -213,3 +213,31 @@ def test_random_corpus_bloom_superset_of_exact(seed):
                                      m_bits=m_bits, k_hashes=3).take_all()}
         for did, k in exact.items():
             assert bloom.get(did, 0) >= k, (m_bits, did)
+
+
+@pytest.mark.parametrize("seed,n_salts", [(9, 4), (31, 3)])
+def test_lm_perplexity_salted_equals_unsalted(seed, n_salts):
+    """Hot-context salting changes only the exchange layout: per-doc
+    perplexities are bit-identical at any n_salts."""
+    import random
+
+    from search_engine_ray.stages.lm import lm_perplexity
+
+    rng = random.Random(seed)
+    # Zipf-ish: 'hot' starts most bigrams, exercising the salted split
+    vocab = ["hot"] * 6 + [f"w{i:02d}" for i in range(20)]
+    docs = [" ".join(rng.choices(vocab, k=rng.randint(2, 16)))
+            for _ in range(50)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })).repartition(5)
+
+    def rows(n_s):
+        got = lm_perplexity(ds, nparts=4, n_salts=n_s).take_all()
+        return sorted((r["doc_id"], r["bigrams"], r["logprob_u"], r["ppl"])
+                      for r in got)
+
+    base = rows(1)
+    assert base                      # non-trivial corpus
+    assert rows(n_salts) == base
