@@ -115,10 +115,15 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
     lock = threading.Lock() if serialize_search else contextlib.nullcontext()
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 => persistent connections (every response carries
+        # Content-Length); under HTTP/1.0 each request paid a fresh TCP
+        # setup on the QPS-benchmarked surface
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet test output
             pass
 
-        def _json(self, code: int, payload: dict) -> None:
+        def _json(self, code: int, payload: dict | list) -> None:
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -131,8 +136,13 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
             if not q:
                 self._json(422, {"detail": "q required"})
                 return
-            limit, offset = _bounded(int((qs.get("limit") or ["20"])[0]),
-                                     int((qs.get("offset") or ["0"])[0]))
+            try:
+                limit, offset = _bounded(int((qs.get("limit") or ["20"])[0]),
+                                         int((qs.get("offset") or ["0"])[0]))
+            except ValueError:
+                # FastAPI rejects unparsable query params with 422, not 500
+                self._json(422, {"detail": "limit/offset must be integers"})
+                return
             results = self._search_rows(q, limit, offset, intent_bias)
             self._json(200, {"results": results,
                              "count": offset + len(results)})
@@ -146,62 +156,79 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                      "description": r.get("text") or "",
                      "url": r["url"], "score": r["score"]} for r in rows]
 
-        def _rpc_result(self, rid, result: dict) -> None:
-            self._json(200, {"jsonrpc": "2.0", "id": rid, "result": result})
+        @staticmethod
+        def _rpc_result(rid, result: dict) -> dict:
+            return {"jsonrpc": "2.0", "id": rid, "result": result}
 
-        def _rpc_error(self, rid, code: int, message: str) -> None:
-            self._json(200, {"jsonrpc": "2.0", "id": rid,
-                             "error": {"code": code, "message": message}})
+        @staticmethod
+        def _rpc_error(rid, code: int, message: str) -> dict:
+            return {"jsonrpc": "2.0", "id": rid,
+                    "error": {"code": code, "message": message}}
 
-        def _mcp_jsonrpc(self, req: dict) -> None:
-            """MCP over JSON-RPC 2.0 (public spec 2025-03-26, JSON response
-            mode of the Streamable HTTP transport: one JSON body per
-            request, 202 + empty for notifications, no SSE)."""
+        def _mcp_response(self, req) -> dict | None:
+            """One MCP JSON-RPC 2.0 response object (public spec
+            2025-03-26); None for notifications (no response due)."""
+            if not isinstance(req, dict):
+                return self._rpc_error(None, -32600, "invalid request")
             rid = req.get("id")
             method = req.get("method")
             params = req.get("params") or {}
-            if req.get("jsonrpc") != "2.0" or not isinstance(method, str):
-                self._rpc_error(rid, -32600, "invalid request")
-                return
+            if (req.get("jsonrpc") != "2.0" or not isinstance(method, str)
+                    or not isinstance(params, dict)):
+                return self._rpc_error(rid, -32600, "invalid request")
             if method.startswith("notifications/"):
-                self.send_response(202)
-                self.send_header("Content-Length", "0")
-                self.end_headers()
-                return
+                return None
             if method == "initialize":
-                self._rpc_result(rid, {
+                return self._rpc_result(rid, {
                     "protocolVersion": _MCP_PROTOCOL_VERSION,
                     "capabilities": {"tools": {"listChanged": False}},
                     "serverInfo": _MCP_SERVER_INFO,
                     "instructions": _MCP_INSTRUCTIONS,
                 })
-            elif method == "ping":
-                self._rpc_result(rid, {})
-            elif method == "tools/list":
-                self._rpc_result(rid, {"tools": _MCP_TOOLS})
-            elif method == "tools/call":
+            if method == "ping":
+                return self._rpc_result(rid, {})
+            if method == "tools/list":
+                return self._rpc_result(rid, {"tools": _MCP_TOOLS})
+            if method == "tools/call":
                 name = params.get("name")
                 args = params.get("arguments") or {}
                 if name not in ("search_web", "search_news"):
-                    self._rpc_error(rid, -32602, f"unknown tool {name!r}")
-                    return
+                    return self._rpc_error(rid, -32602,
+                                           f"unknown tool {name!r}")
+                if not isinstance(args, dict):
+                    return self._rpc_error(rid, -32602,
+                                           "arguments must be an object")
+                query = args.get("query")
+                if not isinstance(query, str):
+                    # the tool's inputSchema declares query required — a
+                    # missing/mistyped arg is a client error, not a search
+                    # for the empty string
+                    return self._rpc_error(rid, -32602, "query required")
                 # explicit None check: a client's limit=0 is a value (the
                 # reference clamps it to 1 via _bounded), not "absent"
                 raw_limit = args.get("limit")
                 if raw_limit is None:
                     raw_limit = 10 if name == "search_web" else 20
-                limit, offset = _bounded(int(raw_limit),
-                                         int(args.get("offset") or 0))
+                try:
+                    limit, offset = _bounded(int(raw_limit),
+                                             int(args.get("offset") or 0))
+                except (TypeError, ValueError):
+                    return self._rpc_error(rid, -32602,
+                                           "limit/offset must be integers")
                 bias = 8.0 if name == "search_news" else 0.0
-                rows = self._search_rows(str(args.get("query") or ""),
-                                         limit, offset, bias)
-                self._rpc_result(rid, {
+                rows = self._search_rows(query, limit, offset, bias)
+                return self._rpc_result(rid, {
                     "content": [{"type": "text",
                                  "text": _mcp_markdown(rows)}],
                     "isError": False,
                 })
-            else:
-                self._rpc_error(rid, -32601, f"method not found: {method}")
+            return self._rpc_error(rid, -32601,
+                                   f"method not found: {method}")
+
+        def _accepted(self) -> None:
+            self.send_response(202)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def do_POST(self):  # noqa: N802 (stdlib API)
             u = urlparse(self.path)
@@ -215,17 +242,41 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                 except json.JSONDecodeError:
                     self._rpc_error(None, -32700, "parse error")
                     return
+                if isinstance(req, list):
+                    # JSON-RPC batch (2025-03-26 transport): respond with
+                    # the non-notification responses, 202 if none are due
+                    if not req:
+                        self._json(200, self._rpc_error(
+                            None, -32600, "invalid request"))
+                        return
+                    resps = [r for r in map(self._mcp_response, req)
+                             if r is not None]
+                    if resps:
+                        self._json(200, resps)
+                    else:
+                        self._accepted()
+                    return
                 if isinstance(req, dict) and "jsonrpc" in req:
-                    self._mcp_jsonrpc(req)
+                    resp = self._mcp_response(req)
+                    if resp is None:
+                        self._accepted()
+                    else:
+                        self._json(200, resp)
+                    return
+                if not isinstance(req, dict):
+                    self._json(422, {"detail": "invalid request body"})
                     return
                 tool = req.get("tool")
                 if tool not in ("search_web", "search_news"):
                     self._json(422, {"detail": f"unknown tool {tool!r}"})
                     return
-                limit, offset = _bounded(
-                    int(req.get("limit") or (10 if tool == "search_web"
-                                             else 20)),
-                    int(req.get("offset") or 0))
+                # same limit=0 semantics as the JSON-RPC path: 0 is a
+                # value (clamped to 1 by _bounded), not "absent"
+                raw_limit = req.get("limit")
+                if raw_limit is None:
+                    raw_limit = 10 if tool == "search_web" else 20
+                limit, offset = _bounded(int(raw_limit),
+                                         int(req.get("offset") or 0))
                 bias = 8.0 if tool == "search_news" else 0.0
                 rows = self._search_rows(str(req.get("query") or ""), limit,
                                          offset, bias)

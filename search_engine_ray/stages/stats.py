@@ -142,9 +142,14 @@ def hll_registers(ds: "ray.data.Dataset", *, key: str, value_col: str,
         t = pa.table({key: batch.column(key),
                       "bucket": pa.array(bucket),
                       "rho": pa.array(rho)})
-        # in-batch combine: one row per (key, bucket)
-        return pa.TableGroupBy(t, [key, "bucket"]).aggregate(
-            [("rho", "max")]).rename_columns([key, "bucket", "rho"])
+        # in-batch combine: one row per (key, bucket).  Select/rename BY
+        # NAME — pyarrow group-by column order (keys-first vs agg-first)
+        # has differed across releases, and a positional rename would
+        # silently relabel the columns
+        g = pa.TableGroupBy(t, [key, "bucket"]).aggregate([("rho", "max")])
+        return pa.table({key: g.column(key),
+                         "bucket": g.column("bucket"),
+                         "rho": g.column("rho_max")})
 
     out = ds.select_columns([key, value_col]).map_batches(
         partial, batch_format="pyarrow").groupby(

@@ -59,8 +59,10 @@ class _ShardActor:
         carry stage-1 triples only, and the driver degrades the WHOLE query
         to the reference's encoding-error fallback page
         (search_service.py:321)."""
-        rows = self._eng.score_terms(sorted_terms, candidate_limit=cl,
-                                     doc_range=(self._lo, self._hi))
+        # no doc_range re-mask: the engine was built range-sliced, so its
+        # postings() already clips boundary blocks to [lo, hi) — passing
+        # doc_range again would recompute an all-true mask per query
+        rows = self._eng.score_terms(sorted_terms, candidate_limit=cl)
         out = []
         try:
             for doc_id, score, matched in rows:
@@ -113,6 +115,8 @@ class ShardedQueryEngine:
 
     def search(self, q: str, *, limit: int = 20, offset: int = 0,
                intent_bias: float = 0.0) -> list[dict]:
+        if not self._actors:
+            raise RuntimeError("ShardedQueryEngine is shut down")
         ctx = search_context(q, limit, offset)
         if ctx is None:
             return []
@@ -159,5 +163,7 @@ class ShardedQueryEngine:
         for row in self._replicas:
             for a in row:
                 ray.kill(a)
-        self._replicas = [[]]
+        # leave no live rows behind: a post-shutdown search raises instead
+        # of silently returning [] from a zero-actor fan-out
+        self._replicas = []
         self._actors = []
