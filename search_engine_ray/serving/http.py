@@ -119,9 +119,23 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
         # Content-Length); under HTTP/1.0 each request paid a fresh TCP
         # setup on the QPS-benchmarked surface
         protocol_version = "HTTP/1.1"
+        # bound idle keep-alive reads: handle_one_request treats a socket
+        # timeout as close_connection, so parked handler threads exit
+        # within this window after SearchServer.shutdown()
+        timeout = 30
 
         def log_message(self, fmt, *args):  # quiet test output
             pass
+
+        def _refuse_if_shutting_down(self) -> bool:
+            """503 + Connection: close once shutdown() has begun — without
+            this, keep-alive clients holding an open connection would be
+            served indefinitely after shutdown() returns."""
+            if getattr(self.server, "shutting_down", False):
+                self.close_connection = True
+                self._json(503, {"detail": "server shutting down"})
+                return True
+            return False
 
         def _json(self, code: int, payload: dict | list) -> None:
             body = json.dumps(payload).encode("utf-8")
@@ -204,14 +218,9 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                     # missing/mistyped arg is a client error, not a search
                     # for the empty string
                     return self._rpc_error(rid, -32602, "query required")
-                # explicit None check: a client's limit=0 is a value (the
-                # reference clamps it to 1 via _bounded), not "absent"
-                raw_limit = args.get("limit")
-                if raw_limit is None:
-                    raw_limit = 10 if name == "search_web" else 20
                 try:
-                    limit, offset = _bounded(int(raw_limit),
-                                             int(args.get("offset") or 0))
+                    limit, offset = self._limit_offset(
+                        name, args.get("limit"), args.get("offset"))
                 except (TypeError, ValueError):
                     return self._rpc_error(rid, -32602,
                                            "limit/offset must be integers")
@@ -230,17 +239,49 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
             self.send_header("Content-Length", "0")
             self.end_headers()
 
+        @staticmethod
+        def _limit_offset(tool: str, raw_limit, raw_offset) -> tuple[int,
+                                                                     int]:
+            """Shared limit/offset parsing for the JSON-RPC and legacy
+            POST paths.  A client's limit=0 is a value (clamped to 1 by
+            _bounded), not "absent" — only None takes the per-tool
+            default.  Raises TypeError/ValueError on unparsable input."""
+            if raw_limit is None:
+                raw_limit = 10 if tool == "search_web" else 20
+            return _bounded(int(raw_limit), int(raw_offset or 0))
+
         def do_POST(self):  # noqa: N802 (stdlib API)
+            if self._refuse_if_shutting_down():
+                return
             u = urlparse(self.path)
             try:
+                cl = self.headers.get("Content-Length")
+                if cl is None:
+                    # keep-alive: an unread (e.g. chunked) body would
+                    # desync the connection — require a length and close
+                    self.close_connection = True
+                    self._json(411, {"detail": "Content-Length required"})
+                    return
+                try:
+                    length = int(cl)
+                    if length < 0:
+                        raise ValueError(cl)
+                except ValueError:
+                    self.close_connection = True
+                    self._json(400, {"detail": "invalid Content-Length"})
+                    return
+                # drain the body BEFORE any early return — leftover bytes
+                # would be parsed as the next request line on this
+                # persistent connection
+                body = self.rfile.read(length)
                 if u.path != "/mcp":
                     self._json(404, {"detail": "not found"})
                     return
-                length = int(self.headers.get("Content-Length") or 0)
                 try:
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    req = json.loads(body or b"{}")
                 except json.JSONDecodeError:
-                    self._rpc_error(None, -32700, "parse error")
+                    self._json(200, self._rpc_error(None, -32700,
+                                                    "parse error"))
                     return
                 if isinstance(req, list):
                     # JSON-RPC batch (2025-03-26 transport): respond with
@@ -270,13 +311,13 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                 if tool not in ("search_web", "search_news"):
                     self._json(422, {"detail": f"unknown tool {tool!r}"})
                     return
-                # same limit=0 semantics as the JSON-RPC path: 0 is a
-                # value (clamped to 1 by _bounded), not "absent"
-                raw_limit = req.get("limit")
-                if raw_limit is None:
-                    raw_limit = 10 if tool == "search_web" else 20
-                limit, offset = _bounded(int(raw_limit),
-                                         int(req.get("offset") or 0))
+                try:
+                    limit, offset = self._limit_offset(
+                        tool, req.get("limit"), req.get("offset"))
+                except (TypeError, ValueError):
+                    self._json(422,
+                               {"detail": "limit/offset must be integers"})
+                    return
                 bias = 8.0 if tool == "search_news" else 0.0
                 rows = self._search_rows(str(req.get("query") or ""), limit,
                                          offset, bias)
@@ -285,6 +326,8 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                 self._json(500, {"detail": str(e)})
 
         def do_GET(self):  # noqa: N802 (stdlib API)
+            if self._refuse_if_shutting_down():
+                return
             u = urlparse(self.path)
             qs = parse_qs(u.query)
             try:
@@ -342,6 +385,11 @@ class SearchServer:
         return self
 
     def shutdown(self) -> None:
+        # flag first: handler threads parked on open keep-alive
+        # connections 503-and-close on their next request (idle ones exit
+        # via the handler's socket timeout) — httpd.shutdown() alone only
+        # stops the accept loop
+        self._httpd.shutting_down = True
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:

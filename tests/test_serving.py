@@ -182,3 +182,111 @@ def test_mcp_jsonrpc_errors(server):
     assert badtool["error"]["code"] == -32602
     _, notjson = _post(srv.port, "/mcp", {"jsonrpc": "1.0", "id": 11})
     assert notjson["error"]["code"] == -32600
+
+
+def _raw_http(sock, data):
+    """Send raw bytes, read ONE response (headers + Content-Length body).
+    Returns (status_line, body_bytes)."""
+    import socket as _socket
+    sock.sendall(data)
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        chunk = sock.recv(65536)
+        if not chunk:
+            return buf.split(b"\r\n")[0], b""
+        buf += chunk
+    head, _, rest = buf.partition(b"\r\n\r\n")
+    cl = 0
+    for line in head.split(b"\r\n"):
+        if line.lower().startswith(b"content-length:"):
+            cl = int(line.split(b":", 1)[1])
+    while len(rest) < cl:
+        chunk = sock.recv(65536)
+        if not chunk:
+            break
+        rest += chunk
+    return head.split(b"\r\n")[0], rest
+
+
+def test_keepalive_reuse_and_body_drain(server):
+    """HTTP/1.1 keep-alive: a POST with a body to a non-/mcp path (404)
+    must drain the body so the NEXT request on the same connection parses
+    cleanly, and two GETs reuse one socket."""
+    import socket
+
+    srv, _ = server
+    body = json.dumps({"q": "x"}).encode()
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as s:
+        status, _ = _raw_http(
+            s, b"POST /nope HTTP/1.1\r\nHost: h\r\n"
+               b"Content-Type: application/json\r\n"
+               b"Content-Length: " + str(len(body)).encode() +
+               b"\r\n\r\n" + body)
+        assert b" 404 " in status + b" "
+        # same socket: must not see leftover body bytes as a request line
+        status2, rest2 = _raw_http(
+            s, b"GET /search?q=word0001&limit=1 HTTP/1.1\r\nHost: h\r\n\r\n")
+        assert b" 200 " in status2 + b" "
+        assert "results" in json.loads(rest2)
+
+
+def test_mcp_parse_error_gets_response(server):
+    """Malformed JSON must produce a JSON-RPC -32700 response, not a
+    hung connection."""
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/mcp", data=b"{bad json",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = json.loads(r.read())
+    assert body["error"]["code"] == -32700
+
+
+def test_post_without_content_length_411(server):
+    """No Content-Length on a keep-alive POST (e.g. chunked) -> 411 and
+    the server closes the connection rather than desyncing it."""
+    import socket
+
+    srv, _ = server
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as s:
+        status, _ = _raw_http(s, b"POST /mcp HTTP/1.1\r\nHost: h\r\n\r\n")
+        assert b" 411 " in status + b" "
+
+
+def test_legacy_post_bad_limit_422(server):
+    """Non-integer limit on the legacy POST path is a 422 client error
+    (parity with the GET and JSON-RPC paths), not a 500."""
+    srv, _ = server
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/mcp",
+        data=json.dumps({"tool": "search_web", "query": "x",
+                         "limit": "abc"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 422
+
+
+def test_shutdown_quiesces_keepalive(built_index):
+    """After shutdown(), a held-open keep-alive connection is refused
+    (503 + close, or a plain close) instead of being served forever."""
+    import socket
+
+    from search_engine_ray.serving.http import SearchServer
+
+    cfg, _ = built_index
+    srv = SearchServer(cfg.index_dir).start()
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as s:
+        status, _ = _raw_http(
+            s, b"GET /search?q=word0001 HTTP/1.1\r\nHost: h\r\n\r\n")
+        assert b" 200 " in status + b" "
+        srv.shutdown()
+        try:
+            s.sendall(b"GET /search?q=word0001 HTTP/1.1\r\nHost: h\r\n\r\n")
+            status2, _ = _raw_http(s, b"")
+        except OSError:
+            status2 = b""
+        assert status2 == b"" or b" 503 " in status2 + b" "
