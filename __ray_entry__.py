@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": Q.sample_stratified,
         "mix_sources": Q.mix_sources,
         "line_dedup": Q.line_dedup,
+        "c4_clean": Q.c4_clean,
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
         "events_sample_per_user": Q.events_sample_per_user,
@@ -1514,6 +1515,58 @@ def oracle_sql() -> dict[str, str]:
            coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
                                ORDER BY line_idx), '') AS text_deduped
     FROM flags GROUP BY doc_id
+    """
+
+    # C4 cleaning (Raffel et al. 2020 §2.2) over the deterministic
+    # multi-line view: 8-token lines, doc_id-keyed decorations (lorem
+    # prefix -> js suffix -> brace suffix -> terminal '.') exactly as
+    # pipelines/queries._c4_multiline builds them, then the line keep
+    # rules (terminal punct, >= 5 words, no javascript) and page filters
+    # (no lorem ipsum / '{', >= 3 sentences in the cleaned page)
+    sql["c4_clean"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS g,
+        (CASE WHEN doc_id % 29 = 0 AND g = 0 THEN 'lorem ipsum ' ELSE '' END)
+        || array_to_string(w[(g*8+1):(g*8+8)], ' ')
+        || (CASE WHEN doc_id % 17 = 0 AND g = 1
+                 THEN ' javascript needed' ELSE '' END)
+        || (CASE WHEN doc_id % 23 = 0 AND g = 0 THEN ' {' ELSE '' END)
+        || (CASE WHEN (doc_id + g) % 3 <> 0 THEN '.' ELSE '' END) AS line
+      FROM toks, UNNEST(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(g)
+    ),
+    flagged AS (
+      SELECT doc_id, g, line,
+             (regexp_matches(line, '[.!?"]$')
+              AND len(regexp_extract_all(line, '\\S+')) >= 5
+              AND NOT contains(line, 'javascript')) AS keepl
+      FROM lines
+    ),
+    agg AS (
+      SELECT doc_id,
+        count(*) AS total_lines,
+        sum(CASE WHEN keepl THEN 1 ELSE 0 END) AS kept_lines,
+        string_agg(line, chr(10) ORDER BY g) AS page_text,
+        coalesce(string_agg(CASE WHEN keepl THEN line END, chr(10)
+                            ORDER BY g), '') AS clean_text
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CAST(total_lines AS BIGINT) AS total_lines,
+      CAST(kept_lines AS BIGINT) AS kept_lines,
+      CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+        AS sentences,
+      CAST(CASE WHEN NOT contains(page_text, 'lorem ipsum')
+                 AND NOT contains(page_text, '{')
+                 AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+      clean_text
+    FROM agg
     """
 
     sql["dedup_exact_groups"] = """

@@ -608,6 +608,61 @@ def line_dedup(sf_dir: str) -> "ray.data.Dataset":
     return ld(_documents_docs(sf_dir), boilerplate_mod=5)
 
 
+# deterministic C4 testdata decorations (doc_id-keyed, mirrored in SQL)
+C4_LINE_TOKENS = 8
+C4_PUNCT_MOD = 3    # (doc_id + line) % 3 == 0 lines get NO terminal punct
+C4_JS_MOD = 17      # doc_id % 17 docs get a "javascript" line (idx 1)
+C4_BRACE_MOD = 23   # doc_id % 23 docs get a "{" (page filter)
+C4_LOREM_MOD = 29   # doc_id % 29 docs get "lorem ipsum" (page filter)
+
+
+def _c4_multiline(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic multi-line view of the (single-line) synthetic docs:
+    8-token lines with doc_id-keyed decorations so every C4 rule is
+    exercised — the same injection pattern as pii_redact's synthetic PII
+    and line_dedup's boilerplate_mod.  Mirrored verbatim in the oracle
+    SQL.  Docs with zero tokens produce zero lines and are absent."""
+    docs = _documents_docs(sf_dir)
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out_ids: list[int] = []
+        out_text: list[str] = []
+        for d, t in zip(ids, texts):
+            w = (t or "").lower().split()
+            if not w:
+                continue
+            lines = []
+            for g in range(0, -(-len(w) // C4_LINE_TOKENS)):
+                line = " ".join(w[g * C4_LINE_TOKENS:
+                                  (g + 1) * C4_LINE_TOKENS])
+                if d % C4_LOREM_MOD == 0 and g == 0:
+                    line = "lorem ipsum " + line
+                if d % C4_JS_MOD == 0 and g == 1:
+                    line += " javascript needed"
+                if d % C4_BRACE_MOD == 0 and g == 0:
+                    line += " {"
+                if (d + g) % C4_PUNCT_MOD != 0:
+                    line += "."
+                lines.append(line)
+            out_ids.append(d)
+            out_text.append("\n".join(lines))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_text, pa.string())})
+
+    return docs.map_batches(aug, batch_format="pyarrow")
+
+
+def c4_clean(sf_dir: str) -> "ray.data.Dataset":
+    """C4 document cleaning (Raffel et al. 2020 §2.2): line keep rules
+    (terminal punct, >= 5 words, no javascript) + page filters (no lorem
+    ipsum / '{', >= 3 sentences) over the deterministic multi-line view
+    (stages/textstats.c4_clean)."""
+    from ..stages.textstats import c4_clean as cc
+    return cc(_c4_multiline(sf_dir))
+
+
 # -- text stats -------------------------------------------------------------
 
 def text_stats(sf_dir: str) -> "ray.data.Dataset":

@@ -321,3 +321,79 @@ def gopher_quality(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# C4 document-cleaning rules (Raffel et al. 2020 §2.2): line-level keep
+# rules + whole-page filters.  Thresholds are the published ones.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_SENTENCE_RE = r"[.!?]"
+
+
+def c4_clean(docs: "ray.data.Dataset", *,
+             min_line_words: int = C4_MIN_LINE_WORDS,
+             min_sentences: int = C4_MIN_SENTENCES) -> "ray.data.Dataset":
+    """C4 cleaning (Raffel et al. 2020 §2.2) over newline-separated text:
+
+    line KEEP rules — ends in a terminal punctuation mark (``.!?"``),
+    has >= ``min_line_words`` whitespace words, and does not mention
+    "javascript" (case-insensitive); page KEEP rules — the original page
+    contains neither "lorem ipsum" (case-insensitive) nor "{", and the
+    cleaned page has >= ``min_sentences`` sentences (terminal-punct
+    occurrences in the kept lines).
+
+    Returns (doc_id, total_lines, kept_lines, sentences, keep,
+    clean_text); ``clean_text`` is the kept lines re-joined with \\n.
+    Pure per-batch map — no exchange; all line predicates are
+    pyarrow.compute kernels over the flattened line array, per-doc
+    reductions are cumsum diffs over the list offsets.  Reference
+    counterpart: none — north-rule training-data addition (quality
+    family, same shape as gopher_quality)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if t.type != pa.string():
+            t = t.cast(pa.string())
+        t = pc.fill_null(t, "")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        lines = pc.split_pattern(t, "\n")
+        flat = pc.list_flatten(lines)
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        endp = pc.match_substring_regex(flat, C4_TERMINAL_RE)
+        wc_ok = pc.greater_equal(
+            pc.count_substring_regex(flat, r"\S+"), min_line_words)
+        no_js = pc.invert(pc.match_substring(flat, "javascript",
+                                             ignore_case=True))
+        keep_line = pc.and_(pc.and_(endp, wc_ok), no_js).to_numpy(
+            zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(keep_line, dtype=np.int64)])
+        kept_n = cs[offs[1:]] - cs[offs[:-1]]
+        total_n = np.diff(offs)
+        flat_py = flat.to_pylist()
+        clean = []
+        for d in range(len(offs) - 1):
+            lo, hi = offs[d], offs[d + 1]
+            clean.append("\n".join(
+                flat_py[i] for i in range(lo, hi) if keep_line[i]))
+        ca = pa.array(clean, pa.string())
+        sentences = pc.count_substring_regex(ca, C4_SENTENCE_RE).cast(
+            pa.int64())
+        page_ok = pc.and_(
+            pc.invert(pc.match_substring(t, "lorem ipsum",
+                                         ignore_case=True)),
+            pc.invert(pc.match_substring(t, "{")))
+        keep = pc.and_(page_ok,
+                       pc.greater_equal(sentences, min_sentences))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "total_lines": pa.array(total_n, pa.int64()),
+            "kept_lines": pa.array(kept_n, pa.int64()),
+            "sentences": sentences,
+            "keep": keep.cast(pa.int64()),
+            "clean_text": ca,
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

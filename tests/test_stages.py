@@ -1517,3 +1517,43 @@ def test_gopher_quality_vs_bruteforce():
                 g["stop_hits"], g["keep"]) == (wc, mwl, sym, hits, keep), did
     assert got[0]["keep"] == 1 and got[1]["keep"] == 0
     assert got[2]["keep"] == 0 and got[3]["keep"] == 0
+
+
+def test_c4_clean_rules():
+    """Each C4 §2.2 rule on handcrafted multi-line pages: terminal punct,
+    >= 5 words, javascript line drop, lorem-ipsum / brace page filters,
+    >= 3 sentence page floor."""
+    from search_engine_ray.stages.textstats import c4_clean
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # 3 keepable sentences + a short line + a punctless line
+            "this is a good long line.\nshort one.\n"
+            "another quite long good line!\nno punct line here at all\n"
+            "third fine sentence keeps page alive?",
+            # javascript line dropped -> only 2 sentences -> page dropped
+            "uses javascript on this line.\n"
+            "only two good sentences here today.\n"
+            "second good sentence is right here.",
+            # lorem ipsum -> page dropped despite 4 good lines
+            "lorem ipsum dolor sit amet here.\nfine long line number one.\n"
+            "fine long line number two.\nfine long line number three.",
+            # '{' -> page dropped
+            "contains a { brace so page dies.\ngood line one for counter.\n"
+            "good line two for counter.\ngood line three for counter.",
+        ], pa.string()),
+    })
+    got = {r["doc_id"]: r
+           for r in c4_clean(ray.data.from_arrow(docs)).take_all()}
+    assert (got[0]["total_lines"], got[0]["kept_lines"],
+            got[0]["sentences"], got[0]["keep"]) == (5, 3, 3, 1)
+    assert got[0]["clean_text"].split("\n") == [
+        "this is a good long line.", "another quite long good line!",
+        "third fine sentence keeps page alive?"]
+    # the short line and the punctless line are gone
+    assert "short one." not in got[0]["clean_text"]
+    assert got[1]["kept_lines"] == 2 and got[1]["keep"] == 0
+    assert "javascript" not in got[1]["clean_text"]
+    assert got[2]["keep"] == 0 and got[2]["kept_lines"] == 4
+    assert got[3]["keep"] == 0 and got[3]["sentences"] == 4
