@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": Q.mix_sources,
         "line_dedup": Q.line_dedup,
         "c4_clean": Q.c4_clean,
+        "c4_survivors": Q.c4_survivors,
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
         "events_sample_per_user": Q.events_sample_per_user,
@@ -1567,6 +1568,10 @@ def oracle_sql() -> dict[str, str]:
             THEN 1 ELSE 0 END AS BIGINT) AS keep,
       clean_text
     FROM agg
+    """
+
+    sql["c4_survivors"] = f"""
+    SELECT doc_id, clean_text FROM ({sql["c4_clean"]}) WHERE keep = 1
     """
 
     sql["dedup_exact_groups"] = """

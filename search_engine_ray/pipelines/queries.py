@@ -663,6 +663,19 @@ def c4_clean(sf_dir: str) -> "ray.data.Dataset":
     return cc(_c4_multiline(sf_dir))
 
 
+def c4_survivors(sf_dir: str) -> "ray.data.Dataset":
+    """The cleaned C4 corpus: keep=1 pages as (doc_id, clean_text) —
+    the operator's actual output a training pipeline would consume."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("keep"), 1)
+        f = b.filter(keep)
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "clean_text": f.column("clean_text")})
+
+    return c4_clean(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 # -- text stats -------------------------------------------------------------
 
 def text_stats(sf_dir: str) -> "ray.data.Dataset":
