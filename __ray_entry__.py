@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": Q.line_dedup,
         "c4_clean": Q.c4_clean,
         "c4_survivors": Q.c4_survivors,
+        "readability": Q.readability,
+        "fix_encoding": Q.fix_encoding,
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,
         "events_sample_per_user": Q.events_sample_per_user,
@@ -1524,8 +1526,9 @@ def oracle_sql() -> dict[str, str]:
     # pipelines/queries._c4_multiline builds them, then the line keep
     # rules (terminal punct, >= 5 words, no javascript) and page filters
     # (no lorem ipsum / '{', >= 3 sentences in the cleaned page)
-    sql["c4_clean"] = """
-    WITH toks AS (
+    # shared CTE fragment: the deterministic multi-line view (8-token
+    # lines + doc_id-keyed decorations), exactly as _c4_multiline builds it
+    _c4_lines = """toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
                          x -> x <> '') AS w
@@ -1540,7 +1543,9 @@ def oracle_sql() -> dict[str, str]:
         || (CASE WHEN doc_id % 23 = 0 AND g = 0 THEN ' {' ELSE '' END)
         || (CASE WHEN (doc_id + g) % 3 <> 0 THEN '.' ELSE '' END) AS line
       FROM toks, UNNEST(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(g)
-    ),
+    )"""
+
+    sql["c4_clean"] = "WITH " + _c4_lines + """,
     flagged AS (
       SELECT doc_id, g, line,
              (regexp_matches(line, '[.!?"]$')
@@ -1568,6 +1573,52 @@ def oracle_sql() -> dict[str, str]:
             THEN 1 ELSE 0 END AS BIGINT) AS keep,
       clean_text
     FROM agg
+    """
+
+    # cp1252-mojibake repair: injection suffixes and the replace chain
+    # are GENERATED from stages.textstats.MOJIBAKE so engine and oracle
+    # share exact byte sequences (counts per pattern are original-text
+    # occurrence counts; patterns are mutually non-overlapping)
+    from search_engine_ray.stages.textstats import MOJIBAKE as _MOJI
+    from search_engine_ray.pipelines.queries import (_moji_suffixes,
+                                                     MOJI_A_MOD, MOJI_B_MOD)
+    _inj_a, _inj_b = _moji_suffixes()
+    _fix_expr = "t"
+    _cnt_terms = []
+    for _bad, _good in _MOJI:
+        _fix_expr = f"replace({_fix_expr}, '{_bad}', '{_good}')"
+        _cnt_terms.append(
+            f"(len(t) - len(replace(t, '{_bad}', ''))) // {len(_bad)}")
+    sql["fix_encoding"] = f"""
+    WITH inj AS (
+      SELECT doc_id, coalesce(text, '')
+        || CASE WHEN doc_id % {MOJI_A_MOD} = 0 THEN '{_inj_a}' ELSE '' END
+        || CASE WHEN doc_id % {MOJI_B_MOD} = 0 THEN '{_inj_b}' ELSE '' END
+          AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST({" + ".join(_cnt_terms)} AS BIGINT) AS replacements,
+      {_fix_expr} AS fixed_text
+    FROM inj
+    """
+
+    sql["readability"] = "WITH " + _c4_lines + """,
+    pages AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY g) AS t
+      FROM lines GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS words,
+      CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT) AS sentences,
+      CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+        AS syllables,
+      CAST(floor((len(regexp_extract_all(t, '\\S+'))::DOUBLE * 0.39
+              / greatest(len(regexp_extract_all(t, '[.!?]')), 1)::DOUBLE
+            + len(regexp_extract_all(lower(t), '[aeiouy]+'))::DOUBLE * 11.8
+              / greatest(len(regexp_extract_all(t, '\\S+')), 1)::DOUBLE
+            - 15.59) * 1000000 + 0.5) AS BIGINT) AS fk_grade_micro
+    FROM pages
     """
 
     sql["c4_survivors"] = f"""

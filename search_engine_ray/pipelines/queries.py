@@ -676,6 +676,53 @@ def c4_survivors(sf_dir: str) -> "ray.data.Dataset":
     return c4_clean(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def readability(sf_dir: str) -> "ray.data.Dataset":
+    """Flesch-Kincaid grade level over the deterministic multi-line pages
+    (stages/textstats.fk_readability) — the quality-scoring composition a
+    curation pipeline runs after cleaning."""
+    from ..stages.textstats import fk_readability as fk
+    return fk(_c4_multiline(sf_dir))
+
+
+# deterministic mojibake injection (doc_id-keyed, mirrored in SQL) —
+# suffixes are BUILT from the MOJIBAKE table so both sides share byte
+# sequences; _moji() is resolved lazily to keep import order clean
+def _moji_suffixes() -> tuple[str, str]:
+    from ..stages.textstats import MOJIBAKE
+    m = {good: bad for bad, good in MOJIBAKE}
+    inj_a = (" caf" + m["é"] + " cr" + m["è"] + "me f" + m["ü"] + "r sch"
+             + m["ö"] + "n")
+    inj_b = " don" + m["’"] + "t " + m["“"] + "quote" + m["…"]
+    return inj_a, inj_b
+
+
+MOJI_A_MOD = 19
+MOJI_B_MOD = 31
+
+
+def fix_encoding(sf_dir: str) -> "ray.data.Dataset":
+    """cp1252-mojibake repair (stages/textstats.fix_encoding) over docs
+    with deterministic doc_id-keyed mojibake injected (same pattern as
+    the synthetic PII)."""
+    from ..stages.textstats import fix_encoding as fe
+    inj_a, inj_b = _moji_suffixes()
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b.column("text"), "")
+        a_suf = pa.array(np.where(ids % MOJI_A_MOD == 0, inj_a, ""),
+                         pa.string())
+        b_suf = pa.array(np.where(ids % MOJI_B_MOD == 0, inj_b, ""),
+                         pa.string())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.binary_join_element_wise(t, a_suf, b_suf, ""),
+        })
+
+    docs = _documents_docs(sf_dir).map_batches(aug, batch_format="pyarrow")
+    return fe(docs)
+
+
 # -- text stats -------------------------------------------------------------
 
 def text_stats(sf_dir: str) -> "ray.data.Dataset":

@@ -397,3 +397,91 @@ def c4_clean(docs: "ray.data.Dataset", *,
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def fk_readability(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Flesch-Kincaid grade level (Kincaid et al. 1975) per doc:
+
+        fk_grade = 0.39 * words/sentences + 11.8 * syllables/words - 15.59
+
+    with the standard regex surrogates — words = ``\\S+`` runs, sentences
+    = terminal-punctuation (``[.!?]``) occurrences, syllables = vowel
+    groups (``[aeiouy]+``) in the lowercased text.  Divisors clamp at 1
+    (raw counts are emitted unclamped); fk_grade_micro is the grade in
+    integer microunits (floor(1e6*x + 0.5)) — round-6 emitted a
+    representation tie (5.012 vs 5.0120000000000005 for the same value)
+    between pyarrow round and DuckDB round, while the micro conversion
+    is exact given both sides compute the identical IEEE double.  Pure
+    per-batch map, three RE2 count kernels — no exchange.  Reference
+    counterpart: none — north-rule training-data addition (quality
+    scoring family)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if t.type != pa.string():
+            t = t.cast(pa.string())
+        t = pc.fill_null(t, "")
+        words = pc.count_substring_regex(t, r"\S+").cast(pa.int64())
+        sents = pc.count_substring_regex(t, C4_SENTENCE_RE).cast(pa.int64())
+        syll = pc.count_substring_regex(
+            pc.utf8_lower(t), r"[aeiouy]+").cast(pa.int64())
+        wf = words.cast(pa.float64())
+        sw = pc.max_element_wise(words, 1).cast(pa.float64())
+        ss = pc.max_element_wise(sents, 1).cast(pa.float64())
+        fk = pc.subtract(
+            pc.add(pc.divide(pc.multiply(wf, 0.39), ss),
+                   pc.divide(pc.multiply(syll.cast(pa.float64()), 11.8),
+                             sw)),
+            15.59)
+        fk_micro = pc.floor(pc.add(pc.multiply(fk, 1e6), 0.5)).cast(
+            pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "words": words,
+            "sentences": sents,
+            "syllables": syll,
+            "fk_grade_micro": fk_micro,
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+# UTF-8-bytes-read-as-cp1252 mojibake table (the classic double-encoding
+# class an encoding fixer repairs; cf. ftfy / the CCNet cleanup pass).
+# Patterns are generated, not hand-typed, so engine and oracle share the
+# exact byte sequences; none of the patterns overlap another and no
+# replacement re-creates a pattern, so one ordered replace pass is exact.
+_MOJI_CHARS = "éèäöü’“…"
+MOJIBAKE: list[tuple[str, str]] = [
+    (c.encode("utf-8").decode("cp1252"), c) for c in _MOJI_CHARS]
+
+
+def fix_encoding(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, replacements, fixed_text) — repair cp1252-mojibake
+    (UTF-8 bytes mis-decoded as cp1252: 'cafÃ©' -> 'café') via the
+    MOJIBAKE table.  Counts are computed per pattern before its replace;
+    the patterns are mutually non-overlapping so the counts equal
+    original-text occurrence counts (mirrored in SQL).  Pure per-batch
+    map, pyarrow.compute substring kernels — no exchange.  Reference
+    counterpart: none — north-rule training-data addition (text-fixing
+    family)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if t.type != pa.string():
+            t = t.cast(pa.string())
+        t = pc.fill_null(t, "")
+        reps = None
+        for bad, good in MOJIBAKE:
+            c = pc.count_substring(t, bad).cast(pa.int64())
+            reps = c if reps is None else pc.add(reps, c)
+            t = pc.replace_substring(t, bad, good)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "replacements": reps,
+            "fixed_text": t,
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -1557,3 +1557,68 @@ def test_c4_clean_rules():
     assert "javascript" not in got[1]["clean_text"]
     assert got[2]["keep"] == 0 and got[2]["kept_lines"] == 4
     assert got[3]["keep"] == 0 and got[3]["sentences"] == 4
+
+
+def test_fk_readability_formula():
+    """FK grade matches the hand-computed Kincaid 1975 formula, divisor
+    clamps fire on empty/punctless docs."""
+    from search_engine_ray.stages.textstats import fk_readability
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the cat sat on the mat. the dog ran far away!",
+            "no terminal punctuation here at all",
+            "",
+        ], pa.string()),
+    })
+    got = {r["doc_id"]: r
+           for r in fk_readability(ray.data.from_arrow(docs)).take_all()}
+
+    import re as _re
+    t0 = "the cat sat on the mat. the dog ran far away!"
+    w = len(_re.findall(r"\S+", t0))
+    s = len(_re.findall(r"[.!?]", t0))
+    sy = len(_re.findall(r"[aeiouy]+", t0.lower()))
+    assert (got[0]["words"], got[0]["sentences"], got[0]["syllables"]) == \
+        (w, s, sy) == (11, 2, 12)
+
+    def micro(x):
+        import math
+        return math.floor(x * 1e6 + 0.5)
+
+    assert got[0]["fk_grade_micro"] == micro(
+        0.39 * w / s + 11.8 * sy / w - 15.59)
+    # punctless doc: sentence divisor clamps to 1
+    assert got[1]["sentences"] == 0
+    assert got[1]["fk_grade_micro"] == micro(
+        0.39 * got[1]["words"] / 1
+        + 11.8 * got[1]["syllables"] / got[1]["words"] - 15.59)
+    # empty doc: both divisors clamp, counts are zero
+    assert (got[2]["words"], got[2]["syllables"]) == (0, 0)
+    assert got[2]["fk_grade_micro"] == micro(-15.59)
+
+
+def test_fix_encoding_mojibake():
+    """cp1252 mojibake repaired, replacement counts exact, clean text
+    untouched."""
+    from search_engine_ray.stages.textstats import MOJIBAKE, fix_encoding
+
+    m = {good: bad for bad, good in MOJIBAKE}
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "perfectly clean ascii text",
+            "caf" + m["é"] + " don" + m["’"] + "t",
+            "sch" + m["ö"] + "n " + m["“"] + "quote" + m["…"]
+            + " caf" + m["é"],
+        ], pa.string()),
+    })
+    got = {r["doc_id"]: r
+           for r in fix_encoding(ray.data.from_arrow(docs)).take_all()}
+    assert got[0]["replacements"] == 0
+    assert got[0]["fixed_text"] == "perfectly clean ascii text"
+    assert got[1]["replacements"] == 2
+    assert got[1]["fixed_text"] == "café don’t"
+    assert got[2]["replacements"] == 4
+    assert got[2]["fixed_text"] == "schön “quote… café"
