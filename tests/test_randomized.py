@@ -241,3 +241,30 @@ def test_lm_perplexity_salted_equals_unsalted(seed, n_salts):
     base = rows(1)
     assert base                      # non-trivial corpus
     assert rows(n_salts) == base
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_random_mojibake_roundtrip(seed):
+    """Random clean strings over the repairable alphabet: encode to
+    cp1252 mojibake, repair, and require the identity — with exact
+    replacement counts."""
+    import random
+
+    from search_engine_ray.stages.textstats import _MOJI_CHARS, fix_encoding
+
+    rng = random.Random(seed)
+    alphabet = list("abc def. ") + list(_MOJI_CHARS)
+    clean, broken, counts = [], [], []
+    for _ in range(60):
+        s = "".join(rng.choices(alphabet, k=rng.randint(0, 40)))
+        clean.append(s)
+        broken.append(s.encode("utf-8").decode("cp1252"))
+        counts.append(sum(s.count(c) for c in _MOJI_CHARS))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(clean)), pa.int64()),
+        "text": pa.array(broken, pa.string()),
+    })).repartition(4)
+    got = {r["doc_id"]: r for r in fix_encoding(ds).take_all()}
+    for i, s in enumerate(clean):
+        assert got[i]["fixed_text"] == s, i
+        assert got[i]["replacements"] == counts[i], i
