@@ -160,9 +160,10 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     # concurrent serving: QPS through the HTTP surface backed by a sharded
     # engine (N client threads, each running the query set once) — measures
     # the multi-node serving shape, not just single-stream latency
-    qps, q_p50_ms, q_p99_ms = _bench_qps(index_dir)
+    qps, q_p50_ms, q_p99_ms, ka_qps, ka_p99_ms = _bench_qps(index_dir)
     queries[f"qps_threads{QPS_THREADS}_shards{QPS_SHARDS}"
             f"x{QPS_REPLICAS}"] = qps
+    queries["qps_keepalive"] = ka_qps
 
     # secondary pipelines over the driver testdata tables
     from search_engine_ray.pipelines import queries as Q
@@ -190,6 +191,8 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
         "qps": qps,
         "concurrent_p50_ms": q_p50_ms,
         "query_p99_ms": q_p99_ms,
+        "qps_keepalive": ka_qps,
+        "keepalive_p99_ms": ka_p99_ms,
     }
 
 
@@ -204,9 +207,13 @@ QPS_REPLICAS = int(os.environ.get("QPS_REPLICAS", "2"))
 def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
                n_shards: int = QPS_SHARDS,
                n_replicas: int = QPS_REPLICAS
-               ) -> tuple[float, float, float]:
-    """(qps, p50_ms, p99_ms) for concurrent GET /search load against a
-    ThreadingHTTPServer holding one warm ShardedQueryEngine."""
+               ) -> tuple[float, float, float, float, float]:
+    """(qps, p50_ms, p99_ms, keepalive_qps, keepalive_p99_ms) for
+    concurrent GET /search load against a ThreadingHTTPServer holding one
+    warm ShardedQueryEngine.  The first triple uses one TCP connection
+    per request (urllib, the historical protocol); the keep-alive pair
+    reuses one persistent HTTP/1.1 connection per client thread — the
+    path real search clients and the MCP transport take."""
     import threading
     import urllib.request
     from http.server import ThreadingHTTPServer
@@ -245,12 +252,43 @@ def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
     for t in threads:
         t.join()
     wall = time.time() - t_start
+    lat.sort()
+
+    # keep-alive pass: one persistent HTTP/1.1 connection per thread
+    import http.client
+
+    paths = [u.split(str(port), 1)[1] for u in urls]
+    ka_lat: list[float] = []
+
+    def ka_worker():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        local = []
+        for p in paths:
+            t0 = time.time()
+            conn.request("GET", p)
+            conn.getresponse().read()
+            local.append(time.time() - t0)
+        conn.close()
+        with lock:
+            ka_lat.extend(local)
+
+    ka_start = time.time()
+    ka_threads = [threading.Thread(target=ka_worker)
+                  for _ in range(n_threads)]
+    for t in ka_threads:
+        t.start()
+    for t in ka_threads:
+        t.join()
+    ka_wall = time.time() - ka_start
     srv.shutdown()
     eng.shutdown()
-    lat.sort()
+    ka_lat.sort()
     return (round(len(lat) / wall, 1),
             round(lat[len(lat) // 2] * 1000, 2),
-            round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000, 2))
+            round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000, 2),
+            round(len(ka_lat) / ka_wall, 1),
+            round(ka_lat[min(len(ka_lat) - 1, int(len(ka_lat) * 0.99))]
+                  * 1000, 2))
 
 
 SCALING_REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
