@@ -268,3 +268,47 @@ def test_random_mojibake_roundtrip(seed):
     for i, s in enumerate(clean):
         assert got[i]["fixed_text"] == s, i
         assert got[i]["replacements"] == counts[i], i
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_c4_clean_vs_reference(seed):
+    """c4_clean over random multi-line pages equals a plain-Python
+    re-implementation of the published rules."""
+    import random
+    import re
+
+    from search_engine_ray.stages.textstats import c4_clean
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "javascript", "lorem",
+             "ipsum", "brace{x", "the", "of"]
+    ends = [".", "!", "?", '"', "", " "]
+    docs = []
+    for _ in range(80):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            lines.append(" ".join(rng.choices(words, k=rng.randint(0, 9)))
+                         + rng.choice(ends))
+        docs.append("\n".join(lines))
+
+    def ref(t):
+        lines = t.split("\n")
+        kept = [l for l in lines
+                if re.search(r'[.!?"]$', l)
+                and len(re.findall(r"\S+", l)) >= 5
+                and "javascript" not in l.lower()]
+        clean = "\n".join(kept)
+        sentences = len(re.findall(r"[.!?]", clean))
+        keep = int("lorem ipsum" not in t.lower() and "{" not in t
+                   and sentences >= 3)
+        return (len(lines), len(kept), sentences, keep, clean)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })).repartition(4)
+    got = {r["doc_id"]: r for r in c4_clean(ds).take_all()}
+    for i, t in enumerate(docs):
+        r = got[i]
+        assert (r["total_lines"], r["kept_lines"], r["sentences"],
+                r["keep"], r["clean_text"]) == ref(t), i
