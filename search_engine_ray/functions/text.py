@@ -31,6 +31,10 @@ STOPWORDS = frozenset({
 })
 
 TOKEN_RE = re.compile(r"\b[a-zA-Z0-9]{2,}\b")
+# the oracle-pinned word tokenizer shared by the spellcheck / BPE / LM /
+# DSIR / embedding stages (the _WORDS DuckDB fragment mirrors it) — ONE
+# definition so engine/oracle parity can't drift per stage
+WORD_RE = re.compile(r"[a-z]{2,32}")
 _NORMALIZE_RE = re.compile(r"[^a-z0-9]+")
 
 # Field weights (/root/reference/app/api/search_service.py:22-26); transcript

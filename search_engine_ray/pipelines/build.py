@@ -434,7 +434,11 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         num_partitions=num_partitions, salt=cfg.salt,
         block_size=cfg.block_size, input_fingerprint=fp, resume=False,
         with_doclens=True, merge_existing=True,
-        range_splits=rs, range_base_n=rbase)
+        range_splits=rs, range_base_n=rbase,
+        # idempotent-merge boundary: this generation's doc ids start at n0,
+        # so a retried reducer can drop its own prior output from the
+        # existing segment before re-merging (at-least-once task safety)
+        new_doc_base=n0)
 
     total_tokens = _reserved_total_tokens(
         seg_manifest, num_partitions * rs)

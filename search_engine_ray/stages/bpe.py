@@ -40,7 +40,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-WORD_RE = re.compile(r"[a-z]{2,32}")
+from ..functions.text import WORD_RE  # noqa: E402 — the
+# oracle-pinned word tokenizer, one shared definition
 END_SYM = "</w>"
 
 DEFAULT_NUM_MERGES = 8

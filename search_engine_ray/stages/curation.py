@@ -34,7 +34,7 @@ from ray.data.aggregate import Sum
 
 from ..functions.hashing import md5_hash64_column
 from ..functions.text import TOKEN_RE
-from .textstats import LANG_MARKERS
+from .textstats import classify_lang
 
 DEFAULT_SHARD_BUDGET = 2048       # tokens per training shard
 DEFAULT_BUCKET_SIZE = 65536       # doc_ids per prefix-sum bucket
@@ -222,21 +222,14 @@ def sample_stratified(docs: "ray.data.Dataset", *,
     md5_hash64(str(doc_id)) % 100 < rates[lang].  Pure filter — no RNG, no
     shuffle; reproducible across runs, workers, and the SQL oracle."""
     rates = dict(DEFAULT_STRATA_RATES if rates is None else rates)
-    langs = sorted(LANG_MARKERS)
-    marker_sets = {l: frozenset(LANG_MARKERS[l]) for l in langs}
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
-        out_lang = []
-        for t in texts:
-            toks = set((t or "").lower().split())
-            best_lang, best_n = "unk", 0
-            for l in langs:                      # lexicographic tie-break
-                n = len(toks & marker_sets[l])
-                if n > best_n:
-                    best_lang, best_n = l, n
-            out_lang.append(best_lang)
+        # the SAME classifier lang_id reports — a private copy here could
+        # silently sample under one label and analyze under another
+        out_lang = [classify_lang(set((t or "").lower().split()))
+                    for t in texts]
         draws = md5_hash64_column([str(i) for i in ids]) % 100
         keep = [int(d) < rates.get(l, 100)
                 for d, l in zip(draws, out_lang)]

@@ -78,6 +78,12 @@ def benchmark_ngram_overlap(corpus: "ray.data.Dataset",
 
     from ..util import coalesce_blocks
 
+    if num_partitions is None:
+        # sizing needs .count(): materialize FIRST so the count and the
+        # gram pass don't each execute the upstream lineage (same trap
+        # decontaminated_survivors and line_dedup already dodge)
+        corpus = corpus.select_columns(["doc_id", "text"]).materialize()
+
     corpus_rows = corpus.select_columns(["doc_id", "text"]).map_batches(
         _gram_rows(n), batch_format="pyarrow")
     bench_rows = benchmark.select_columns(["doc_id", "text"]).map_batches(
@@ -171,8 +177,12 @@ def _span_partition(group: pa.Table, *, n: int) -> pa.Table:
 
     Fully vectorized across every doc in the partition: one lexsort by
     (doc_id, pos), island breaks where the doc changes or the position gap
-    exceeds n-1 (spans [p, p+n) overlapping/adjacent merge), then
-    reduceat-style sums via break indices."""
+    exceeds n-1 — i.e. OVERLAPPING token ranges [p, p+n) merge; ranges that
+    merely touch end-to-start (gap exactly n) stay separate spans, since
+    each is independent evidence of a duplicated substring and the
+    concatenation need not itself recur (dup_tokens is unaffected either
+    way: touching ranges don't overlap).  Then reduceat-style sums via
+    break indices."""
     if group.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "dup_spans": pa.array([], pa.int64()),
@@ -209,7 +219,8 @@ def duplicated_spans(docs: "ray.data.Dataset", *, n: int = DEFAULT_NGRAM,
     Training Data Makes Language Models Better"), simplified from suffix
     arrays to fixed-length token grams: a position is duplicated when its
     n-gram occurs more than once in the WHOLE corpus (any doc, including
-    its own); overlapping/adjacent duplicated grams merge into spans.
+    its own); OVERLAPPING duplicated grams merge into spans (token
+    ranges that merely touch end-to-start stay separate — see _span_stats).
     ``dup_tokens`` is the union length — the number of tokens a span-level
     deduper would cut.
 
@@ -225,7 +236,10 @@ def duplicated_spans(docs: "ray.data.Dataset", *, n: int = DEFAULT_NGRAM,
 
     from ..util import coalesce_blocks
 
-    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+    # partition sizing below needs .count(): materialize so the count and
+    # the gram pass don't each execute the upstream lineage
+    docs = docs.select_columns(["doc_id", "text"]).materialize()
+    rows = docs.map_batches(
         _pos_gram_rows(n), batch_format="pyarrow")
     # frequency > 1 over the corpus — total occurrences, not distinct docs,
     # so in-doc repetition (boilerplate) is caught too

@@ -45,7 +45,8 @@ from ray.data.aggregate import Sum
 
 from ..functions.hashing import md5_hash64_column
 
-WORD_RE = re.compile(r"[a-z]{2,32}")
+from ..functions.text import WORD_RE  # noqa: E402 — the
+# oracle-pinned word tokenizer, one shared definition
 
 DEFAULT_BUCKETS = 1024
 DSIR_ALPHA = 1.0
@@ -106,10 +107,8 @@ def _bucket_totals(rows: "ray.data.Dataset", buckets: int) -> np.ndarray:
     return out
 
 
-def _r6u(x: np.ndarray) -> np.ndarray:
-    """ln-microunits: floor(x * 1e6 + 0.5) as int64 (ln values are
-    irrational; one convention shared with the oracle — see stages/lm.py)."""
-    return np.floor(x * 1_000_000.0 + 0.5).astype(np.int64)
+from ..functions.hashing import (  # noqa: E402
+    ln_microunits as _r6u)
 
 
 def dsir_logweights(corpus: "ray.data.Dataset", target: "ray.data.Dataset",

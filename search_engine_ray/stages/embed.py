@@ -30,7 +30,8 @@ import ray.data
 
 from ..functions.hashing import md5_hash64_column, splitmix64_array
 
-WORD_RE = re.compile(r"[a-z]{2,32}")
+from ..functions.text import WORD_RE  # noqa: E402 — the
+# oracle-pinned word tokenizer, one shared definition
 GOLDEN = 0x9E3779B97F4A7C15
 
 DEFAULT_DIMS = 8

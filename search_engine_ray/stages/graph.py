@@ -215,9 +215,11 @@ def pagerank(resolved: "ray.data.Dataset", num_nodes: int, *,
 
     pr = np.full(num_nodes, 1.0 / num_nodes)
     base = (1.0 - damping) / num_nodes
+    # out-degrees never change: one object-store copy for all iterations
+    # (inside the loop this was iterations x ~8B/node of store writes)
+    deg_ref = ray.put(out_deg)
     for _ in range(iterations):
         ref = ray.put(pr)
-        deg_ref = ray.put(out_deg)
 
         def contribs(batch: pa.Table, *, _ref=ref, _dref=deg_ref) -> pa.Table:
             ranks = ray.get(_ref)

@@ -58,7 +58,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-WORD_RE = re.compile(r"[a-z]{2,32}")
+from ..functions.text import WORD_RE  # noqa: E402 — the
+# oracle-pinned word tokenizer, one shared definition
 
 LM_ALPHA = 0.5          # add-alpha smoothing mass per vocabulary entry
 LM_NUM_PARTS = 16
@@ -71,11 +72,8 @@ def _hash_strs(strs: list) -> np.ndarray:
         np.asarray(strs, dtype=object)).view(np.int64)
 
 
-def _r6u(x: np.ndarray) -> np.ndarray:
-    """ln-microunits: floor(x * 1e6 + 0.5) as int64 (ln values are
-    irrational, so the .5 boundary is unreachable in practice; one
-    convention shared with the oracle)."""
-    return np.floor(x * 1_000_000.0 + 0.5).astype(np.int64)
+from ..functions.hashing import (  # noqa: E402
+    ln_microunits as _r6u)
 
 
 def _batch_grams(texts: list) -> tuple[np.ndarray, list, list]:

@@ -309,10 +309,16 @@ def _entry_from_row(row: dict) -> dict:
 
 
 def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
-                         shard: int, merge_existing: bool = False
-                         ) -> pa.Table:
+                         shard: int, merge_existing: bool = False,
+                         new_doc_base: int | None = None) -> pa.Table:
     """Reserved-shard reducer: the '' pseudo-term runs are (doc_id, doc_len)
-    pairs — merge and publish this shard's doclens file."""
+    pairs — merge and publish this shard's doclens file.
+
+    ``new_doc_base``: first doc id of the extend generation being merged.
+    Rows >= it are dropped from the EXISTING file before concatenating —
+    Ray tasks run at-least-once, and a retry that re-reads a segment the
+    first attempt already published would otherwise duplicate every new
+    row (idempotent-merge guard; same filter in _write_segment_group)."""
     d, t = _merge_runs(group.column("doc_ids_enc").to_pylist(),
                        group.column("tfs_enc").to_pylist())
     dl_dir = os.path.join(index_dir, "doclens")
@@ -320,10 +326,15 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
     existing = os.path.join(dl_dir, fname)
     if merge_existing and os.path.exists(existing):
         old = pq.read_table(existing)
-        d = np.concatenate([old.column("doc_id").to_numpy(
-            zero_copy_only=False).astype(np.uint64), d])
-        t = np.concatenate([old.column("doc_len").to_numpy(
-            zero_copy_only=False).astype(np.uint64), t])
+        od = old.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        ot = old.column("doc_len").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        if new_doc_base is not None:
+            keep = od < np.uint64(new_doc_base)
+            od, ot = od[keep], ot[keep]
+        d = np.concatenate([od, d])
+        t = np.concatenate([ot, t])
         order = np.argsort(d, kind="stable")
         d, t = d[order], t[order]
     os.makedirs(dl_dir, exist_ok=True)
@@ -365,7 +376,8 @@ def _write_doclens_group(group: pa.Table, index_dir: str, fp: str,
 def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
                          block_size: int, input_fingerprint: str,
                          reserved_part: int | None = None,
-                         merge_existing: bool = False) -> pa.Table:
+                         merge_existing: bool = False,
+                         new_doc_base: int | None = None) -> pa.Table:
     """Reducer TASK (plain function, not an actor pool: groups become ready
     all at once after the shuffle barrier, so task scheduling beats actor
     spin-up): merge a part's runs per term, write the segment file, emit a
@@ -388,7 +400,8 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     part = int(group.column("part")[0].as_py())
     if reserved_part is not None and part >= reserved_part:
         return _write_doclens_group(group, index_dir, input_fingerprint,
-                                    part - reserved_part, merge_existing)
+                                    part - reserved_part, merge_existing,
+                                    new_doc_base)
     terms = group.column("term").to_pylist()
     dfs = group.column("df").to_numpy(zero_copy_only=False)
     cfs = group.column("cf").to_numpy(zero_copy_only=False)
@@ -460,12 +473,23 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
                  "tf_off": old["block_tf_off"],
                  "count": old["block_count"],
                  "last_doc": old["block_last_doc"]})
+            if new_doc_base is not None:
+                # idempotent-merge guard: a Ray retry re-reads the segment
+                # the first attempt already extended — drop any posting of
+                # THIS generation (doc id >= its base) from the old side
+                # before re-merging, or retries duplicate postings and
+                # double df/cf
+                keep = od < int(new_doc_base)
+                od, ot = od[keep], ot[keep]
             d = np.concatenate([od, d])
             t = np.concatenate([ot, t])
             order = np.argsort(d, kind="stable")
             d, t = d[order], t[order]
-            df += int(old["df"])
-            cf += int(old["cf"])
+            # recomputed from the merged arrays (doc ids are unique per
+            # term: old < new_doc_base <= new), NOT old+new sums — the
+            # stored old df/cf may already include this generation
+            df = int(len(d))
+            cf = int(t.sum())
         emit(term, d, t, df, cf)
     if existing_rows:
         for term in sorted(existing_rows):
@@ -587,7 +611,8 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
                    block_size: int = 128, input_fingerprint: str = "",
                    resume: bool = True, with_doclens: bool = False,
                    merge_existing: bool = False, range_splits: int = 1,
-                   range_base_n: int | None = None) -> dict:
+                   range_base_n: int | None = None,
+                   new_doc_base: int | None = None) -> dict:
     """Posting triples -> segment files + committed manifest.
 
     ``with_doclens=True`` (fused build): the input still carries kind==1
@@ -655,6 +680,7 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
         reserved_part=(num_partitions * range_splits
                        if with_doclens else None),
         merge_existing=merge_existing,
+        new_doc_base=new_doc_base,
     )
     writer_ds = runs.groupby("part").map_groups(
         writer, batch_format="pyarrow",

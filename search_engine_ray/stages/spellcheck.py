@@ -30,7 +30,8 @@ from ray.data.aggregate import Sum
 from ..functions.osa import (LexiconEntry, apply_case, choose_correction,
                              normalize_word, osa_distance, popularity_score)
 
-WORD_RE = re.compile(r"[a-z]{2,32}")
+from ..functions.text import WORD_RE  # noqa: E402 — the
+# oracle-pinned word tokenizer, one shared definition
 
 
 def word_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -21,8 +21,6 @@ import ray.data
 from ..functions.hashing import md5_hash64
 from ..functions.text import STOPWORDS, TOKEN_RE, quality_score
 
-WORD_RE = re.compile(r"[a-z]{2,32}")
-
 # Tiny language-ID marker sets (deterministic heuristic; a distinct-marker
 # count per language, highest count wins, ties -> lexicographic language id,
 # 0 markers -> 'unk').  SQL-mirrorable (IN-list membership).
@@ -32,6 +30,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
     "fr": ("le", "les", "des", "est", "une", "dans", "pour"),
 }
+
+_LANGS = sorted(LANG_MARKERS)
+_MARKER_SETS = {l: frozenset(LANG_MARKERS[l]) for l in _LANGS}
+
+
+def classify_lang(token_set: set) -> str:
+    """Distinct-marker-count language heuristic over a doc's token set —
+    highest count wins, ties lexicographic, zero markers -> 'unk'.  ONE
+    implementation shared by lang_id and the stratified sampler so their
+    strata can't silently diverge."""
+    best_lang, best_n = "unk", 0
+    for l in _LANGS:                             # lexicographic tie-break
+        n = len(token_set & _MARKER_SETS[l])
+        if n > best_n:
+            best_lang, best_n = l, n
+    return best_lang
 
 
 def text_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -92,20 +106,10 @@ def freshness(docs: "ray.data.Dataset", *, build_now: str) -> "ray.data.Dataset"
 def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """(doc_id, lang) — distinct-marker-count heuristic over whitespace
     tokens; deterministic and SQL-mirrorable."""
-    langs = sorted(LANG_MARKERS)
-    marker_sets = {l: frozenset(LANG_MARKERS[l]) for l in langs}
-
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            toks = set((t or "").lower().split())
-            best_lang, best_n = "unk", 0
-            for l in langs:                      # lexicographic tie-break
-                n = len(toks & marker_sets[l])
-                if n > best_n:
-                    best_lang, best_n = l, n
-            out.append(best_lang)
+        out = [classify_lang(set((t or "").lower().split()))
+               for t in texts]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "lang": pa.array(out, pa.string())})
     return docs.select_columns(["doc_id", "text"]).map_batches(

@@ -830,3 +830,56 @@ def test_range_split_extend_equals_full(tmp_path):
     for q in ("word0001 word0002", "word0005", "word0002 word0003"):
         assert [(r["url"], r["score"]) for r in ei.search(q, limit=10)] == \
                [(r["url"], r["score"]) for r in ef.search(q, limit=10)]
+
+
+def test_extend_reducer_retry_is_idempotent(tmp_path, monkeypatch):
+    """Ray tasks run at-least-once: a reduce task that published its
+    extended segment and then re-executes must NOT merge the same new
+    postings twice.  Simulated by running every extend reducer TWICE (the
+    second call re-reads the file the first just published — the exact
+    retry shape); the result must still equal a clean unified build."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import search_engine_ray.stages.postings as P
+    from search_engine_ray.pipelines.build import extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(60, seed=19)
+    mask_a = pc.less(full.column("conv_id"), "conv-000040")
+    part_a, part_b = full.filter(mask_a), full.filter(pc.invert(mask_a))
+    assert part_a.num_rows and part_b.num_rows
+
+    orig = P._write_segment_group
+
+    def retry_twice(group, **kw):
+        orig(group, **kw)          # first attempt publishes the segment
+        return orig(group, **kw)   # retry re-reads the published file
+
+    monkeypatch.setattr(P, "_write_segment_group", retry_twice)
+
+    cfg_inc = EngineConfig(index_dir=str(tmp_path / "inc"), num_partitions=6)
+    build_index(ray.data.from_arrow(part_a).repartition(3), cfg_inc,
+                source_desc="retry-a")
+    extend_index(ray.data.from_arrow(part_b).repartition(2), cfg_inc,
+                 source_desc="retry-b")
+
+    monkeypatch.setattr(P, "_write_segment_group", orig)
+    cfg_full = EngineConfig(index_dir=str(tmp_path / "full"),
+                            num_partitions=6)
+    build_index(ray.data.from_arrow(full).repartition(4), cfg_full,
+                source_desc="retry-full")
+
+    qi, qf = QueryEngine(cfg_inc.index_dir), QueryEngine(cfg_full.index_dir)
+    assert qi.doc_total == qf.doc_total == full.num_rows
+    assert qi.avgdl == qf.avgdl
+    assert set(qi._dict) == set(qf._dict)
+    for term in qf._dict:
+        a, b = qi.postings(term), qf.postings(term)
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]), \
+            term
+        assert qi.term_stats(term) == qf.term_stats(term)
+    assert np.array_equal(qi._doc_len, qf._doc_len)
+    for q, limit, offset in QUERY_SET[:6]:
+        assert _rows_key(qi.search(q, limit=limit, offset=offset)) == \
+            _rows_key(qf.search(q, limit=limit, offset=offset)), q
