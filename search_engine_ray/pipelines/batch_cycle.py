@@ -137,7 +137,11 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
 
     # bm25 stats (runner.py:52, bm25_stats.py:8-27): term df/idf + constants
     def _bm25() -> int:
-        toks = tokenize_docs(docs).filter(expr="kind == 0")
+        # ONE tokenize pass: the combined stream carries both kinds (term
+        # rows and doc-length rows); without the materialize the stage ran
+        # the full Porter tokenize twice, once per filter consumer
+        combined = tokenize_docs(docs).materialize()
+        toks = combined.filter(expr="kind == 0")
         doc_total = docs.count()
         from ray.data.aggregate import Count, Sum
         import numpy as np
@@ -155,7 +159,7 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
         stats_ds = toks.groupby("term").aggregate(Count()).map_batches(
             _idf, batch_format="pyarrow")
         rows = _publish("term_stats", stats_ds)
-        lens = tokenize_docs(docs).filter(expr="kind == 1").map_batches(
+        lens = combined.filter(expr="kind == 1").map_batches(
             lambda b: pa.table({"doc_id": b.column("doc_id"),
                                 "doc_len": b.column("tf")}),
             batch_format="pyarrow")

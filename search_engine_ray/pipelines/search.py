@@ -45,9 +45,11 @@ class QueryEngineActor:
 
         out_qid, out_rank, out_conv, out_turn = [], [], [], []
         out_role, out_score, out_ts, out_mt = [], [], [], []
+        stage1 = "wand" if self._use_wand else "exhaustive"
         for qid, q, limit, offset in zip(qids, qs, limits, offsets):
-            rows = self._engine.search(q, limit=int(limit or 20),
-                                       offset=int(offset or 0))
+            rows, _ = self._engine.search_with_count(
+                q, limit=int(limit or 20), offset=int(offset or 0),
+                stage1=stage1)
             for rank, r in enumerate(rows, start=1):
                 out_qid.append(qid)
                 out_rank.append(rank)
@@ -71,11 +73,15 @@ class QueryEngineActor:
 
 def batch_search(queries: "ray.data.Dataset", index_dir: str, *,
                  scoring: str = "reference", concurrency: int = 4,
-                 batch_size: int = 64) -> "ray.data.Dataset":
+                 batch_size: int = 64,
+                 use_wand: bool = False) -> "ray.data.Dataset":
+    """``use_wand=True`` routes stage-1 through the Block-Max WAND
+    cursors (rank-identical to exhaustive, property-tested; pays off on
+    selective queries over large indexes)."""
     return queries.map_batches(
         QueryEngineActor,
         fn_constructor_args=(index_dir,),
-        fn_constructor_kwargs={"scoring": scoring},
+        fn_constructor_kwargs={"scoring": scoring, "use_wand": use_wand},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),

@@ -151,24 +151,41 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                 self._json(422, {"detail": "q required"})
                 return
             try:
-                limit, offset = _bounded(int((qs.get("limit") or ["20"])[0]),
-                                         int((qs.get("offset") or ["0"])[0]))
+                limit = int((qs.get("limit") or ["20"])[0])
+                offset = int((qs.get("offset") or ["0"])[0])
             except ValueError:
                 # FastAPI rejects unparsable query params with 422, not 500
                 self._json(422, {"detail": "limit/offset must be integers"})
                 return
-            results = self._search_rows(q, limit, offset, intent_bias)
-            self._json(200, {"results": results,
-                             "count": offset + len(results)})
+            if not 1 <= limit <= 100 or offset < 0:
+                # the HTTP endpoints VALIDATE (Query(ge=1, le=100) /
+                # Query(ge=0), main.py:210-212) — only the MCP tool paths
+                # clamp via _bounded (mcp/server.py:27-28)
+                self._json(422, {"detail": "limit must be 1..100, "
+                                           "offset >= 0"})
+                return
+            results, count = self._search_page(q, limit, offset,
+                                               intent_bias)
+            self._json(200, {"results": results, "count": count})
+
+        def _search_page(self, q: str, limit: int, offset: int,
+                         intent_bias: float = 0.0
+                         ) -> tuple[list[dict], int]:
+            """(rows, count) — count is the reference's total
+            ranked-candidate count (max(len(ranked), offset + len(page)),
+            0 for termless queries; search_service.py:338-342), NOT the
+            page length."""
+            with lock:
+                rows, count = engine.search_with_count(
+                    q, limit=limit, offset=offset, intent_bias=intent_bias)
+            return ([{"title": r["tool"] or "",
+                      "description": r.get("text") or "",
+                      "url": r["url"], "score": r["score"]} for r in rows],
+                    count)
 
         def _search_rows(self, q: str, limit: int, offset: int,
                          intent_bias: float = 0.0) -> list[dict]:
-            with lock:
-                rows = engine.search(q, limit=limit, offset=offset,
-                                     intent_bias=intent_bias)
-            return [{"title": r["tool"] or "",
-                     "description": r.get("text") or "",
-                     "url": r["url"], "score": r["score"]} for r in rows]
+            return self._search_page(q, limit, offset, intent_bias)[0]
 
         @staticmethod
         def _rpc_result(rid, result: dict) -> dict:

@@ -42,9 +42,12 @@ def collect_external_frequencies(sources: list[tuple[str, str, int, float]]
     for path, mode, limit, weight in sources:
         loaded = 0
         with open(path, encoding="utf-8", errors="ignore") as f:
-            for rank, raw in enumerate((l.strip() for l in f), start=1):
-                if not raw:
-                    continue
+            # blank lines are filtered BEFORE rank assignment (reference
+            # _fetch_lines yields only non-empty stripped lines,
+            # spellcheck_dictionary.py:55-59) — counting them would shift
+            # every later word's rank and thus its log-rank score
+            nonblank = (l for l in (l.strip() for l in f) if l)
+            for rank, raw in enumerate(nonblank, start=1):
                 if loaded >= limit:
                     break
                 if mode == "counted":

@@ -628,9 +628,24 @@ class QueryEngine:
         /root/reference/app/api/search_service.py:297; the news stage-1 also
         drops field weights, :84-88, which is a no-op here since transcript
         bodies already score at weight 1.0)."""
-        res = self.candidates(q, limit=limit, offset=offset)
+        return self.search_with_count(q, limit=limit, offset=offset,
+                                      intent_bias=intent_bias)[0]
+
+    def search_with_count(self, q: str, *, limit: int = 20, offset: int = 0,
+                          intent_bias: float = 0.0,
+                          stage1: str = "exhaustive"
+                          ) -> tuple[list[dict], int]:
+        """(page, count) with the reference's count semantics: count =
+        max(len(ranked), offset + len(page)), 0 when the query has no
+        scoreable terms (search_service.py:338-342) — the serving layer
+        needs the TOTAL ranked-candidate count, not the page length, or
+        paginating clients under-iterate."""
+        gen = {"exhaustive": self.candidates,
+               "wand": self.candidates_wand,
+               "auto": self.candidates_auto}[stage1]
+        res = gen(q, limit=limit, offset=offset)
         if res is None:
-            return []
+            return [], 0
         cands, ctx = res
         ranked = []
         try:
@@ -653,9 +668,11 @@ class QueryEngine:
                     "matched_terms": matched_terms,
                 })
         except UnicodeDecodeError:
-            return fallback_page(cands, ctx, limit=limit, offset=offset)
+            page = fallback_page(cands, ctx, limit=limit, offset=offset)
+            return page, max(len(cands), offset + len(page))
         ranked.sort(key=lambda r: (-r["score"], r["url"]))
-        return ranked[offset:offset + limit]
+        page = ranked[offset:offset + limit]
+        return page, max(len(ranked), offset + len(page))
 
     def search_table(self, q: str, *, limit: int = 20, offset: int = 0) -> pa.Table:
         rows = self.search(q, limit=limit, offset=offset)

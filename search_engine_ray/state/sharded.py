@@ -115,11 +115,20 @@ class ShardedQueryEngine:
 
     def search(self, q: str, *, limit: int = 20, offset: int = 0,
                intent_bias: float = 0.0) -> list[dict]:
+        return self.search_with_count(q, limit=limit, offset=offset,
+                                      intent_bias=intent_bias)[0]
+
+    def search_with_count(self, q: str, *, limit: int = 20, offset: int = 0,
+                          intent_bias: float = 0.0
+                          ) -> tuple[list[dict], int]:
+        """(page, count), count as in QueryEngine.search_with_count —
+        len(ranked) here is the post-cut candidate list, identical to the
+        single engine's (each shard returns its full local top-cl)."""
         if not self._actors:
             raise RuntimeError("ShardedQueryEngine is shut down")
         ctx = search_context(q, limit, offset)
         if ctx is None:
-            return []
+            return [], 0
         cl = ctx["candidate_limit"]
         terms = sorted(set(ctx["query_terms"]))
         shard_ctx = {"total_terms": ctx["total_terms"],
@@ -137,8 +146,9 @@ class ShardedQueryEngine:
             # candidate set, search_service.py:321-338)
             triples = [r[:3] for _, part in parts for r in part]
             triples.sort(key=lambda r: (-r[1], r[0]))
-            return fallback_page(triples[:cl], ctx, limit=limit,
-                                 offset=offset)
+            triples = triples[:cl]
+            page = fallback_page(triples, ctx, limit=limit, offset=offset)
+            return page, max(len(triples), offset + len(page))
         rows = [r for _, part in parts for r in part]
         # global stage-1 order: (score DESC, doc_id ASC); each shard returned
         # its full local top-cl, so the global top-cl is contained in rows.
@@ -157,7 +167,8 @@ class ShardedQueryEngine:
                 "token_score": token_score, "matched_terms": matched,
             })
         ranked.sort(key=lambda r: (-r["score"], r["url"]))
-        return ranked[offset:offset + limit]
+        page = ranked[offset:offset + limit]
+        return page, max(len(ranked), offset + len(page))
 
     def shutdown(self) -> None:
         for row in self._replicas:

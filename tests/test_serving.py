@@ -35,9 +35,11 @@ def test_search_endpoint_matches_engine(server):
     srv, cfg = server
     status, body = _get(srv.port, "/search?q=word0001%20word0002&limit=5")
     assert status == 200
-    engine_rows = QueryEngine(cfg.index_dir).search(
+    engine_rows, count = QueryEngine(cfg.index_dir).search_with_count(
         "word0001 word0002", limit=5)
-    assert body["count"] == len(engine_rows)
+    # reference count semantics: TOTAL ranked candidates, not page length
+    # (search_service.py:342)
+    assert body["count"] == count >= len(engine_rows)
     assert [r["url"] for r in body["results"]] == \
         [r["url"] for r in engine_rows]
     assert [r["score"] for r in body["results"]] == \
@@ -290,3 +292,29 @@ def test_shutdown_quiesces_keepalive(built_index):
         except OSError:
             status2 = b""
         assert status2 == b"" or b" 503 " in status2 + b" "
+
+
+def test_search_count_and_param_validation(server):
+    """count is the total ranked-candidate count (reference
+    search_service.py:342), and out-of-range limit/offset get FastAPI's
+    422 (Query(ge=1, le=100) / Query(ge=0)), not a clamp."""
+    srv, cfg = server
+    _, small = _get(srv.port, "/search?q=word0001&limit=1")
+    _, big = _get(srv.port, "/search?q=word0001&limit=100")
+    assert len(small["results"]) == 1
+    # count = total ranked candidates at THIS page size (the candidate
+    # limit scales with limit+offset, like the reference's stage-1 LIMIT),
+    # so it exceeds the page length whenever more candidates matched
+    eng = QueryEngine(cfg.index_dir)
+    assert small["count"] == eng.search_with_count("word0001", limit=1)[1] \
+        > len(small["results"])
+    assert big["count"] == eng.search_with_count("word0001", limit=100)[1] \
+        >= len(big["results"]) > 1
+    for bad in ("limit=0", "limit=150", "offset=-1"):
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/search?q=x&{bad}", timeout=10)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 422, bad

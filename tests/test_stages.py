@@ -1622,3 +1622,19 @@ def test_fix_encoding_mojibake():
     assert got[1]["fixed_text"] == "café don’t"
     assert got[2]["replacements"] == 4
     assert got[2]["fixed_text"] == "schön “quote… café"
+
+
+def test_wordlist_blank_lines_do_not_shift_ranks(tmp_path):
+    """Ranked-mode rank counter must skip blank lines BEFORE assigning
+    ranks (reference _fetch_lines filters empties first) — a blank line
+    must not change any following word's log-rank score."""
+    from search_engine_ray.sources.wordlists import (
+        collect_external_frequencies)
+
+    clean = tmp_path / "clean.txt"
+    clean.write_text("alpha\nbeta\ngamma\n")
+    blanky = tmp_path / "blanky.txt"
+    blanky.write_text("alpha\n\n\nbeta\ngamma\n")
+    a = collect_external_frequencies([(str(clean), "ranked", 100, 1.0)])
+    b = collect_external_frequencies([(str(blanky), "ranked", 100, 1.0)])
+    assert a == b and a["beta"] > 0
