@@ -28,11 +28,54 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering note: the driver's correctness gate covers roughly the FIRST
+    # 50 entries, so the window is spent on (a) entries that had no external
+    # CORRECTNESS row yet as of round 3, (b) entries whose implementation
+    # changed this round, and (c) the flagship search path.  Entries with a
+    # green round-3 driver row and no code change this round sit at the
+    # tail; they remain covered by scripts/check_driver.py full sweeps.
     return {
-        # index build + stats (SURVEY.md §2.4 A1/A2)
+        # -- never driver-verified before round 4 ----------------------------
+        "ann_pq_topk": Q.ann_pq_topk,
+        "semdedup_flags": Q.semdedup_flags,
+        "decontaminate": Q.decontaminate,
+        "bloom_decontaminate": Q.bloom_decontaminate,
+        "dsir_logweights": Q.dsir_logweights,
+        "decontam_survivors": Q.decontam_survivors,
+        "span_dedup": Q.span_dedup,
+        "gopher_quality": Q.gopher_quality,
+        "gopher_repetition": Q.gopher_repetition,
+        "transcript_tool_stats": Q.transcript_tool_stats,
+        "embed_documents": Q.embed_documents,
+        "pii_redact": Q.pii_redact,
+        "lm_perplexity": Q.lm_perplexity,
+        "lm_survivors": Q.lm_survivors,
+        "curate_corpus": Q.curate_corpus,
+        "bpe_merges": Q.bpe_merges,
+        "bpe_token_counts": Q.bpe_token_counts,
+        # -- new this round: K4/K6 scheduling caps ---------------------------
+        "schedule_fetch_batch": Q.schedule_fetch_batch,
+        # -- green in round 2 only; refresh the external row -----------------
+        "lineitem_agg": Q.lineitem_agg,
+        "topk_orders": Q.topk_orders,
+        "ann_topk": Q.ann_topk,
+        "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
+        "embedding_near_dups": Q.embedding_near_dups,
+        "embedding_near_dups_aug": Q.embedding_near_dups_aug,
+        "validate_turns": Q.validate_turns,
+        "customers_without_orders": Q.customers_without_orders,
+        "spellcheck_suggestions": Q.spellcheck_suggestions,
+        "media_features": Q.media_features,
+        # -- implementation touched in round 4 (re-verify) -------------------
+        "simhash_fingerprints": Q.simhash_fingerprints,
+        "simhash_near_pairs": Q.simhash_near_pairs,
+        "line_dedup": Q.line_dedup,
+        "c4_clean": Q.c4_clean,
+        "c4_survivors": Q.c4_survivors,
+        # -- flagship index/search path (SURVEY.md §2.4 A1/A2, A6/K1/K2) -----
         "corpus_stats": Q.corpus_stats,
         "term_stats": Q.term_stats,
-        # query path (A6/K1/K2)
         "search_stage1": Q.search_stage1,
         "search_plain": Q.search_plain,
         "search_bm25_plain": Q.search_bm25_plain,
@@ -41,16 +84,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_reference": Q.search_reference,
         "search_bm25": Q.search_bm25,
         "search_news": Q.search_news,
-        # spellcheck (A4/A5)
         "word_counts": Q.word_counts,
         "doc_frequencies": Q.doc_frequencies,
         "spellcheck_dictionary": Q.spellcheck_dictionary,
-        # dedup (D1/D2 + training-data additions)
         "dedup_exact_groups": Q.dedup_exact_groups,
         "dedup_exact_survivors": Q.dedup_exact_survivors,
-        "simhash_fingerprints": Q.simhash_fingerprints,
-        "simhash_near_pairs": Q.simhash_near_pairs,
         "minhash_near_dups": Q.minhash_near_dups,
+        # ---- driver window boundary (~50) ----------------------------------
+        # -- green round-3 driver rows, unchanged this round ------------------
         "ngram_jaccard_near_dups": Q.ngram_jaccard_near_dups,
         "minhash_clusters": Q.minhash_clusters,
         "near_dedup_survivors": Q.near_dedup_survivors,
@@ -59,9 +100,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_examples": Q.pack_examples,
         "sample_stratified": Q.sample_stratified,
         "mix_sources": Q.mix_sources,
-        "line_dedup": Q.line_dedup,
-        "c4_clean": Q.c4_clean,
-        "c4_survivors": Q.c4_survivors,
         "readability": Q.readability,
         "fix_encoding": Q.fix_encoding,
         "events_asof_join": Q.events_asof_join,
@@ -74,54 +112,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cms_registers": Q.events_cms_registers,
         "events_cms_heavy_hitters": Q.events_cms_heavy_hitters,
         "events_sample_weighted": Q.events_sample_weighted,
-        # per-doc text analysis (M5-M8 + additions)
         "text_stats": Q.text_stats,
         "lang_id": Q.lang_id,
         "freshness": Q.freshness,
         "rolling_fingerprints": Q.rolling_fingerprints,
-        # graph (J1/A7/A8)
         "graph_inlinks": Q.graph_inlinks,
         "graph_pagerank": Q.graph_pagerank,
-        # relational / streaming-style ops (A9/K-family over events, orders)
         "events_window": Q.events_window,
         "sessionize": Q.sessionize,
         "join_orders_customers": Q.join_orders_customers,
-        "lineitem_agg": Q.lineitem_agg,
-        "topk_orders": Q.topk_orders,
-        # embeddings (similarity search additions)
-        "ann_topk": Q.ann_topk,
-        "ann_lsh_topk": Q.ann_lsh_topk,
-        "ann_ivf_topk": Q.ann_ivf_topk,
-        "ann_pq_topk": Q.ann_pq_topk,
-        "embedding_near_dups": Q.embedding_near_dups,
-        "semdedup_flags": Q.semdedup_flags,
-        "embedding_near_dups_aug": Q.embedding_near_dups_aug,
-        # validation filter (M5) + anti-join (J5) + suggestion path (J4)
-        "validate_turns": Q.validate_turns,
-        "customers_without_orders": Q.customers_without_orders,
-        "spellcheck_suggestions": Q.spellcheck_suggestions,
-        # multimodal plumbing
-        "media_features": Q.media_features,
-        # training-data hygiene: benchmark decontamination + PII redaction
-        "decontaminate": Q.decontaminate,
-        "bloom_decontaminate": Q.bloom_decontaminate,
-        "dsir_logweights": Q.dsir_logweights,
-        "decontam_survivors": Q.decontam_survivors,
-        "span_dedup": Q.span_dedup,
-        "gopher_quality": Q.gopher_quality,
-        "gopher_repetition": Q.gopher_repetition,
-        "transcript_tool_stats": Q.transcript_tool_stats,
-        # batched embedding generation (actor-pool inference plumbing)
-        "embed_documents": Q.embed_documents,
-        "pii_redact": Q.pii_redact,
-        # CCNet-style bigram-LM perplexity quality filter
-        "lm_perplexity": Q.lm_perplexity,
-        "lm_survivors": Q.lm_survivors,
-        # composed curation flagship: all four quality gates intersected
-        "curate_corpus": Q.curate_corpus,
-        # distributed BPE tokenizer training (first 8 merge rules)
-        "bpe_merges": Q.bpe_merges,
-        "bpe_token_counts": Q.bpe_token_counts,
     }
 
 
@@ -1934,6 +1933,19 @@ def oracle_sql() -> dict[str, str]:
              AS sum_value_cents
     FROM events CROSS JOIN range(4) r(k)
     GROUP BY 1, 2
+    """
+
+    sql["schedule_fetch_batch"] = """
+    WITH due AS (
+      SELECT user_id FROM events
+      GROUP BY user_id
+      ORDER BY min(ts), user_id
+      LIMIT 100
+    )
+    SELECT user_id, event_id, ts FROM events
+    WHERE user_id IN (SELECT user_id FROM due)
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id) <= 50
     """
 
     sql["events_sample_per_user"] = """

@@ -493,6 +493,17 @@ def events_hopping_window(sf_dir: str) -> "ray.data.Dataset":
     return hopping_window_counts(ev)
 
 
+def schedule_fetch_batch(sf_dir: str) -> "ray.data.Dataset":
+    """K4/K6 scheduling caps (reference news_fetcher.py:21-23,207-215):
+    the 100 most-overdue keys (min ts), then the 50 newest events per
+    selected key — global run cap + per-key item cap in one pipeline
+    (stages/temporal.schedule_fetch_batch)."""
+    from ..stages.temporal import schedule_fetch_batch as _sched
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "event_id", "ts"])
+    return _sched(ev, max_keys=100, per_key=50)
+
+
 def events_sample_per_user(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic uniform 5-per-user event sample (hash-draw reservoir
     analogue, stages/curation.sample_per_key)."""

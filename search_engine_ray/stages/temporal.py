@@ -220,3 +220,56 @@ def hopping_window_counts(events: "ray.data.Dataset", *,
             "n_events": b.column("sum(n)"),
             "sum_value_cents": b.column("sum(cents)"),
         }), batch_format="pyarrow")
+
+
+def schedule_fetch_batch(events: "ray.data.Dataset", *,
+                         key: str = "user_id", ts_col: str = "ts",
+                         id_col: str = "event_id", max_keys: int = 100,
+                         per_key: int = 50) -> "ray.data.Dataset":
+    """K4/K6 scheduling caps (reference app/batch/news_fetcher.py:21-23 and
+    :207-215): select the ``max_keys`` most-overdue keys -- smallest min(ts),
+    the analogue of ``ORDER BY next_fetch_at NULLS FIRST ... LIMIT
+    MAX_FEEDS_PER_RUN`` -- then cap each selected key at its ``per_key``
+    newest items (MAX_ITEMS_PER_FEED), newest-first by (ts DESC, id ASC).
+
+    Scale shape: key selection is a partial-combined Min aggregate (the
+    exchange ships one row per key, the driver sees <= max_keys rows); the
+    winner set is broadcast via ray.put and applied as a streaming filter;
+    the per-key cap runs as a per-batch partial top-k BEFORE the keyed
+    exchange, so the final shuffle moves at most max_keys * per_key rows per
+    input batch, never the corpus."""
+    import ray
+
+    due = (events.select_columns([key, ts_col])
+           .groupby(key).min(ts_col)
+           .sort([f"min({ts_col})", key]).limit(max_keys))
+    selected = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in ray.get(due.to_arrow_refs())],
+        promote_options="default").column(key).combine_chunks()
+    sel_ref = ray.put(selected)
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        sel = pa.chunked_array([ray.get(sel_ref)])
+        batch = batch.filter(pc.is_in(batch.column(key), value_set=sel))
+        if batch.num_rows == 0:
+            return batch.select([key, id_col, ts_col])
+        keys_np = batch.column(key).to_numpy(zero_copy_only=False)
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ts_np = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ids_np, -ts_np, keys_np))
+        sk = keys_np[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        rank = np.arange(len(sk)) - np.repeat(
+            starts, np.diff(np.append(starts, len(sk))))
+        keep = np.sort(order[rank < per_key])
+        return batch.take(pa.array(keep, pa.int64())).select(
+            [key, id_col, ts_col])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _topk(group)
+
+    partial = events.select_columns([key, id_col, ts_col]).map_batches(
+        _topk, batch_format="pyarrow")
+    return partial.groupby(key).map_groups(finalize, batch_format="pyarrow")
