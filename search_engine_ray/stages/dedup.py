@@ -34,8 +34,36 @@ from ..functions.simhash import hamming64, simhash_text
 # -- fingerprints (reference D1) -------------------------------------------
 
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Batch-vectorized SimHash64, bit-identical to functions/simhash.
+    simhash_text (the per-doc path stays as the tested reference).
+
+    One md5 pass over the batch's FACTORIZED token vocabulary (each distinct
+    token hashed once per batch, not once per occurrence), then per-doc
+    weighted bit sums via ``np.add.reduceat`` over the token stream and a
+    single ``packbits`` for the sign bits — no per-document Python loop.
+    Charikar identity used: sum over unique features of (2*bit-1)*count
+    == 2 * sum(bits over the raw stream) - stream length."""
+    import pandas as pd
+
     texts = batch.column("text").to_pylist()
-    fps = [simhash_text(t) for t in texts]
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    fps = np.zeros(len(texts), dtype=np.int64)
+    flat = [w for toks in tok_lists for w in toks]
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
+                                      sort=False)
+        hashes = md5_hash64_column(list(uniques))[codes]      # (T,)
+        bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little").astype(np.int32)
+        kept = np.flatnonzero(counts > 0)
+        starts = (np.concatenate(([0], np.cumsum(counts)))[:-1])[kept]
+        sums = np.add.reduceat(bits, starts, axis=0)          # (n_kept, 64)
+        v = 2 * sums - counts[kept, None]
+        fp_u64 = np.packbits((v > 0).astype(np.uint8), axis=1,
+                             bitorder="little").view(np.uint64).ravel()
+        fps[kept] = fp_u64.view(np.int64)   # == to_signed64 wrap
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(fps, pa.int64()),
@@ -385,21 +413,20 @@ def simhash_near_pairs(docs: "ray.data.Dataset", *, max_hamming: int = 3
     fps = fingerprints(docs)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        """Band-major (band, band_key, doc_id, fingerprint) rows — pure
+        numpy tile/repeat + one vectorized shift per band, no .tolist()."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
         f = batch.column("fingerprint").to_numpy(zero_copy_only=False).astype(
             np.uint64)
-        bands, keys, docs_, fvals = [], [], [], []
-        for b in range(4):
-            part = ((f >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            bands.extend([b] * len(ids))
-            keys.extend(part.tolist())
-            docs_.extend(ids.tolist())
-            fvals.extend(f.astype(np.int64).tolist())
+        n = len(ids)
+        shifts = np.repeat(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        keys = ((np.tile(f, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table({
-            "band": pa.array(bands, pa.int32()),
-            "band_key": pa.array(keys, pa.int64()),
-            "doc_id": pa.array(docs_, pa.int64()),
-            "fingerprint": pa.array(fvals, pa.int64()),
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+            "band_key": pa.array(keys),
+            "doc_id": pa.array(np.tile(ids, 4)),
+            "fingerprint": pa.array(np.tile(f.view(np.int64), 4)),
         })
 
     def band_pairs(group: pa.Table) -> pa.Table:
@@ -542,7 +569,8 @@ _LINE_PACK = 1 << 20            # packed key = doc_id * 2^20 + line_idx
 
 def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
                boilerplate_mod: int = 0,
-               num_partitions: int | None = None) -> "ray.data.Dataset":
+               num_partitions: int | None = None,
+               hash_bits: int = 64) -> "ray.data.Dataset":
     """C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2):
     a line occurring in multiple documents is kept only at its FIRST
     occurrence in (doc_id, line_idx) order; every other occurrence is
@@ -560,10 +588,18 @@ def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
     Scale shape: the argmin groupby ships only (line_hash, packed-int)
     pairs; line TEXT crosses exactly one partitioned exchange (the winner
     join — the irreducible cost of any corpus-wide line dedup), and the
-    reassembly groupby is keyed by doc_id.  No driver state.  64-bit line
-    hashes are fine to ~billions of lines; at 100 TB (trillions) swap
-    hash64 for the 128-bit md5 pair."""
+    reassembly groupby is keyed by doc_id.  No driver state.
+
+    ``hash_bits`` selects the line-identity hash width: 64 (blake2b-64,
+    int64 keys — fine to ~billions of lines, birthday bound ~2^32) or 128
+    (full md5, hex-string keys — the trillions-of-lines / 100 TB setting;
+    collision probability ~2^-64 at 2^40 lines).  Both widths produce
+    identical output wherever the 64-bit hash is collision-free, which a
+    parity test pins."""
     from ..util import coalesce_blocks
+
+    if hash_bits not in (64, 128):
+        raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -589,9 +625,14 @@ def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
             out_line.extend(lines)
         doc = np.asarray(out_doc, dtype=np.int64)
         idx = np.asarray(out_idx, dtype=np.int64)
+        if hash_bits == 64:
+            lh = pa.array(hash64_column(out_line).view(np.int64), pa.int64())
+        else:
+            from hashlib import md5
+            lh = pa.array([md5(ln.encode("utf-8")).hexdigest()
+                           for ln in out_line], pa.string())
         return pa.table({
-            "line_hash": pa.array(
-                hash64_column(out_line).view(np.int64), pa.int64()),
+            "line_hash": lh,
             "doc_id": pa.array(doc, pa.int64()),
             "line_idx": pa.array(idx, pa.int64()),
             "line": pa.array(out_line, pa.string()),

@@ -410,19 +410,28 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
 
     # incremental extend: fold the existing segment's terms in.  Terms with
     # new postings are decoded+merged (new doc ids all sort after old ones);
-    # untouched terms are carried over row-for-row without decoding.
+    # untouched terms stay COLUMNAR — a pc.is_in split keeps them as Arrow
+    # arrays end-to-end, so a fat part never pays O(rows x cols) Python dict
+    # builds for rows this generation doesn't touch.
     existing_rows: dict[str, dict] = {}
+    old_untouched: pa.Table | None = None
     if merge_existing:
+        import pyarrow.compute as pc
         fpath0 = os.path.join(index_dir, "segments",
                               f"segment-p{part:05d}.parquet")
         if os.path.exists(fpath0):
             old = pq.read_table(fpath0)
-            # one to_pylist per column (vectorized Arrow conversion), not
-            # O(rows x cols) scalar .as_py() calls
-            cols = {c: old.column(c).to_pylist() for c in old.schema.names}
-            for i in range(old.num_rows):
-                row = {c: v[i] for c, v in cols.items()}
-                existing_rows[row["term"]] = row
+            touched_mask = pc.is_in(
+                old.column("term"),
+                value_set=pa.array(sorted(set(terms)), pa.string()))
+            touched = old.filter(touched_mask)
+            # dict rows only for the touched (decoded+merged) terms
+            cols = {c: touched.column(c).to_pylist()
+                    for c in touched.schema.names}
+            for i in range(touched.num_rows):
+                existing_rows[cols["term"][i]] = {c: v[i]
+                                                  for c, v in cols.items()}
+            old_untouched = old.filter(pc.invert(touched_mask))
 
     o_terms: list[str] = []
     o_df: list[int] = []
@@ -491,30 +500,6 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
             df = int(len(d))
             cf = int(t.sum())
         emit(term, d, t, df, cf)
-    if existing_rows:
-        for term in sorted(existing_rows):
-            if term in new_terms:
-                continue
-            old = existing_rows[term]
-            # untouched term: carry over without decode (re-emit stored
-            # columns; idf recomputed for the new corpus size)
-            o_terms.append(term)
-            o_df.append(int(old["df"]))
-            o_cf.append(int(old["cf"]))
-            o_idf.append(idf_fn(doc_total, int(old["df"])))
-            o_docs.append(old["doc_ids_enc"])
-            o_tfs.append(old["tfs_enc"])
-            o_bld.append(old["block_last_doc"])
-            o_bmt.append(old["block_max_tf"])
-            o_bdo.append(old["block_doc_off"])
-            o_bto.append(old["block_tf_off"])
-            o_bct.append(old["block_count"])
-        # deterministic term order after the carry-over interleave
-        order = sorted(range(len(o_terms)), key=lambda i: o_terms[i])
-        for lst in (o_terms, o_df, o_cf, o_idf, o_docs, o_tfs, o_bld, o_bmt,
-                    o_bdo, o_bto, o_bct):
-            lst[:] = [lst[i] for i in order]
-
     seg = pa.table({
         "term": pa.array(o_terms, pa.string()),
         "df": pa.array(o_df, pa.int64()),
@@ -528,6 +513,20 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
         "block_tf_off": pa.array(o_bto, pa.list_(pa.int64())),
         "block_count": pa.array(o_bct, pa.list_(pa.int64())),
     }, schema=SEGMENT_SCHEMA)
+    if old_untouched is not None and old_untouched.num_rows:
+        # untouched terms carry over as whole Arrow columns; only idf is
+        # rebuilt (scalar math.log per term keeps bit-parity with the
+        # full-rebuild path, which also goes through idf_fn)
+        carried = old_untouched.set_column(
+            old_untouched.schema.get_field_index("idf"), "idf",
+            pa.array([idf_fn(doc_total, int(d))
+                      for d in old_untouched.column("df").to_pylist()],
+                     pa.float64())).cast(SEGMENT_SCHEMA)
+        # term sets are disjoint (touched terms merged above), so one sort
+        # restores the deterministic term order (UTF-8 byte order == the
+        # Python-str order the rebuild path produces)
+        seg = pa.concat_tables([seg, carried]).sort_by(
+            [("term", "ascending")]).combine_chunks()
 
     fname = f"segment-p{part:05d}.parquet"
     fpath = os.path.join(seg_dir, fname)
@@ -538,11 +537,13 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     os.replace(tmp, fpath)
 
     elapsed = round(_time.time() - t_start, 4)
+    n_terms = seg.num_rows
+    n_postings = int(pa.compute.sum(seg.column("df")).as_py() or 0)
     row = {
         "part": part,
         "file": fname,
-        "num_terms": len(o_terms),
-        "num_postings": int(sum(o_df)),
+        "num_terms": n_terms,
+        "num_postings": n_postings,
         "total_tokens": 0,
         "elapsed_s": elapsed,
         "input_fingerprint": input_fingerprint,
@@ -551,8 +552,8 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     return pa.table({
         "part": pa.array([part], pa.int32()),
         "file": pa.array([fname], pa.string()),
-        "num_terms": pa.array([len(o_terms)], pa.int64()),
-        "num_postings": pa.array([int(sum(o_df))], pa.int64()),
+        "num_terms": pa.array([n_terms], pa.int64()),
+        "num_postings": pa.array([n_postings], pa.int64()),
         "total_tokens": pa.array([0], pa.int64()),
         "elapsed_s": pa.array([elapsed], pa.float64()),
         "input_fingerprint": pa.array([input_fingerprint], pa.string()),

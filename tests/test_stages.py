@@ -798,6 +798,36 @@ def test_line_dedup_first_occurrence_wins():
     assert out2[5]["text_deduped"] == "rr ss"
 
 
+def test_line_dedup_hash_width_parity():
+    """hash_bits=64 (blake2b int64 keys) and hash_bits=128 (full-md5 hex
+    keys, the trillions-of-lines setting) must produce identical dedup
+    output wherever the 64-bit hash is collision-free."""
+    import random
+
+    from search_engine_ray.stages.dedup import line_dedup
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24)))
+             for _ in range(60)]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+    def run(bits):
+        rows = line_dedup(ray.data.from_arrow(docs).repartition(4),
+                          line_tokens=3, boilerplate_mod=7,
+                          hash_bits=bits).take_all()
+        return sorted((r["doc_id"], r["kept_lines"], r["dropped_lines"],
+                       r["text_deduped"]) for r in rows)
+
+    assert run(64) == run(128)
+
+    with pytest.raises(ValueError, match="hash_bits"):
+        line_dedup(ray.data.from_arrow(docs), hash_bits=96).take_all()
+
+
 def test_batch_cycle_runner(tmp_path, docs_ds, docs_rows):
     """Maintenance-cycle analogue of the reference batch runner
     (runner.py:36-52): all artifact stages publish, semantics spot-checked
