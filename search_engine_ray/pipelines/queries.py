@@ -1026,10 +1026,23 @@ def ann_lsh_topk(sf_dir: str) -> pa.Table:
 
 
 def ann_ivf_topk(sf_dir: str) -> pa.Table:
-    from ..stages.ann import ivf_topk
+    """IVF top-k over the PHYSICAL layout: build writes the embeddings
+    hive-partitioned by coarse list id, search reads only the probed
+    partitions (scan bytes ∝ n_probe/n_lists).  Output is identical to the
+    in-stream ivf_topk (same quantizer, same assignment arithmetic), which
+    stages/ann keeps as the no-relayout fallback."""
+    import shutil
+    import tempfile
+
+    from ..stages.ann import ivf_build, ivf_search
     emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
-    t = ivf_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
-                 k=ANN_K + 10)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        ivf_build(emb, idx)
+        t = ivf_search(idx, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
+                       k=ANN_K + 10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     return _rerank_topk(t)
 
 

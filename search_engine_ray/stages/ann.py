@@ -5,8 +5,12 @@
     top-k, final merge over (num_batches x k) partials.
   * lsh_topk — random-hyperplane LSH bucketing as a scale path: probe only
     buckets within a Hamming radius of each query's sign signature.
-  * ivf_topk — IVF scale path: seeded k-means coarse quantizer, queries
-    probe only the n_probe nearest centroid lists.
+  * ivf_topk — IVF in-stream path: deterministic k-means coarse quantizer,
+    queries probe only the n_probe nearest centroid lists (per-batch mask).
+  * ivf_build / ivf_search — IVF physical layout: embeddings written
+    hive-partitioned by list id; a search passes ONLY the probed lists'
+    files to the reader, so scan bytes ∝ n_probe/n_lists (ivf_scan_stats
+    measures it).  Identical results to ivf_topk.
   * cosine_near_dup_pairs — embedding near-dup pairs (cosine >= threshold)
     via LSH band blocking.
 
@@ -211,11 +215,12 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     assigns every vector to its nearest centroid list; queries score only
     vectors whose list is among the query's ``n_probe`` closest centroids.
 
-    At 100 TB the centroid assignment is the partitioning key: vectors are
-    written bucketed by list id and a query reads only n_probe/n_lists of
-    the data.  Here the probe filter runs inside the same streaming pass
-    (per-batch mask), which preserves the scan-fraction semantics without a
-    re-layout.  Same output shape as brute_force_topk; recall pytest.
+    This is the in-stream variant (per-batch probe mask over a full scan —
+    compute savings only); the PHYSICAL scale path lives in ivf_build /
+    ivf_search below, which writes vectors hive-partitioned by list id so a
+    query reads only n_probe/n_lists of the stored bytes.  Both paths share
+    the quantizer and assignment arithmetic and return identical results.
+    Same output shape as brute_force_topk; recall pytest.
 
     The training sample contract lives in ``_train_sample`` (shared with
     pq_train)."""
@@ -262,6 +267,136 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
     partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         Scorer, fn_constructor_args=(ref, k),
         batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk_partials(partials, k)
+
+
+# -- physical IVF layout ------------------------------------------------------
+# The scale path the in-stream ivf_topk docstring defers to: embeddings are
+# WRITTEN hive-partitioned by coarse list id, so a query physically reads
+# only its probed partitions (scan bytes ∝ n_probe/n_lists) instead of
+# streaming the whole table and masking.
+
+def ivf_build(embeddings: "ray.data.Dataset", index_dir: str, *,
+              n_lists: int = 16, train_sample: int = 2048,
+              seed: int = 42) -> np.ndarray:
+    """Train the coarse quantizer (same deterministic _kmeans contract as
+    ivf_topk) and write the embedding table partitioned by ``list_id``
+    (hive layout, one directory per inverted list) plus the centroids.
+    Assignment is identical to the in-stream path: _normalize + argmax
+    against the 6-dp-rounded centroids, so a partitioned search returns
+    exactly what ivf_topk returns.  Returns the (n_lists, dim) centroids."""
+    import os
+
+    train = _train_sample(embeddings, train_sample)
+    cents = _kmeans(train, n_lists, seed=seed)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        vecs = _normalize(_batch_matrix(batch))
+        a = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(a))
+
+    os.makedirs(index_dir, exist_ok=True)
+    embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["list_id"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_scan_stats(index_dir: str, probe_lists: "np.ndarray") -> dict:
+    """Bytes a probed search physically reads vs the full table — the
+    scan-fraction evidence for the partitioned layout (bench surface)."""
+    import os
+
+    union = {int(x) for row in np.atleast_2d(probe_lists) for x in row}
+    total = probed = 0
+    lists_dir = os.path.join(index_dir, "lists")
+    for d in os.listdir(lists_dir):
+        if not d.startswith("list_id="):
+            continue
+        sz = sum(os.path.getsize(os.path.join(lists_dir, d, f))
+                 for f in os.listdir(os.path.join(lists_dir, d)))
+        total += sz
+        if int(d.split("=", 1)[1]) in union:
+            probed += sz
+    return {"probed_bytes": probed, "total_bytes": total,
+            "scan_fraction": round(probed / total, 4) if total else 0.0}
+
+
+def ivf_search(index_dir: str, query_ids: list[int],
+               query_vecs: np.ndarray, k: int = 10, *,
+               n_probe: int = 4) -> pa.Table:
+    """Top-k over a physical IVF layout: prune to the union of every
+    query's ``n_probe`` nearest lists AT THE READ (hive-partition filter —
+    non-probed partitions never leave storage), then per-query masking by
+    the stored list_id.  Output is identical to ivf_topk at the same
+    quantizer settings; ties and merge semantics via _merge_topk_partials."""
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qv = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe_lists = np.argsort(-(qv @ cents.T), axis=1)[:, :n_probe]
+    union = sorted({int(x) for row in probe_lists for x in row})
+    ref = ray.put({"ids": list(query_ids), "qmat": qv,
+                   "probe": probe_lists})
+
+    # pruning by construction: ONLY the probed lists' directories are passed
+    # to the reader, so non-probed partitions never leave storage (no
+    # reliance on filter pushdown); empty lists have no directory
+    lists_dir = os.path.join(index_dir, "lists")
+    paths = []
+    for l in union:
+        d = os.path.join(lists_dir, f"list_id={l}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    from ray.data.datasource.partitioning import Partitioning
+    ds = ray.data.read_parquet(
+        paths, columns=["vec_id", "embedding", "list_id"],
+        partitioning=Partitioning("hive", base_dir=lists_dir,
+                                  field_types={"list_id": int}))
+
+    class Scorer:
+        def __init__(self, ref, k):
+            q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self._qids = q["ids"]
+            self._qmat = q["qmat"]
+            self._probe = [set(p.tolist()) for p in q["probe"]]
+            self._k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            lists = batch.column("list_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self._qids)):
+                mask = np.isin(lists, list(self._probe[qi]))
+                if not mask.any():
+                    continue
+                row = self._qmat[qi] @ vecs[mask].T
+                sel_ids = ids[mask]
+                kk = min(self._k, len(row))
+                top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) \
+                    else np.arange(len(row))
+                for j in top:
+                    out_q.append(int(self._qids[qi]))
+                    out_v.append(int(sel_ids[j]))
+                    out_s.append(float(row[j]))
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            })
+
+    partials = ds.map_batches(Scorer, fn_constructor_args=(ref, k),
+                              batch_format="pyarrow", concurrency=(1, 8))
     return _merge_topk_partials(partials, k)
 
 

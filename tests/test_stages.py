@@ -397,6 +397,39 @@ def test_ivf_topk_recall_and_determinism():
     assert approx.equals(approx2)       # seeded quantizer => deterministic
 
 
+def test_ivf_physical_layout_parity(tmp_path):
+    """ivf_build + ivf_search (hive-partitioned lists, probed-partition
+    reads) must return exactly what the in-stream ivf_topk returns, and the
+    physical scan must touch only ~n_probe/n_lists of the stored bytes."""
+    from search_engine_ray.stages.ann import (_normalize, ivf_build,
+                                              ivf_scan_stats, ivf_search,
+                                              ivf_topk)
+    t = _rand_embeddings()
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+
+    stream = ivf_topk(ds, [0, 1], q, k=5, n_lists=8, n_probe=3)
+    idx = str(tmp_path / "ivf")
+    cents = ivf_build(ds, idx, n_lists=8)
+    phys = ivf_search(idx, [0, 1], q, k=5, n_probe=3)
+
+    def norm(tab):
+        # batch composition differs between the two paths, so BLAS dot
+        # reductions may differ by 1 ulp; the engine's score contract is
+        # 6 dp (the oracle rounds) — compare well past it at 9 dp
+        return sorted(zip(tab.column("query_id").to_pylist(),
+                          tab.column("vec_id").to_pylist(),
+                          (round(c, 9) for c in
+                           tab.column("cosine").to_pylist())))
+    assert norm(stream) == norm(phys)
+
+    probe = np.argsort(-(_normalize(q) @ cents.T), axis=1)[:, :3]
+    stats = ivf_scan_stats(idx, probe)
+    # union of two 3-probe sets over 8 lists scans well under the full table
+    assert 0 < stats["probed_bytes"] < stats["total_bytes"]
+    assert stats["scan_fraction"] <= 6 / 8 + 0.15
+
+
 def test_semdedup_flags_planted_dups_and_reference():
     from search_engine_ray.stages.ann import _kmeans, semdedup
     t = _rand_embeddings()                  # vec 10 ~ vec 7 planted
