@@ -160,7 +160,8 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     # concurrent serving: QPS through the HTTP surface backed by a sharded
     # engine (N client threads, each running the query set once) — measures
     # the multi-node serving shape, not just single-stream latency
-    qps, q_p50_ms, q_p99_ms, ka_qps, ka_p99_ms = _bench_qps(index_dir)
+    (qps, q_p50_ms, q_p99_ms, ka_qps, ka_p99_ms,
+     ka_errs) = _bench_qps(index_dir)
     queries[f"qps_threads{QPS_THREADS}_shards{QPS_SHARDS}"
             f"x{QPS_REPLICAS}"] = qps
     queries["qps_keepalive"] = ka_qps
@@ -193,6 +194,7 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
         "query_p99_ms": q_p99_ms,
         "qps_keepalive": ka_qps,
         "keepalive_p99_ms": ka_p99_ms,
+        "keepalive_errors": ka_errs,
     }
 
 
@@ -207,7 +209,7 @@ QPS_REPLICAS = int(os.environ.get("QPS_REPLICAS", "2"))
 def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
                n_shards: int = QPS_SHARDS,
                n_replicas: int = QPS_REPLICAS
-               ) -> tuple[float, float, float, float, float]:
+               ) -> tuple[float, float, float, float, float, int]:
     """(qps, p50_ms, p99_ms, keepalive_qps, keepalive_p99_ms) for
     concurrent GET /search load against a ThreadingHTTPServer holding one
     warm ShardedQueryEngine.  The first triple uses one TCP connection
@@ -256,21 +258,38 @@ def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
 
     # keep-alive pass: one persistent HTTP/1.1 connection per thread
     import http.client
+    from urllib.parse import urlparse
 
-    paths = [u.split(str(port), 1)[1] for u in urls]
+    def _path_query(u: str) -> str:
+        parsed = urlparse(u)
+        return parsed.path + ("?" + parsed.query if parsed.query else "")
+
+    paths = [_path_query(u) for u in urls]
     ka_lat: list[float] = []
+    ka_errors = [0]
 
     def ka_worker():
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
         local = []
-        for p in paths:
-            t0 = time.time()
-            conn.request("GET", p)
-            conn.getresponse().read()
-            local.append(time.time() - t0)
-        conn.close()
+        errs = 0
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            for p in paths:
+                t0 = time.time()
+                try:
+                    conn.request("GET", p)
+                    conn.getresponse().read()
+                    local.append(time.time() - t0)
+                except Exception:
+                    errs += 1
+                    conn.close()
+                    conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                      timeout=60)
+            conn.close()
+        except Exception:
+            errs += 1
         with lock:
             ka_lat.extend(local)
+            ka_errors[0] += errs
 
     ka_start = time.time()
     ka_threads = [threading.Thread(target=ka_worker)
@@ -286,9 +305,10 @@ def _bench_qps(index_dir: str, n_threads: int = QPS_THREADS,
     return (round(len(lat) / wall, 1),
             round(lat[len(lat) // 2] * 1000, 2),
             round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1000, 2),
-            round(len(ka_lat) / ka_wall, 1),
+            round(len(ka_lat) / ka_wall, 1) if ka_lat else 0.0,
             round(ka_lat[min(len(ka_lat) - 1, int(len(ka_lat) * 0.99))]
-                  * 1000, 2))
+                  * 1000, 2) if ka_lat else 0.0,
+            ka_errors[0])
 
 
 SCALING_REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))

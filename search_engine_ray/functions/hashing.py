@@ -90,12 +90,3 @@ def to_signed64(value: int) -> int:
     if value >= (1 << 63):
         return value - (1 << 64)
     return value
-
-
-def ln_microunits(x):
-    """floor(x * 1e6 + 0.5) as int64 — the repo's pinned float->integer
-    convention for irrational-derived scores (ln-microunits); ONE
-    definition shared by the LM and DSIR stages and mirrored by the
-    DuckDB oracles."""
-    import numpy as np
-    return np.floor(x * 1_000_000.0 + 0.5).astype(np.int64)

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -101,6 +102,21 @@ def _mcp_markdown(results: list[dict]) -> str:
     for r in results:
         out += f"[{r['url']}]({r['title']})\n{r['description']}\n\n"
     return out.strip()
+
+
+_TRACK_INIT = threading.Lock()
+
+
+def _ensure_tracking(srv):
+    """Idempotently attach the in-flight request counter to any server the
+    handler runs under (SearchServer sets it up front; a bare
+    ThreadingHTTPServer + make_handler gets it lazily here)."""
+    if not hasattr(srv, "inflight_lock"):
+        with _TRACK_INIT:
+            if not hasattr(srv, "inflight_lock"):
+                srv.inflight = 0
+                srv.inflight_lock = threading.Lock()
+    return srv
 
 
 def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
@@ -268,6 +284,27 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
             return _bounded(int(raw_limit), int(raw_offset or 0))
 
         def do_POST(self):  # noqa: N802 (stdlib API)
+            self._tracked(self._handle_post)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            self._tracked(self._handle_get)
+
+        def _tracked(self, inner) -> None:
+            """Count in-flight requests on the server object so
+            shutdown() can drain: a request already past the
+            _refuse_if_shutting_down check keeps running after the accept
+            loop stops, and callers commonly tear down the engine (e.g.
+            kill shard actors) as soon as shutdown() returns."""
+            srv = _ensure_tracking(self.server)
+            with srv.inflight_lock:
+                srv.inflight += 1
+            try:
+                inner()
+            finally:
+                with srv.inflight_lock:
+                    srv.inflight -= 1
+
+        def _handle_post(self):
             if self._refuse_if_shutting_down():
                 return
             u = urlparse(self.path)
@@ -342,7 +379,7 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
             except Exception as e:  # pragma: no cover - defensive 500
                 self._json(500, {"detail": str(e)})
 
-        def do_GET(self):  # noqa: N802 (stdlib API)
+        def _handle_get(self):
             if self._refuse_if_shutting_down():
                 return
             u = urlparse(self.path)
@@ -392,6 +429,8 @@ class SearchServer:
                   else QueryEngine(index_dir_or_engine, scoring=scoring))
         self._httpd = ThreadingHTTPServer((host, port),
                                           make_handler(engine, lexicon))
+        self._httpd.inflight = 0
+        self._httpd.inflight_lock = threading.Lock()
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
@@ -408,6 +447,15 @@ class SearchServer:
         # stops the accept loop
         self._httpd.shutting_down = True
         self._httpd.shutdown()
+        # drain in-flight handlers (bounded): requests already past the
+        # refuse check may still be executing against the engine — callers
+        # that kill engine actors right after shutdown() would 500 them
+        deadline = time.time() + 2.0
+        while time.time() < deadline:
+            with self._httpd.inflight_lock:
+                if self._httpd.inflight == 0:
+                    break
+            time.sleep(0.01)
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

@@ -44,6 +44,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..functions.hashing import md5_hash64_column
+from ..functions.rounding import ln_microunits as _r6u
 
 from ..functions.text import WORD_RE  # noqa: E402 — the
 # oracle-pinned word tokenizer, one shared definition
@@ -105,10 +106,6 @@ def _bucket_totals(rows: "ray.data.Dataset", buckets: int) -> np.ndarray:
     for r in agg:
         out[r["bucket"]] = r["sum(n)"]
     return out
-
-
-from ..functions.hashing import (  # noqa: E402
-    ln_microunits as _r6u)
 
 
 def dsir_logweights(corpus: "ray.data.Dataset", target: "ray.data.Dataset",

@@ -58,6 +58,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..functions.rounding import ln_microunits as _r6u
 from ..functions.text import WORD_RE  # noqa: E402 — the
 # oracle-pinned word tokenizer, one shared definition
 
@@ -70,10 +71,6 @@ def _hash_strs(strs: list) -> np.ndarray:
     via pandas), as int64 (bit view)."""
     return pd.util.hash_array(
         np.asarray(strs, dtype=object)).view(np.int64)
-
-
-from ..functions.hashing import (  # noqa: E402
-    ln_microunits as _r6u)
 
 
 def _batch_grams(texts: list) -> tuple[np.ndarray, list, list]:

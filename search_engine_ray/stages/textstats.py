@@ -372,16 +372,17 @@ def c4_clean(docs: "ray.data.Dataset", *,
                                              ignore_case=True))
         keep_line = pc.and_(pc.and_(endp, wc_ok), no_js).to_numpy(
             zero_copy_only=False)
+        offs = offs - offs[0]        # flat is the logical slice from offs[0]
         cs = np.concatenate([[0], np.cumsum(keep_line, dtype=np.int64)])
         kept_n = cs[offs[1:]] - cs[offs[:-1]]
         total_n = np.diff(offs)
-        flat_py = flat.to_pylist()
-        clean = []
-        for d in range(len(offs) - 1):
-            lo, hi = offs[d], offs[d + 1]
-            clean.append("\n".join(
-                flat_py[i] for i in range(lo, hi) if keep_line[i]))
-        ca = pa.array(clean, pa.string())
+        # kept lines stay in Arrow: filter the flattened array, rebuild the
+        # per-doc lists from the kept-count prefix sums, join with \n — no
+        # per-line Python objects
+        kept_flat = flat.filter(pa.array(keep_line))
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(cs[offs], pa.int32()), kept_flat)
+        ca = pc.binary_join(kept_lists, "\n")
         sentences = pc.count_substring_regex(ca, C4_SENTENCE_RE).cast(
             pa.int64())
         page_ok = pc.and_(
