@@ -463,6 +463,52 @@ def test_semdedup_flags_planted_dups_and_reference():
     assert got[7]["is_dup"] + got[10]["is_dup"] == 1
 
 
+def test_semdedup_cluster_count_scaling():
+    """The paper's scale knob (Abbas et al. 2023 run 50k clusters for 100M+
+    docs): raising n_lists must bound the per-cluster pairwise m^2 work —
+    max cluster size shrinks — while near-identical duplicates keep being
+    caught, because twins share an argmax assignment under ANY centroid
+    set and therefore always co-cluster."""
+    from search_engine_ray.stages.ann import semdedup
+
+    rng = np.random.default_rng(17)
+    n, dim = 600, 16
+    vecs = rng.standard_normal((n, dim))
+    planted = [(50, 51), (200, 201), (350, 351), (500, 501)]
+    for a, b in planted:
+        vecs[b] = vecs[a] + rng.standard_normal(dim) * 1e-4
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    sizes, flags = {}, {}
+    for n_lists in (4, 32):
+        rows = semdedup(ds, n_lists=n_lists, tau=0.95,
+                        train_sample=256).take_all()
+        by_id = {r["vec_id"]: r for r in rows}
+        from collections import Counter
+        sizes[n_lists] = max(Counter(
+            r["cluster_id"] for r in rows).values())
+        flags[n_lists] = {vid: by_id[vid]["is_dup"]
+                          for pair in planted for vid in pair}
+        for a, b in planted:
+            assert by_id[a]["cluster_id"] == by_id[b]["cluster_id"], n_lists
+            assert by_id[a]["is_dup"] + by_id[b]["is_dup"] == 1, n_lists
+
+    # every planted pair is caught at BOTH cluster counts (pair-level
+    # parity; WHICH twin survives is centroid-relative — the keep rule
+    # retains the member farther from the centroid, and the centroid
+    # moves with n_lists)
+    caught = {nl: {p for p in planted
+                   if flags[nl][p[0]] + flags[nl][p[1]] == 1}
+              for nl in (4, 32)}
+    assert caught[4] == caught[32] == set(planted)
+    # ...and more lists bound the per-cluster group (m^2 work shrinks)
+    assert sizes[32] < sizes[4]
+
+
 def test_pq_topk_recall_codes_and_determinism():
     from search_engine_ray.stages.ann import (brute_force_topk, pq_encode,
                                               pq_topk, pq_train)
