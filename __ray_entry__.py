@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": Q.bpe_token_counts,
         # -- new this round: K4/K6 scheduling caps ---------------------------
         "schedule_fetch_batch": Q.schedule_fetch_batch,
+        # -- new this round: legacy SymSpell delete-variant path --------------
+        "symspell_deletes": Q.symspell_deletes,
+        "symspell_suggestions": Q.symspell_suggestions,
         # -- green in round 2 only; refresh the external row -----------------
         "lineitem_agg": Q.lineitem_agg,
         "topk_orders": Q.topk_orders,
@@ -87,11 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": Q.word_counts,
         "doc_frequencies": Q.doc_frequencies,
         "spellcheck_dictionary": Q.spellcheck_dictionary,
-        "dedup_exact_groups": Q.dedup_exact_groups,
-        "dedup_exact_survivors": Q.dedup_exact_survivors,
         "minhash_near_dups": Q.minhash_near_dups,
         # ---- driver window boundary (~50) ----------------------------------
         # -- green round-3 driver rows, unchanged this round ------------------
+        "dedup_exact_groups": Q.dedup_exact_groups,
+        "dedup_exact_survivors": Q.dedup_exact_survivors,
         "ngram_jaccard_near_dups": Q.ngram_jaccard_near_dups,
         "minhash_clusters": Q.minhash_clusters,
         "near_dedup_survivors": Q.near_dedup_survivors,
@@ -1343,6 +1346,105 @@ def oracle_sql() -> dict[str, str]:
                        THEN b.word ELSE '' END
                 ELSE
                   CASE WHEN b.pop >= (CASE WHEN b.d = 1 THEN 0.5 ELSE 2.5 END)
+                       THEN b.word ELSE '' END
+           END AS suggestion
+    FROM known k LEFT JOIN best b ON b.input = k.input AND b.rn = 1
+    """
+
+    # Legacy SymSpell delete-variant precompute (engine.py:37-52): distinct
+    # variants reachable by 1..2 single-char deletions; items shorter than 2
+    # chars are never expanded, so the recursive step gates on length >= 2.
+    # distance == length(word) - length(variant) because each step deletes
+    # exactly one character.
+    sql["symspell_deletes"] = f"""
+    WITH RECURSIVE {_WORDS},
+    dict AS (SELECT DISTINCT word FROM words),
+    del(word, variant, d) AS (
+      SELECT word, word, 0 FROM dict
+      UNION
+      SELECT del.word,
+             substr(del.variant, 1, i - 1)
+               || substr(del.variant, i + 1, length(del.variant)),
+             del.d + 1
+      FROM del,
+           LATERAL unnest(generate_series(1, length(del.variant))) AS t(i)
+      WHERE del.d < 2 AND length(del.variant) >= 2
+    )
+    SELECT word, variant,
+           CAST(length(word) - length(variant) AS BIGINT) AS distance
+    FROM del WHERE d > 0
+    GROUP BY ALL
+    """
+
+    # Legacy SymSpell suggestion path: candidates join on shared delete
+    # variants (both sides expanded to depth 2, each including itself), then
+    # the same OSA acceptance contract as spellcheck_suggestions.  Same
+    # damerau_levenshtein stand-in caveat as documented there.
+    sql["symspell_suggestions"] = f"""
+    WITH RECURSIVE {_WORDS},
+    dict AS (
+      SELECT word, count(DISTINCT doc_id) AS df, count(*) AS tf,
+             4.0 * ln(1 + count(DISTINCT doc_id))
+               + 2.0 * ln(1 + count(*)) AS pop
+      FROM words GROUP BY word
+    ),
+    ddel(word, variant, d) AS (
+      SELECT word, word, 0 FROM dict
+      UNION
+      SELECT ddel.word,
+             substr(ddel.variant, 1, i - 1)
+               || substr(ddel.variant, i + 1, length(ddel.variant)),
+             ddel.d + 1
+      FROM ddel,
+           LATERAL unnest(generate_series(1, length(ddel.variant))) AS t(i)
+      WHERE ddel.d < 2 AND length(ddel.variant) >= 2
+    ),
+    inputs(input) AS (VALUES ('tabel'),('jion'),('mrge'),('windwo'),('batc'),
+                             ('strem'),('customer'),('zzzzqqq')),
+    idel(input, variant, d) AS (
+      SELECT input, input, 0 FROM inputs
+      UNION
+      SELECT idel.input,
+             substr(idel.variant, 1, i - 1)
+               || substr(idel.variant, i + 1, length(idel.variant)),
+             idel.d + 1
+      FROM idel,
+           LATERAL unnest(generate_series(1, length(idel.variant))) AS t(i)
+      WHERE idel.d < 2 AND length(idel.variant) >= 2
+    ),
+    cand AS (
+      SELECT DISTINCT i.input, d.word
+      FROM idel i JOIN ddel d ON d.variant = i.variant
+    ),
+    dist AS (
+      SELECT c.input, c.word, d.pop, d.df, d.tf,
+             damerau_levenshtein(c.input, c.word) AS dd
+      FROM cand c JOIN dict d ON d.word = c.word
+      WHERE c.word <> c.input
+    ),
+    valid AS (
+      SELECT * FROM dist
+      WHERE dd <= 2 AND NOT (length(input) <= 3 AND dd > 1)
+    ),
+    best AS (
+      SELECT input, word, pop, dd,
+             row_number() OVER (PARTITION BY input
+                                ORDER BY dd ASC, pop DESC, df DESC, tf DESC,
+                                         word ASC) AS rn
+      FROM valid
+    ),
+    known AS (
+      SELECT i.input, coalesce(d.pop, 0.0) AS kp
+      FROM inputs i LEFT JOIN dict d ON d.word = i.input
+    )
+    SELECT k.input AS word,
+           CASE WHEN b.word IS NULL THEN ''
+                WHEN k.kp > 0.0 THEN
+                  CASE WHEN b.pop >= k.kp
+                            * (CASE WHEN b.dd = 1 THEN 1.8 ELSE 4.0 END)
+                       THEN b.word ELSE '' END
+                ELSE
+                  CASE WHEN b.pop >= (CASE WHEN b.dd = 1 THEN 0.5 ELSE 2.5 END)
                        THEN b.word ELSE '' END
            END AS suggestion
     FROM known k LEFT JOIN best b ON b.input = k.input AND b.rn = 1

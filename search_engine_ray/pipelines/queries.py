@@ -339,6 +339,24 @@ def spellcheck_dictionary(sf_dir: str) -> pa.Table:
     return _round_col(t, "popularity_score")
 
 
+def symspell_deletes(sf_dir: str) -> "ray.data.Dataset":
+    """Legacy SymSpell delete-variant precompute over the corpus lexicon
+    (reference engine.py:37-52 / the dropped spellcheck_deletes table)."""
+    from ..stages.spellcheck import build_dictionary
+    from ..stages.spellcheck import symspell_deletes as sd
+    return sd(build_dictionary(_docs_with_ids(sf_dir)))
+
+
+def symspell_suggestions(sf_dir: str) -> pa.Table:
+    """End-to-end legacy SymSpell suggestion path (delete-join candidates +
+    OSA acceptance) on the same fixed misspelling set as
+    spellcheck_suggestions."""
+    from ..stages.spellcheck import build_dictionary, symspell_lookup
+    inputs = ["tabel", "jion", "mrge", "windwo", "batc", "strem",
+              "customer", "zzzzqqq"]
+    return symspell_lookup(build_dictionary(_docs_with_ids(sf_dir)), inputs)
+
+
 # -- dedup ------------------------------------------------------------------
 
 def dedup_exact_groups(sf_dir: str) -> "ray.data.Dataset":

@@ -266,3 +266,136 @@ class SpellcheckLexicon:
             corr = self.correct_word(orig)
             return apply_case(orig, corr) if corr else orig
         return re.sub(r"[A-Za-z]{2,32}", repl, text or "")
+
+
+# -- SymSpell delete-variant path (legacy engine surface) --------------------
+# The reference's SpellCheckerEngine.generate_deletes
+# (/root/reference/app/spellcheck/engine.py:37-52) precomputed a
+# `spellcheck_deletes` lookup table (dropped by migration 0005 in favor of
+# pg_trgm, but still part of the engine's public surface).  SymSpell
+# guarantee: two strings within OSA distance d share at least one delete
+# variant when both sides expand up to d deletions — complete for every pair
+# the acceptance contract admits (inputs of length <= 3 only accept
+# distance-1 candidates, which always share a variant; the reference's
+# expansion cutoff at length < 2 loses only 2-char-vs-distance-2 pairs,
+# exactly the rejected class; property-tested in tests/test_stages.py).
+
+def _delete_variants(word: str, max_distance: int = 2) -> set:
+    """Reference generate_deletes semantics (engine.py:37-52): the distinct
+    variants reachable by 1..max_distance single-character deletions; items
+    shorter than 2 chars are never expanded further."""
+    deletes: set = set()
+    frontier = {word}
+    for _ in range(max_distance):
+        nxt = set()
+        for item in frontier:
+            if len(item) < 2:
+                continue
+            for i in range(len(item)):
+                v = item[:i] + item[i + 1:]
+                if v not in deletes:
+                    deletes.add(v)
+                    nxt.add(v)
+        frontier = nxt
+    return deletes
+
+
+def symspell_deletes(dictionary: pa.Table, *,
+                     max_distance: int = 2) -> "ray.data.Dataset":
+    """(word, variant, distance) delete-variant table over the lexicon.
+
+    The per-word loop runs over the BOUNDED top-N dictionary (<= 120k words,
+    <= 32 chars each), never the corpus — at full scale the table is
+    O(dict x len^2) rows built one bounded batch per task.  distance ==
+    len(word) - len(variant) by construction (each step deletes exactly one
+    character), which is what the SQL mirror exploits."""
+    words = ray.data.from_arrow(dictionary.select(["word"]))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_w: list = []
+        out_v: list = []
+        for w in batch.column("word").to_pylist():
+            for v in _delete_variants(w, max_distance):
+                out_w.append(w)
+                out_v.append(v)
+        dist = [len(a) - len(b) for a, b in zip(out_w, out_v)]
+        return pa.table({
+            "word": pa.array(out_w, pa.string()),
+            "variant": pa.array(out_v, pa.string()),
+            "distance": pa.array(dist, pa.int64()),
+        })
+
+    return words.map_batches(explode, batch_format="pyarrow")
+
+
+def symspell_lookup(dictionary: pa.Table, inputs: list[str], *,
+                    max_distance: int = 2) -> pa.Table:
+    """Legacy SymSpell suggestion path: candidate = lexicon word whose
+    delete-variant set (plus the word itself) intersects the input's, then
+    the unchanged OSA acceptance contract (choose_correction,
+    engine.py:110-162).
+
+    The delete table streams as a Dataset; the input-side variant map (a few
+    hundred strings per query word) is broadcast in the stage closure; only
+    distinct (input, candidate) pairs reach the driver."""
+    norm_inputs = []
+    for w in inputs:
+        n = normalize_word(w)
+        norm_inputs.append(n)
+    ivar_map: dict[str, set] = {}
+    for q in norm_inputs:
+        if not q:
+            continue
+        for v in _delete_variants(q, max_distance) | {q}:
+            ivar_map.setdefault(v, set()).add(q)
+    ivar_keys = pa.array(sorted(ivar_map), pa.string())
+
+    deletes = symspell_deletes(dictionary, max_distance=max_distance)
+    self_rows = ray.data.from_arrow(pa.table({
+        "word": dictionary.column("word"),
+        "variant": dictionary.column("word"),
+        "distance": pa.array([0] * dictionary.num_rows, pa.int64()),
+    }))
+
+    def match(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = batch.filter(pc.is_in(batch.column("variant"),
+                                    value_set=ivar_keys))
+        qs_out: list = []
+        ws_out: list = []
+        # sub is the tiny intersection (bounded by the broadcast variant set)
+        for v, w in zip(sub.column("variant").to_pylist(),
+                        sub.column("word").to_pylist()):
+            for q in ivar_map[v]:
+                qs_out.append(q)
+                ws_out.append(w)
+        return pa.table({"input": pa.array(qs_out, pa.string()),
+                         "cand": pa.array(ws_out, pa.string())})
+
+    pairs = (deletes.union(self_rows)
+             .map_batches(match, batch_format="pyarrow")
+             .groupby(["input", "cand"]).count()
+             .take_all())
+
+    by_input: dict[str, list] = {}
+    for r in pairs:
+        by_input.setdefault(r["input"], []).append(r["cand"])
+    entries = {w: LexiconEntry(w, int(d), int(t), int(e), float(p))
+               for w, d, t, e, p in zip(
+                   dictionary.column("word").to_pylist(),
+                   dictionary.column("doc_frequency").to_pylist(),
+                   dictionary.column("total_frequency").to_pylist(),
+                   dictionary.column("external_frequency").to_pylist(),
+                   dictionary.column("popularity_score").to_pylist())}
+
+    out: list = []
+    for q_orig, q in zip(inputs, norm_inputs):
+        cands = [entries[c] for c in sorted(by_input.get(q, ()))]
+        known = entries.get(q)
+        corr = choose_correction(word=q, known=known, candidates=cands,
+                                 max_distance=max_distance) if q else None
+        out.append((q_orig, corr or ""))
+    return pa.table({
+        "word": pa.array([a for a, _ in out], pa.string()),
+        "suggestion": pa.array([b for _, b in out], pa.string()),
+    })

@@ -295,6 +295,95 @@ def test_meta_file_roundtrip(docs_ds, tmp_path):
     assert len(lex._entries) == min(50, d.num_rows)
 
 
+def test_symspell_deletes_vs_bruteforce(docs_ds):
+    """The BFS generate_deletes set (reference engine.py:37-52) equals the
+    brute-force model: every distinct subsequence at length len-1 / len-2."""
+    import itertools
+    from search_engine_ray.stages.spellcheck import (build_dictionary,
+                                                     symspell_deletes)
+    d = build_dictionary(docs_ds)
+    got = {(r["word"], r["variant"], r["distance"])
+           for r in symspell_deletes(d).take_all()}
+    expect = set()
+    for w in d.column("word").to_pylist():
+        for dd in (1, 2):
+            if len(w) < 2 or len(w) - dd < 1:
+                continue
+            for keep in itertools.combinations(range(len(w)), len(w) - dd):
+                expect.add((w, "".join(w[i] for i in keep), dd))
+    assert got == expect
+
+
+def test_symspell_delete_join_completeness():
+    """SymSpell guarantee the candidate join relies on, gated exactly the way
+    choose_correction gates candidates: for input q and word w with
+    OSA(q,w) <= 2 AND (len(q) > 3 or distance <= 1), the delete-variant sets
+    (each including the string itself) intersect.  The reference's expansion
+    cutoff (items shorter than 2 chars are never expanded, engine.py:42-43)
+    breaks the naive ungated guarantee only for 2-char strings at distance 2
+    ('ab' vs 'ed' share no variant) — and those pairs are exactly the ones
+    the len<=3 acceptance rule rejects before candidates matter."""
+    import random
+    from search_engine_ray.functions.osa import osa_distance
+    from search_engine_ray.stages.spellcheck import _delete_variants
+    rng = random.Random(42)
+    alpha = "abcdefg"
+    base_words = ["table", "running", "search", "ab", "abc", "aaaa",
+                  "abcdefgh"]
+    checked = 0
+    for _ in range(300):
+        a = rng.choice(base_words)
+        b = list(a)
+        for _e in range(rng.randint(0, 2)):
+            op = rng.choice(("sub", "del", "ins", "swap"))
+            if op == "sub" and b:
+                i = rng.randrange(len(b)); b[i] = rng.choice(alpha)
+            elif op == "del" and len(b) > 1:
+                del b[rng.randrange(len(b))]
+            elif op == "ins":
+                b.insert(rng.randrange(len(b) + 1), rng.choice(alpha))
+            elif op == "swap" and len(b) > 1:
+                i = rng.randrange(len(b) - 1)
+                b[i], b[i + 1] = b[i + 1], b[i]
+        b = "".join(b)
+        dist = osa_distance(a, b)
+        if a == b or dist is None or len(b) < 2:
+            continue
+        # both directions: each string as the query-side input
+        for q, w in ((a, b), (b, a)):
+            if len(q) <= 3 and dist > 1:
+                continue    # choose_correction rejects these outright
+            sq = _delete_variants(q) | {q}
+            sw = _delete_variants(w) | {w}
+            assert sq & sw, (q, w, dist)
+            checked += 1
+    assert checked > 200
+
+
+def test_symspell_lookup_equals_bruteforce(docs_ds):
+    """Delete-join candidates cover every word within OSA distance 2
+    (completeness above), so the lookup must equal choose_correction run
+    against the ENTIRE dictionary."""
+    from search_engine_ray.functions.osa import LexiconEntry, choose_correction
+    from search_engine_ray.stages.spellcheck import (build_dictionary,
+                                                     symspell_lookup)
+    d = build_dictionary(docs_ds)
+    entries = {w: LexiconEntry(w, int(df), int(tf), int(e), float(p))
+               for w, df, tf, e, p in zip(
+                   d.column("word").to_pylist(),
+                   d.column("doc_frequency").to_pylist(),
+                   d.column("total_frequency").to_pylist(),
+                   d.column("external_frequency").to_pylist(),
+                   d.column("popularity_score").to_pylist())}
+    inputs = ["runninng", "wrod", "zzzzqqq", "running", "ab", "tabel"]
+    got = symspell_lookup(d, inputs)
+    for w, s in zip(got.column("word").to_pylist(),
+                    got.column("suggestion").to_pylist()):
+        brute = choose_correction(word=w, known=entries.get(w),
+                                  candidates=list(entries.values()))
+        assert (brute or "") == s, (w, s, brute)
+
+
 # -- text stats -------------------------------------------------------------
 
 def test_text_stats_vs_scalar(docs_ds, docs_rows):
