@@ -1036,10 +1036,23 @@ def ann_topk(sf_dir: str) -> pa.Table:
 
 
 def ann_lsh_topk(sf_dir: str) -> pa.Table:
-    from ..stages.ann import lsh_topk
+    """LSH top-k over the PHYSICAL layout: build writes the embeddings
+    hive-partitioned by signature bucket, search reads only the probed
+    Hamming neighborhoods.  Output is identical to the in-stream lsh_topk
+    (stored signatures, same mask arithmetic), which stages/ann keeps as
+    the no-relayout fallback."""
+    import shutil
+    import tempfile
+
+    from ..stages.ann import lsh_build, lsh_search
     emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
-    t = lsh_topk(emb, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
-                 k=ANN_K + 10)
+    idx = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        lsh_build(emb, idx)
+        t = lsh_search(idx, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
+                       k=ANN_K + 10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     return _rerank_topk(t)
 
 

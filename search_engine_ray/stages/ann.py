@@ -132,7 +132,13 @@ def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
              probe_hamming: int = 2, seed: int = 42) -> pa.Table:
     """Approximate cosine top-k: score only vectors whose hyperplane
     signature is within ``probe_hamming`` of the query's.  Same output shape
-    as brute_force_topk; recall measured in tests."""
+    as brute_force_topk; recall measured in tests.
+
+    This is the in-stream variant (signature mask over a full scan — compute
+    savings only); the PHYSICAL scale path lives in lsh_build / lsh_search
+    below, which writes vectors hive-partitioned by signature bucket so a
+    query reads only the probed Hamming neighborhoods.  Both paths share the
+    plane/signature arithmetic and return identical results."""
     qv = np.asarray(query_vecs, dtype=np.float64)
     planes = _hyperplanes(qv.shape[1], n_bits, seed)
     qsigs = _signatures(_normalize(qv), planes)
@@ -178,6 +184,154 @@ def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
         Scorer, fn_constructor_args=(ref, k, probe_hamming),
         batch_format="pyarrow", concurrency=(1, 8))
     return _merge_topk_partials(partials, k)
+
+
+# -- LSH physical layout ------------------------------------------------------
+# Same move as the IVF layout below: the in-stream lsh_topk saves COMPUTE
+# only (probe mask over a full scan); at 100x the win requires the table to
+# be WRITTEN bucketed by signature so a query physically reads only probed
+# partitions.  Buckets are the top ``bucket_bits`` of the signature: total
+# Hamming distance <= probe implies prefix Hamming <= probe, so the bucket
+# filter is a sound superset of the signature filter (no recall change), and
+# bucket count stays bounded (2^bucket_bits directories) independent of
+# n_bits.
+
+def lsh_build(embeddings: "ray.data.Dataset", index_dir: str, *,
+              n_bits: int = 12, bucket_bits: int = 6,
+              seed: int = 42) -> np.ndarray:
+    """Write the embedding table hive-partitioned by signature bucket
+    (``bucket = sig >> (n_bits - bucket_bits)``), storing the full signature
+    per row so search masks on the STORED bits (bit-identical to the
+    in-stream path, no recompute drift).  Returns the hyperplanes."""
+    import json
+    import os
+
+    dim = _train_sample(embeddings, 1).shape[1]
+    planes = _hyperplanes(dim, n_bits, seed)
+    pref = ray.put(planes)
+    shift = np.uint64(n_bits - bucket_bits)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = ray.get(pref)
+        sigs = _signatures(_normalize(_batch_matrix(batch)), p)
+        batch = batch.append_column("sig", pa.array(sigs, pa.uint64()))
+        return batch.append_column(
+            "bucket", pa.array((sigs >> shift).astype(np.int32)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["bucket"])
+    np.save(os.path.join(index_dir, "planes.npy"), planes)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_bits": n_bits, "bucket_bits": bucket_bits}, f)
+    return planes
+
+
+def lsh_scan_stats(index_dir: str, probe_buckets) -> dict:
+    """Bytes a probed search physically reads vs the full table."""
+    import os
+    union = {int(x) for row in np.atleast_2d(probe_buckets) for x in row}
+    return _hive_scan_stats(os.path.join(index_dir, "buckets"), "bucket=",
+                            union)
+
+
+def lsh_search(index_dir: str, query_ids: list[int],
+               query_vecs: np.ndarray, k: int = 10, *,
+               probe_hamming: int = 2) -> pa.Table:
+    """Top-k over a physical LSH layout: prune to the union of every
+    query's Hamming-<=probe bucket neighborhoods AT THE READ (non-probed
+    partitions never leave storage), then the same per-row signature mask
+    as lsh_topk against the STORED signatures.  Output is identical to
+    lsh_topk at the same (n_bits, seed, probe_hamming)."""
+    import json
+    import os
+
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_bits, bucket_bits = meta["n_bits"], meta["bucket_bits"]
+    shift = np.uint64(n_bits - bucket_bits)
+
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    qsigs = _signatures(_normalize(qv), planes)
+    qtops = (qsigs >> shift).astype(np.uint64)
+    all_buckets = np.arange(1 << bucket_bits, dtype=np.uint64)
+    union: set = set()
+    for qt in qtops:
+        near = all_buckets[_popcount64(all_buckets ^ qt) <= probe_hamming]
+        union.update(int(b) for b in near)
+    ref = ray.put({"ids": list(query_ids), "qmat": _normalize(qv),
+                   "qsigs": qsigs})
+
+    buckets_dir = os.path.join(index_dir, "buckets")
+    paths = []
+    for b in sorted(union):
+        d = os.path.join(buckets_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "sig"])
+
+    class Scorer:
+        def __init__(self, ref, k, probe):
+            q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self._qids = q["ids"]
+            self._qmat = q["qmat"]
+            self._qsigs = q["qsigs"]
+            self._k = k
+            self._probe = probe
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_matrix(batch))
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            sigs = batch.column("sig").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self._qids)):
+                mask = _popcount64(sigs ^ self._qsigs[qi]) <= self._probe
+                if not mask.any():
+                    continue
+                row = self._qmat[qi] @ vecs[mask].T
+                sel_ids = ids[mask]
+                kk = min(self._k, len(row))
+                top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) \
+                    else np.arange(len(row))
+                for j in top:
+                    out_q.append(int(self._qids[qi]))
+                    out_v.append(int(sel_ids[j]))
+                    out_s.append(float(row[j]))
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            })
+
+    partials = ds.map_batches(Scorer,
+                              fn_constructor_args=(ref, k, probe_hamming),
+                              batch_format="pyarrow", concurrency=(1, 8))
+    return _merge_topk_partials(partials, k)
+
+
+def _hive_scan_stats(part_dir: str, prefix: str, union: set) -> dict:
+    """Shared probed-vs-total byte accounting for hive layouts (IVF lists,
+    LSH buckets) — the scan-fraction evidence surfaced in the bench."""
+    import os
+    total = probed = 0
+    for d in os.listdir(part_dir):
+        if not d.startswith(prefix):
+            continue
+        sz = sum(os.path.getsize(os.path.join(part_dir, d, f))
+                 for f in os.listdir(os.path.join(part_dir, d)))
+        total += sz
+        if int(d.split("=", 1)[1]) in union:
+            probed += sz
+    return {"probed_bytes": probed, "total_bytes": total,
+            "scan_fraction": round(probed / total, 4) if total else 0.0}
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
@@ -311,18 +465,8 @@ def ivf_scan_stats(index_dir: str, probe_lists: "np.ndarray") -> dict:
     import os
 
     union = {int(x) for row in np.atleast_2d(probe_lists) for x in row}
-    total = probed = 0
-    lists_dir = os.path.join(index_dir, "lists")
-    for d in os.listdir(lists_dir):
-        if not d.startswith("list_id="):
-            continue
-        sz = sum(os.path.getsize(os.path.join(lists_dir, d, f))
-                 for f in os.listdir(os.path.join(lists_dir, d)))
-        total += sz
-        if int(d.split("=", 1)[1]) in union:
-            probed += sz
-    return {"probed_bytes": probed, "total_bytes": total,
-            "scan_fraction": round(probed / total, 4) if total else 0.0}
+    return _hive_scan_stats(os.path.join(index_dir, "lists"), "list_id=",
+                            union)
 
 
 def ivf_search(index_dir: str, query_ids: list[int],

@@ -519,6 +519,44 @@ def test_ivf_physical_layout_parity(tmp_path):
     assert stats["scan_fraction"] <= 6 / 8 + 0.15
 
 
+def test_lsh_physical_layout_parity(tmp_path):
+    """lsh_build + lsh_search (hive-partitioned signature buckets,
+    probed-neighborhood reads) must return exactly what the in-stream
+    lsh_topk returns, and the physical scan must skip non-probed buckets."""
+    from search_engine_ray.stages.ann import (_hyperplanes, _normalize,
+                                              _popcount64, _signatures,
+                                              lsh_build, lsh_scan_stats,
+                                              lsh_search, lsh_topk)
+    t = _rand_embeddings()
+    ds = ray.data.from_arrow(t).repartition(4)
+    q = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+
+    stream = lsh_topk(ds, [0, 1], q, k=5, n_bits=12, probe_hamming=2)
+    idx = str(tmp_path / "lsh")
+    planes = lsh_build(ds, idx, n_bits=12, bucket_bits=6)
+    phys = lsh_search(idx, [0, 1], q, k=5, probe_hamming=2)
+
+    def norm(tab):
+        # 1-ulp BLAS tolerance across batch compositions, as in the IVF test
+        return sorted(zip(tab.column("query_id").to_pylist(),
+                          tab.column("vec_id").to_pylist(),
+                          (round(c, 9) for c in
+                           tab.column("cosine").to_pylist())))
+    assert norm(stream) == norm(phys)
+    assert len(norm(phys)) > 0
+
+    # scan evidence: probed neighborhoods (prefix Hamming <= 2 around each
+    # query's bucket) touch strictly less than the full table
+    qtops = (_signatures(_normalize(q), planes) >> np.uint64(6))
+    all_b = np.arange(64, dtype=np.uint64)
+    union = {int(b) for qt in qtops
+             for b in all_b[_popcount64(all_b ^ qt) <= 2]}
+    stats = lsh_scan_stats(idx, [list(union)])
+    assert 0 < stats["probed_bytes"] <= stats["total_bytes"]
+    # 2 queries x C(6,<=2)=22 of 64 buckets; allow overlap/size skew slack
+    assert stats["scan_fraction"] < 0.95
+
+
 def test_semdedup_flags_planted_dups_and_reference():
     from search_engine_ray.stages.ann import _kmeans, semdedup
     t = _rand_embeddings()                  # vec 10 ~ vec 7 planted
