@@ -183,6 +183,12 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
             r.materialize()
         queries[name] = round(time.time() - t0, 3)
 
+    # physical ANN layouts: record the probed-vs-total scan fractions so the
+    # driver bench record carries the pruning evidence (embeddings tables
+    # are tiny at every sf, this costs ~seconds)
+    ann_scan = _ann_scan_fractions(sf_dir)
+    queries.update(ann_scan)
+
     ray.shutdown()
     return {
         "metric": "index-build wall sec (turns/sec + BM25 p50 in fields)",
@@ -204,6 +210,55 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
         "effective_cores_probe": eff_pre,
         "effective_cores_probe_post": _effective_cores(0.5),
     }
+
+
+def _ann_scan_fractions(sf_dir: str) -> dict:
+    """Build both physical ANN layouts over the sf embeddings table and
+    report the fraction of stored bytes the bench query set physically
+    reads — the scan-pruning evidence for the hive-partitioned IVF lists
+    and LSH signature buckets."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from search_engine_ray.pipelines.queries import (ANN_QUERY_IDS,
+                                                     _query_vecs,
+                                                     read_parquet_clean)
+    from search_engine_ray.stages.ann import (_hyperplanes, _normalize,
+                                              _popcount64, _signatures,
+                                              ivf_build, ivf_scan_stats,
+                                              lsh_build, lsh_scan_stats)
+    out: dict = {}
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        return out
+    qv = _normalize(_query_vecs(sf_dir))
+    n_probe, probe_hamming, bucket_bits = 4, 2, 6
+
+    idx = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        cents = ivf_build(read_parquet_clean(emb_path), idx)
+        probe = np.argsort(-(qv @ cents.T), axis=1)[:, :n_probe]
+        out["ivf_scan_fraction"] = ivf_scan_stats(idx, probe)[
+            "scan_fraction"]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+    idx = tempfile.mkdtemp(prefix="bench_lsh_")
+    try:
+        planes = lsh_build(read_parquet_clean(emb_path), idx,
+                           bucket_bits=bucket_bits)
+        qtops = _signatures(qv, planes) >> np.uint64(
+            planes.shape[0] - bucket_bits)
+        all_b = np.arange(1 << bucket_bits, dtype=np.uint64)
+        union = {int(b) for qt in qtops
+                 for b in all_b[_popcount64(all_b ^ qt) <= probe_hamming]}
+        out["lsh_scan_fraction"] = lsh_scan_stats(idx, [sorted(union)])[
+            "scan_fraction"]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
 
 
 QPS_THREADS = int(os.environ.get("QPS_THREADS", "8"))
