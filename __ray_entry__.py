@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round: legacy SymSpell delete-variant path --------------
         "symspell_deletes": Q.symspell_deletes,
         "symspell_suggestions": Q.symspell_suggestions,
+        # -- new this round: M2/M3 normalizers, externally oracled ------------
+        "url_normalize": Q.url_normalize,
         # -- green in round 2 only; refresh the external row -----------------
         "lineitem_agg": Q.lineitem_agg,
         "topk_orders": Q.topk_orders,
@@ -1349,6 +1351,46 @@ def oracle_sql() -> dict[str, str]:
                        THEN b.word ELSE '' END
            END AS suggestion
     FROM known k LEFT JOIN best b ON b.input = k.input AND b.rn = 1
+    """
+
+    # M2 normalize_url + M3 registrable_domain over deterministic synthetic
+    # raw URLs (doc_id % 6 templates).  The oracle states the EXPECTED
+    # normalized form analytically per template — it does not reimplement
+    # the normalizer, so any engine deviation (slash collapse, tracking-param
+    # drop, eTLD+1 suffix handling, bare-host netloc rule) hash-mismatches.
+    sql["url_normalize"] = """
+    WITH raws AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS d,
+             CAST(doc_id % 6 AS INTEGER) AS m
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE m
+        WHEN 0 THEN 'HTTPS://WWW.Example.COM//a//b/' || d
+                      || '?utm_source=news&x=1'
+        WHEN 1 THEN 'http://Sub.Shop.Example.CO.UK/p/' || d || '?fbclid=abc'
+        WHEN 2 THEN 'example.net'
+        WHEN 3 THEN 'https://a.b.example.com.au///' || d
+        WHEN 4 THEN 'https://news.example.jp/x/' || d || '#frag'
+        ELSE 'HTTP://example.COM:8080/path/' || d || '?b=2&a=1&gclid=z'
+      END AS raw_url,
+      CASE m
+        WHEN 0 THEN 'https://www.example.com/a/b/' || d || '?x=1'
+        WHEN 1 THEN 'http://sub.shop.example.co.uk/p/' || d
+        WHEN 2 THEN 'https://example.net'
+        WHEN 3 THEN 'https://a.b.example.com.au/' || d
+        WHEN 4 THEN 'https://news.example.jp/x/' || d
+        ELSE 'http://example.com:8080/path/' || d || '?b=2&a=1'
+      END AS norm_url,
+      CASE m
+        WHEN 0 THEN 'example.com'
+        WHEN 1 THEN 'example.co.uk'
+        WHEN 2 THEN ''
+        WHEN 3 THEN 'example.com.au'
+        WHEN 4 THEN 'example.jp'
+        ELSE 'example.com'
+      END AS domain
+    FROM raws
     """
 
     # Legacy SymSpell delete-variant precompute (engine.py:37-52): distinct

@@ -347,6 +347,45 @@ def symspell_deletes(sf_dir: str) -> "ray.data.Dataset":
     return sd(build_dictionary(_docs_with_ids(sf_dir)))
 
 
+#: Raw-URL templates keyed by doc_id % 6, each exercising one normalizer
+#: rule (M2/M3): tracking-param drop, multipart eTLD suffix, scheme default
+#: on a bare host (whole string becomes the netloc, hostname unparseable ->
+#: empty domain, reference-faithful), slash-run collapse, fragment drop,
+#: port + param-order preservation.  The SQL oracle states the EXPECTED
+#: normalized form analytically per template, so any engine deviation
+#: hash-mismatches.
+_URL_TEMPLATES = (
+    lambda d: f"HTTPS://WWW.Example.COM//a//b/{d}?utm_source=news&x=1",
+    lambda d: f"http://Sub.Shop.Example.CO.UK/p/{d}?fbclid=abc",
+    lambda d: "example.net",
+    lambda d: f"https://a.b.example.com.au///{d}",
+    lambda d: f"https://news.example.jp/x/{d}#frag",
+    lambda d: f"HTTP://example.COM:8080/path/{d}?b=2&a=1&gclid=z",
+)
+
+
+def url_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """M2 normalize_url + M3 registrable_domain over a deterministic
+    synthetic URL column (templates above), run distributed."""
+    from ..functions.urlnorm import normalize_url, registrable_domain
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        raws = [_URL_TEMPLATES[i % 6](i) for i in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "raw_url": pa.array(raws, pa.string()),
+            "norm_url": pa.array([normalize_url(r) for r in raws],
+                                 pa.string()),
+            "domain": pa.array([registrable_domain(r) for r in raws],
+                               pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def symspell_suggestions(sf_dir: str) -> pa.Table:
     """End-to-end legacy SymSpell suggestion path (delete-join candidates +
     OSA acceptance) on the same fixed misspelling set as

@@ -338,12 +338,18 @@ def _pairs_with_texts(docs: "ray.data.Dataset",
 
     # The first join can emit EMPTY schema-less blocks for partitions with
     # no matches; as the LEFT side of the second join those blocks can't
-    # resolve FieldRef(doc_b).  Force the intermediate schema.
-    from ..util import force_schema
+    # resolve FieldRef(doc_b).  force_schema alone is NOT enough here:
+    # schema-less blocks skip map_batches entirely, and if one arrives as
+    # the second join's FIRST bundle it poisons every empty aggregator
+    # partition (the documented flaky ArrowInvalid in coalesce_blocks's
+    # docstring — observed live in test_minhash_near_dups under host
+    # contention).  coalesce_blocks merges the empties out of existence;
+    # force_schema then only normalizes column order/types of real blocks.
+    from ..util import coalesce_blocks, force_schema
     mid_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("text_a", pa.large_string())])
-    with_a = with_a.map_batches(force_schema(mid_schema, "doc_b"),
-                                batch_format="pyarrow")
+    with_a = coalesce_blocks(with_a).map_batches(
+        force_schema(mid_schema, "doc_b"), batch_format="pyarrow")
     return with_a.join(txt_b, "inner", num_partitions=nparts,
                        on=("doc_b",))
 
