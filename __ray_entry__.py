@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symspell_suggestions": Q.symspell_suggestions,
         # -- new this round: M2/M3 normalizers, externally oracled ------------
         "url_normalize": Q.url_normalize,
+        # -- new this round: chunking / tf-idf / NFC / incremental dedup ------
+        "chunk_documents": Q.chunk_documents,
+        "tfidf_top_terms": Q.tfidf_top_terms,
+        "nfc_normalize": Q.nfc_normalize,
+        "incremental_dedup": Q.incremental_dedup,
         # -- green in round 2 only; refresh the external row -----------------
         "lineitem_agg": Q.lineitem_agg,
         "topk_orders": Q.topk_orders,
@@ -2730,6 +2735,97 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN lmk l ON l.doc_id = d.doc_id
     LEFT JOIN ndk n ON n.doc_id = d.doc_id
     LEFT JOIN dck c ON c.doc_id = d.doc_id
+    """
+
+    # -- round-4: chunking / tf-idf / NFC / incremental dedup -----------------
+    # Chunk windows: window 32 / stride 24 over the [a-z]{2,32} word stream
+    # (same extractor as _WORDS); last chunk short, zero-word docs emit none.
+    sql["chunk_documents"] = """
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{2,32}') AS words
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, words, len(words) AS n_words FROM w WHERE len(words) > 0
+    ),
+    c AS (
+      SELECT doc_id, words, n_words,
+             unnest(generate_series(0, CAST((n_words - 1) // 24 AS BIGINT)))
+               AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           least(32, n_words - chunk_idx * 24) AS n_tokens,
+           array_to_string(
+             list_slice(words, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+             ' ') AS chunk_text
+    FROM c
+    """
+
+    # tf * ln(N/df) in ln-microunits (the pinned floor-half-up convention);
+    # rank ties broken word-ascending, N counts ALL documents.
+    sql["tfidf_top_terms"] = f"""
+    WITH {_WORDS},
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word, t.tf,
+             t.tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / d.df)
+                               * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
+      FROM tf t JOIN df d USING (word), n
+    ),
+    ranked AS (
+      SELECT doc_id, word, tf, tfidf_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_micro DESC, word ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, word, tf, tfidf_micro FROM ranked WHERE rank <= 5
+    """
+
+    # NFC composition over the decomposed-suffix augmentation
+    # (queries.NFC_A_MOD / NFC_B_MOD; combining acute U+0301 = chr(769),
+    # combining ring U+030A = chr(778), combining diaeresis U+0308 = chr(776))
+    sql["nfc_normalize"] = f"""
+    WITH aug AS (
+      SELECT doc_id, coalesce(text, '')
+        || CASE WHEN doc_id % {Q.NFC_A_MOD} = 0
+                THEN ' cafe' || chr(769) ELSE '' END
+        || CASE WHEN doc_id % {Q.NFC_B_MOD} = 0
+                THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id, nfc_normalize(text) AS text,
+           nfc_normalize(text) <> text AS changed
+    FROM aug
+    """
+
+    # Increment-vs-store dedup over the boilerplate-variant augmentation
+    # (queries.INC_* constants); groups that touch the store are dropped,
+    # survivors keep min doc_id + within-increment dup count.
+    sql["incremental_dedup"] = f"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % {Q.INC_BOILER_MOD} = {Q.INC_BOILER_RES}
+             THEN 'boilerplate variant '
+                  || CAST(doc_id % {Q.INC_VARIANTS} AS VARCHAR)
+             ELSE coalesce(text, '') END AS text
+      FROM documents
+    ),
+    inc AS (SELECT doc_id, text FROM aug
+            WHERE doc_id % {Q.INC_STORE_MOD} <> 0),
+    st AS (SELECT DISTINCT text FROM aug
+           WHERE doc_id % {Q.INC_STORE_MOD} = 0)
+    SELECT min(i.doc_id) AS doc_id, count(*) AS inc_dup_count
+    FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM st s WHERE s.text = i.text)
+    GROUP BY i.text
     """
 
     return sql

@@ -1603,3 +1603,84 @@ def curate_corpus(sf_dir: str) -> "ray.data.Dataset":
     return unioned.groupby("doc_id").aggregate(
         *[Sum(f) for f in FLAGS]).map_batches(
         finalize, batch_format="pyarrow")
+
+
+# -- round-4 additions: chunking / tf-idf / NFC / incremental dedup ----------
+
+def chunk_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Overlapping token-window chunking (stages/chunking.chunk_documents)
+    over the documents table — window 32, stride 24."""
+    from ..stages.chunking import chunk_documents as cd
+    return cd(_documents_docs(sf_dir))
+
+
+def tfidf_top_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document top-5 terms by tf-idf (stages/chunking.tfidf_top_terms),
+    [a-z]{2,32} word semantics, ln-microunit idf."""
+    from ..stages.chunking import tfidf_top_terms as tt
+    return tt(_documents_docs(sf_dir), k=5)
+
+
+# deterministic decomposed-Unicode injection (doc_id-keyed, mirrored in SQL
+# via chr()) — exercises composition on an otherwise-ASCII corpus
+NFC_A_MOD = 13          # ' cafe' + U+0301 (combining acute)  -> 'café'
+NFC_B_MOD = 21          # ' A'+U+030A+'ngstro'+U+0308+'m'     -> 'Ångström'
+_NFC_A_SUF = " café"
+_NFC_B_SUF = " Ångström"
+
+
+def nfc_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Unicode NFC normalization (stages/textstats.nfc_normalize) over docs
+    with deterministic decomposed base+combining suffixes injected."""
+    from ..stages.textstats import nfc_normalize as nn
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b.column("text"), "")
+        a_suf = pa.array(np.where(ids % NFC_A_MOD == 0, _NFC_A_SUF, ""),
+                         pa.string())
+        b_suf = pa.array(np.where(ids % NFC_B_MOD == 0, _NFC_B_SUF, ""),
+                         pa.string())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.binary_join_element_wise(t, a_suf, b_suf, ""),
+        })
+
+    return nn(_documents_docs(sf_dir).map_batches(aug, batch_format="pyarrow"))
+
+
+# deterministic duplicate injection for the incremental-dedup entry: docs
+# with doc_id % 7 == 3 are remapped to one of 20 shared boilerplate variants
+# (variant = doc_id % 20).  The store partition is doc_id % 4 == 0; because
+# 20 % 4 == 0, variants with v % 4 != 0 never enter the store (they survive
+# with inc_dup_count > 1) while v % 4 == 0 variants are store-hits (their
+# whole group is dropped) — both code paths exercised.
+INC_BOILER_MOD = 7
+INC_BOILER_RES = 3
+INC_VARIANTS = 20
+INC_STORE_MOD = 4
+
+
+def incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Increment-vs-store exact dedup (stages/dedup.incremental_dedup_
+    survivors): hash store built from the doc_id % 4 == 0 partition, the
+    rest replayed as the new ingest increment."""
+    from ..stages.dedup import (content_hash_store,
+                                incremental_dedup_survivors)
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b.column("text"), "")
+        boiler = pa.array(
+            np.char.add("boilerplate variant ",
+                        (ids % INC_VARIANTS).astype(str)), pa.string())
+        mask = pa.array(ids % INC_BOILER_MOD == INC_BOILER_RES)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.if_else(mask, boiler, t),
+        })
+
+    docs = _documents_docs(sf_dir).map_batches(aug, batch_format="pyarrow")
+    store = content_hash_store(_mod_filter(docs, INC_STORE_MOD, True))
+    incoming = _mod_filter(docs, INC_STORE_MOD, False)
+    return incremental_dedup_survivors(incoming, store)

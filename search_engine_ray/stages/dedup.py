@@ -103,6 +103,66 @@ def exact_dedup_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow")
 
 
+_STORE_SENTINEL = np.int64(2**62)   # doc_id stand-in for store rows; never
+# emitted (groups containing a store row are dropped entirely)
+
+
+def incremental_dedup_survivors(incoming: "ray.data.Dataset",
+                                store: "ray.data.Dataset",
+                                ) -> "ray.data.Dataset":
+    """Dedup a NEW ingest increment against a persisted fingerprint store.
+
+    ``incoming`` is (doc_id, text); ``store`` is the content-hash table of
+    everything already ingested (column ``content_hash`` — hashes only, the
+    store never ships text).  Output: (doc_id, inc_dup_count) — one row per
+    distinct incoming text that is NOT in the store, doc_id = keep-first
+    (min) within the increment, inc_dup_count = how many incoming rows
+    collapsed into it.
+
+    Shape: hash both sides, union, ONE groupby(content_hash) with
+    (min doc_id, count, min flag) aggregates — store rows carry flag=0 and a
+    sentinel doc_id, so a group whose min flag is 0 touched the store and is
+    dropped.  The exchange ships (hash, doc_id, flag) triples only; this is
+    the incremental-build counterpart of ``exact_dedup_groups`` (same
+    collision assumption: 64-bit content hash, documented at
+    ``_content_hash_batch``).
+    """
+    inc = incoming.select_columns(["doc_id", "text"]).map_batches(
+        _content_hash_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column("flag", pa.array(
+            np.ones(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    st = store.select_columns(["content_hash"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.array(np.full(b.num_rows, _STORE_SENTINEL)),
+            "content_hash": b.column("content_hash"),
+            "flag": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow")
+    agg = inc.union(st).groupby("content_hash").aggregate(
+        Min("doc_id"), Count(), Min("flag"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        fresh = pc.equal(b.column("min(flag)"), 1)
+        b = b.filter(fresh)
+        return pa.table({
+            "doc_id": b.column("min(doc_id)"),
+            "inc_dup_count": b.column("count()"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def content_hash_store(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(content_hash) fingerprint-store projection of an already-ingested
+    corpus — what a production run would persist as Parquet between
+    increments."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _content_hash_batch, batch_format="pyarrow").select_columns(
+        ["content_hash"])
+
+
 def exact_dedup_survivors(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Surviving doc_ids (one per distinct text)."""
     return exact_dedup_groups(docs).map_batches(

@@ -490,3 +490,43 @@ def fix_encoding(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def nfc_normalize(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, text, changed) — Unicode NFC normalization (compose
+    base+combining sequences; the canonical first step of a text-cleaning
+    pipeline so downstream hashing/dedup sees one byte form per grapheme).
+
+    Pure per-batch map, no exchange.  pyarrow's ``utf8_normalize`` does NOT
+    compose base+combining pairs (verified: 'cafe'+U+0301 passes through
+    decomposed), so the normalize itself is ``unicodedata.normalize("NFC")``
+    behind a vectorized ASCII fast path: ``pc.string_is_ascii`` skips the
+    Python call for ASCII rows (the overwhelming majority of English web
+    text), and only non-ASCII rows pay the per-row cost.  Mirrored by
+    DuckDB's ``nfc_normalize``.  Reference counterpart: none — north-rule
+    training-data addition (text-fixing family)."""
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if t.type != pa.string():
+            t = t.cast(pa.string())
+        t = pc.fill_null(t, "")
+        is_ascii = pc.string_is_ascii(t).to_numpy(zero_copy_only=False)
+        if is_ascii.all():
+            out = t
+            changed = pa.array(np.zeros(len(is_ascii), dtype=bool))
+        else:
+            vals = t.to_pylist()
+            norm = [v if a else unicodedata.normalize("NFC", v)
+                    for v, a in zip(vals, is_ascii)]
+            out = pa.array(norm, pa.string())
+            changed = pc.not_equal(out, t)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": out,
+            "changed": changed,
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

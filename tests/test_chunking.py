@@ -1,0 +1,132 @@
+"""Unit tests for the round-4 stages: document chunking, per-doc tf-idf
+top-k, NFC normalization, and increment-vs-store exact dedup."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def _rows(ds):
+    return sorted(tuple(r.values()) for r in ds.take_all())
+
+
+# -- chunk_documents ----------------------------------------------------------
+
+def test_chunk_windows_and_overlap():
+    from search_engine_ray.stages.chunking import chunk_documents
+    words = [f"w{c}" for c in "abcdefghij"]
+    ds = chunk_documents(_docs([(1, " ".join(words))]), window=4, stride=3)
+    got = {(r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in ds.take_all()}
+    # 10 words, stride 3 -> ceil(10/3) = 4 chunks; starts 0,3,6,9
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == (4, "wa wb wc wd")
+    assert got[1] == (4, "wd we wf wg")       # 1-token overlap
+    assert got[2] == (4, "wg wh wi wj")
+    assert got[3] == (1, "wj")                # short tail, no padding
+
+
+def test_chunk_empty_and_nonword_docs():
+    from search_engine_ray.stages.chunking import chunk_documents
+    ds = chunk_documents(_docs([(1, ""), (2, "1234 !!"), (3, "one two")]),
+                         window=4, stride=3)
+    rows = ds.take_all()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["chunk_text"] == "one two"
+
+
+def test_chunk_uses_m10_word_semantics():
+    from search_engine_ray.stages.chunking import chunk_documents
+    # uppercase folded, digits/punct split words, 1-char words dropped
+    ds = chunk_documents(_docs([(1, "Foo-BAR x baz42qux")]),
+                         window=8, stride=8)
+    assert ds.take_all()[0]["chunk_text"] == "foo bar baz qux"
+
+
+# -- tfidf_top_terms ----------------------------------------------------------
+
+def test_tfidf_scores_and_ranks():
+    from search_engine_ray.stages.chunking import tfidf_top_terms
+    # "apple" in 1/3 docs, "pear" in 2/3, "the" in all 3
+    ds = tfidf_top_terms(_docs([
+        (1, "apple apple pear the"),
+        (2, "pear the"),
+        (3, "the"),
+    ]), k=2)
+    by_doc = {}
+    for r in ds.take_all():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["rank"])
+
+    micro = lambda x: int(np.floor(x * 1e6 + 0.5))
+    assert [(r["word"], r["tf"], r["tfidf_micro"]) for r in by_doc[1]] == [
+        ("apple", 2, 2 * micro(math.log(3 / 1))),
+        ("pear", 1, 1 * micro(math.log(3 / 2))),
+    ]
+    assert by_doc[2][0]["word"] == "pear"
+    # idf(the) = ln(1) = 0 -> score 0, still rankable
+    assert [(r["word"], r["tfidf_micro"]) for r in by_doc[3]] == [("the", 0)]
+
+
+def test_tfidf_tie_breaks_word_ascending():
+    from search_engine_ray.stages.chunking import tfidf_top_terms
+    ds = tfidf_top_terms(_docs([(1, "zeta alpha"), (2, "other")]), k=1)
+    rows = [r for r in ds.take_all() if r["doc_id"] == 1]
+    assert len(rows) == 1 and rows[0]["word"] == "alpha"
+
+
+# -- nfc_normalize ------------------------------------------------------------
+
+def test_nfc_composes_and_flags():
+    from search_engine_ray.stages.textstats import nfc_normalize
+    decomposed = "café Ångström"
+    ds = nfc_normalize(_docs([(1, "plain ascii"), (2, decomposed),
+                              (3, "café already composed")]))
+    got = {r["doc_id"]: (r["text"], r["changed"]) for r in ds.take_all()}
+    assert got[1] == ("plain ascii", False)
+    assert got[2] == ("café Ångström", True)
+    assert got[3] == ("café already composed", False)
+
+
+def test_nfc_all_ascii_batch_fast_path():
+    from search_engine_ray.stages.textstats import nfc_normalize
+    ds = nfc_normalize(_docs([(i, f"doc {i}") for i in range(8)]))
+    assert all(not r["changed"] for r in ds.take_all())
+
+
+# -- incremental_dedup_survivors ---------------------------------------------
+
+def test_incremental_dedup_against_store():
+    from search_engine_ray.stages.dedup import (content_hash_store,
+                                                incremental_dedup_survivors)
+    store = content_hash_store(_docs([(100, "old page"), (101, "shared")]))
+    incoming = _docs([
+        (1, "fresh unique"),
+        (2, "shared"),          # store hit -> whole group dropped
+        (3, "twice"), (4, "twice"),   # in-increment dup, no store hit
+        (5, "shared"),          # same store hit, also dropped
+    ])
+    got = _rows(incremental_dedup_survivors(incoming, store))
+    assert got == [(1, 1), (3, 2)]
+
+
+def test_incremental_dedup_empty_store_matches_exact():
+    from search_engine_ray.stages.dedup import (content_hash_store,
+                                                incremental_dedup_survivors)
+    docs = _docs([(1, "a"), (2, "b"), (3, "a")])
+    empty = ray.data.from_arrow(pa.table({
+        "content_hash": pa.array([], pa.int64())}))
+    got = _rows(incremental_dedup_survivors(docs, empty))
+    assert got == [(1, 2), (2, 1)]
