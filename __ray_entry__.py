@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": Q.tfidf_top_terms,
         "nfc_normalize": Q.nfc_normalize,
         "incremental_dedup": Q.incremental_dedup,
+        "domain_stats": Q.domain_stats,
         # -- green in round 2 only; refresh the external row -----------------
         "lineitem_agg": Q.lineitem_agg,
         "topk_orders": Q.topk_orders,
@@ -2804,6 +2805,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, nfc_normalize(text) AS text,
            nfc_normalize(text) <> text AS changed
     FROM aug
+    """
+
+    # Per-registrable-domain aggregation over the url_normalize synthetic
+    # URL column; expected domains stated analytically per template (index =
+    # doc_id % 6), same convention as the url_normalize oracle.  Template 2
+    # is a bare host -> unparseable hostname -> empty domain.
+    sql["domain_stats"] = """
+    WITH w AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-z]{2,32}')) AS BIGINT) AS n_words,
+        CASE doc_id % 6
+          WHEN 0 THEN 'example.com'
+          WHEN 1 THEN 'example.co.uk'
+          WHEN 2 THEN ''
+          WHEN 3 THEN 'example.com.au'
+          WHEN 4 THEN 'example.jp'
+          ELSE 'example.com' END AS domain
+      FROM documents
+    )
+    SELECT domain, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words_total,
+           min(doc_id) AS first_doc_id
+    FROM w GROUP BY domain
     """
 
     # Increment-vs-store dedup over the boilerplate-variant augmentation

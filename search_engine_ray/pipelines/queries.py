@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..config import EngineConfig
 from ..functions.hashing import hash64
@@ -384,6 +384,56 @@ def url_normalize(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def domain_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-registrable-domain corpus statistics (doc count, M10-word total,
+    keep-first doc_id) — the aggregation a crawl-curation pipeline runs to
+    build domain blocklists / quality priors (cf. C4's domain filtering).
+
+    Composition: the url_normalize synthetic URL column -> M3
+    registrable_domain -> ONE pre-aggregated groupby(domain).  The word
+    count is combined inside map_batches so the exchange ships one row per
+    (block, domain), not per doc.  The SQL oracle states the expected
+    domain analytically per template (same convention as url_normalize),
+    so any registrable_domain deviation hash-mismatches."""
+    from ..functions.text import WORD_RE
+    from ..functions.urlnorm import registrable_domain
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        doms = np.asarray(
+            [registrable_domain(_URL_TEMPLATES[i % 6](int(i))) for i in ids],
+            dtype=object)
+        n_words = np.fromiter(
+            (len(WORD_RE.findall((t or "").lower())) for t in texts),
+            dtype=np.int64, count=len(texts))
+        uniq, inv = np.unique(doms, return_inverse=True)
+        return pa.table({
+            "domain": pa.array(uniq, pa.string()),
+            "n_docs": pa.array(np.bincount(inv), pa.int64()),
+            "n_words_total": pa.array(
+                np.bincount(inv, weights=n_words).astype(np.int64)),
+            "first_doc_id": pa.array(
+                np.minimum.reduceat(ids[np.argsort(inv, kind="stable")],
+                                    np.searchsorted(np.sort(inv),
+                                                    np.arange(len(uniq))))),
+        })
+
+    agg = (_documents_docs(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("domain")
+           .aggregate(Sum("n_docs"), Sum("n_words_total"),
+                      Min("first_doc_id")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "domain": b.column("domain"),
+            "n_docs": b.column("sum(n_docs)"),
+            "n_words_total": b.column("sum(n_words_total)"),
+            "first_doc_id": b.column("min(first_doc_id)"),
+        }),
+        batch_format="pyarrow")
 
 
 def symspell_suggestions(sf_dir: str) -> pa.Table:

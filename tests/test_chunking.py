@@ -130,3 +130,19 @@ def test_incremental_dedup_empty_store_matches_exact():
         "content_hash": pa.array([], pa.int64())}))
     got = _rows(incremental_dedup_survivors(docs, empty))
     assert got == [(1, 2), (2, 1)]
+
+
+# -- domain_stats -------------------------------------------------------------
+
+def test_domain_stats_cross_batch_merge():
+    """The per-batch partial aggregation must merge correctly across blocks
+    (Sum of partial counts, Min of partial first ids)."""
+    from search_engine_ray.pipelines.queries import domain_stats
+    got = {r["domain"]: (r["n_docs"], r["n_words_total"], r["first_doc_id"])
+           for r in domain_stats("/root/testdata/sf0.001").take_all()}
+    # templates 0 and 5 both resolve to example.com -> 2 of every 6 docs
+    assert got["example.com"][0] == 2 * 500 // 6 + (1 if 500 % 6 > 0 else 0)
+    assert sum(v[0] for v in got.values()) == 500
+    assert got["example.com"][2] == 0          # doc_id 0 uses template 0
+    assert got["example.co.uk"][2] == 1
+    assert all(v[1] > 0 for v in got.values())
