@@ -93,14 +93,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_stemmed": Q.search_stemmed,
         "search_bm25_stemmed": Q.search_bm25_stemmed,
         "search_reference": Q.search_reference,
+        # ---- driver window boundary (exactly 50 above) ----------------------
+        # -- green round-3 driver rows, unchanged this round ------------------
         "search_bm25": Q.search_bm25,
         "search_news": Q.search_news,
         "word_counts": Q.word_counts,
         "doc_frequencies": Q.doc_frequencies,
         "spellcheck_dictionary": Q.spellcheck_dictionary,
         "minhash_near_dups": Q.minhash_near_dups,
-        # ---- driver window boundary (~50) ----------------------------------
-        # -- green round-3 driver rows, unchanged this round ------------------
         "dedup_exact_groups": Q.dedup_exact_groups,
         "dedup_exact_survivors": Q.dedup_exact_survivors,
         "ngram_jaccard_near_dups": Q.ngram_jaccard_near_dups,
