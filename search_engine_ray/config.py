@@ -88,6 +88,11 @@ class EngineConfig:
     scoring: str = "reference"        # "reference" (tf*idf*fw) | "bm25"
     tokenize_batch_size: int = 2048
     tokenize_concurrency: int | None = None   # None -> Ray decides
+    # docs per fused tokenize+combine task (build's hot stage).  Larger =
+    # longer runs = less shuffle volume, at ~O(batch x avg_doc_len) task
+    # heap for the in-task triples; 16k docs x ~100 tokens ~ 1.6M triples
+    # ~ tens of MB — safe at 32 concurrent tasks on a 128 GiB node.
+    fused_batch_size: int = 16384
     do_stem: bool = True              # False = unstemmed index (SQL-checkable)
     drop_stopwords: bool = True
     # True: checkpoint the tokenize output as a reusable Parquet artifact

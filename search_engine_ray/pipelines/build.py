@@ -66,7 +66,7 @@ from ..stages.doc_ids import (BroadcastCapExceeded, add_doc_ids_join,
                               conv_offsets_arrays)
 from ..stages.postings import build_segments, load_manifest, save_manifest
 from ..stages.stats import corpus_stats, write_stats
-from ..stages.tokenize import tokenize_docs
+from ..stages.tokenize import make_tokenize_fn, tokenize_docs
 from ..util import default_pool_max
 
 # bump when artifact layout changes so resume never reads a stale layout
@@ -288,15 +288,20 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
 
         idx_src = _pruned(["conv_id", "turn_idx", "text"], fan_out=True)
         with_ids = _add_ids(idx_src)
-        combined = tokenize_docs(
-            with_ids, batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency,
-            do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
+        # tokenize rides INSIDE the combiner task (pre_map): the exploded
+        # triples never hit the object store, so the Sort barrier only holds
+        # compact runs and the combiner can't be reservation-throttled
+        # behind its own input queue (the 38.4M-turn / 4-CPU serialization)
         seg_manifest = build_segments(
-            combined, index_dir=index_dir, doc_total=n,
+            with_ids.select_columns(["doc_id", "text"]),
+            index_dir=index_dir, doc_total=n,
             num_partitions=cfg.num_partitions, salt=cfg.salt,
             block_size=cfg.block_size, input_fingerprint=fp, resume=resume,
-            with_doclens=True, range_splits=cfg.range_splits)
+            with_doclens=True, range_splits=cfg.range_splits,
+            pre_map=make_tokenize_fn(do_stem=cfg.do_stem,
+                                     drop_stopwords=cfg.drop_stopwords),
+            pre_batch_size=cfg.fused_batch_size,
+            pre_concurrency=cfg.tokenize_concurrency)
         _mark("segments_pipeline")
 
         if t is not None:
@@ -422,15 +427,16 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         ray.data.read_parquet(transcripts_path,
                               columns=["conv_id", "turn_idx", "text"],
                               override_num_blocks=default_pool_max() * 3)
-    combined = tokenize_docs(
-        add_doc_ids_with_offsets(idx_src, offsets_ref),
-        batch_size=cfg.tokenize_batch_size,
-        concurrency=cfg.tokenize_concurrency,
-        do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
+    combined = add_doc_ids_with_offsets(
+        idx_src, offsets_ref).select_columns(["doc_id", "text"])
     rs = int(manifest.get("range_splits", 1))
     rbase = int(manifest.get("range_base_n", max(n0, 1)))
     seg_manifest = build_segments(
         combined, index_dir=index_dir, doc_total=n,
+        pre_map=make_tokenize_fn(do_stem=cfg.do_stem,
+                                 drop_stopwords=cfg.drop_stopwords),
+        pre_batch_size=cfg.fused_batch_size,
+        pre_concurrency=cfg.tokenize_concurrency,
         num_partitions=num_partitions, salt=cfg.salt,
         block_size=cfg.block_size, input_fingerprint=fp, resume=False,
         with_doclens=True, merge_existing=True,

@@ -607,13 +607,31 @@ def save_manifest(index_dir: str, manifest: dict) -> None:
     os.replace(tmp, manifest_path(index_dir))
 
 
+class _FusedMap:
+    """Compose a per-batch pre-map (tokenize) with the run combiner inside
+    ONE map_batches task.  The pre-map's fat intermediate (exploded posting
+    triples) stays in the task heap; only compact runs reach the object
+    store — the structural fix for the tokenize-output queue starving the
+    combiner under Ray's memory-reservation backpressure (both callables are
+    picklable: a functools.partial over a module fn + a plain-attrs class)."""
+
+    def __init__(self, pre_map, combiner: "_RunCombiner"):
+        self._pre = pre_map
+        self._comb = combiner
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._comb(self._pre(batch))
+
+
 def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
                    doc_total: int, num_partitions: int = 32, salt: int = 1,
                    block_size: int = 128, input_fingerprint: str = "",
                    resume: bool = True, with_doclens: bool = False,
                    merge_existing: bool = False, range_splits: int = 1,
                    range_base_n: int | None = None,
-                   new_doc_base: int | None = None) -> dict:
+                   new_doc_base: int | None = None,
+                   pre_map=None, pre_batch_size: int | None = None,
+                   pre_concurrency=None) -> dict:
     """Posting triples -> segment files + committed manifest.
 
     ``with_doclens=True`` (fused build): the input still carries kind==1
@@ -656,16 +674,31 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
             and all(p in done for p in completed)):
         return manifest
 
-    if not with_doclens and "kind" in combined.schema().names:
+    if pre_map is None and not with_doclens \
+            and "kind" in combined.schema().names:
         combined = combined.filter(expr="kind == 0")
-    # batch_size=None: combine whole blocks — bigger batches = longer runs =
-    # less shuffle volume (default 1024-row batches would emit df~1 runs)
     range_splits = max(1, int(range_splits))
     if range_base_n is None:
         range_base_n = max(1, doc_total)
-    runs = combined.map_batches(
-        _RunCombiner(num_partitions, salt, done, range_splits, range_base_n),
-        batch_format="pyarrow", batch_size=None)
+    combiner = _RunCombiner(num_partitions, salt, done, range_splits,
+                            range_base_n)
+    if pre_map is not None:
+        # FUSED path: ``combined`` is the docs dataset (doc_id, text);
+        # tokenize + combine run in the same task.  Final segment bytes are
+        # run-boundary-invariant (reducers concat+sort+re-encode), so the
+        # fused batch size is a pure memory/shuffle-volume knob.
+        kwargs = {}
+        if pre_concurrency is not None:
+            kwargs["concurrency"] = pre_concurrency
+        runs = combined.map_batches(
+            _FusedMap(pre_map, combiner), batch_format="pyarrow",
+            batch_size=pre_batch_size, **kwargs)
+    else:
+        # batch_size=None: combine whole blocks — bigger batches = longer
+        # runs = less shuffle volume (default 1024-row batches would emit
+        # df~1 runs)
+        runs = combined.map_batches(
+            combiner, batch_format="pyarrow", batch_size=None)
 
     if salt > 1:
         runs = runs.groupby(["part", "salt"]).map_groups(
