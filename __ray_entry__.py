@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": Q.bpe_token_counts,
         # -- new this round: K4/K6 scheduling caps ---------------------------
         "schedule_fetch_batch": Q.schedule_fetch_batch,
+        # -- new this round: rolling ROWS-window aggregates --------------------
+        "events_rolling": Q.events_rolling,
         # -- new this round: legacy SymSpell delete-variant path --------------
         "symspell_deletes": Q.symspell_deletes,
         "symspell_suggestions": Q.symspell_suggestions,
@@ -77,7 +79,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_turns": Q.validate_turns,
         "customers_without_orders": Q.customers_without_orders,
         "spellcheck_suggestions": Q.spellcheck_suggestions,
-        "media_features": Q.media_features,
         # -- implementation touched in round 4 (re-verify) -------------------
         "simhash_fingerprints": Q.simhash_fingerprints,
         "simhash_near_pairs": Q.simhash_near_pairs,
@@ -94,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_stemmed": Q.search_bm25_stemmed,
         "search_reference": Q.search_reference,
         # ---- driver window boundary (exactly 50 above) ----------------------
+        # -- green round-2 driver row, unchanged since (demoted for the new
+        #    events_rolling entry) --------------------------------------------
+        "media_features": Q.media_features,
         # -- green round-3 driver rows, unchanged this round ------------------
         "search_bm25": Q.search_bm25,
         "search_news": Q.search_news,
@@ -2083,6 +2087,23 @@ def oracle_sql() -> dict[str, str]:
              AS sum_value_cents
     FROM events CROSS JOIN range(4) r(k)
     GROUP BY 1, 2
+    """
+
+    # rolling ROWS window over per-user history; cents fixed-point so the
+    # window sums hash bit-exactly (same floor(x*100+0.5) convention as the
+    # hopping window above)
+    sql["events_rolling"] = """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+           MAX(cents) OVER w AS roll_max_cents,
+           COUNT(*) OVER w AS roll_cnt
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """
 
     sql["schedule_fetch_batch"] = """

@@ -600,6 +600,15 @@ def events_hopping_window(sf_dir: str) -> "ray.data.Dataset":
     return hopping_window_counts(ev)
 
 
+def events_rolling(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user rolling 5-row SUM/MAX/COUNT window (SQL ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW): stages/temporal.rolling_user_stats."""
+    from ..stages.temporal import rolling_user_stats
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id", "ts", "user_id", "value"])
+    return rolling_user_stats(ev, window=5)
+
+
 def schedule_fetch_batch(sf_dir: str) -> "ray.data.Dataset":
     """K4/K6 scheduling caps (reference news_fetcher.py:21-23,207-215):
     the 100 most-overdue keys (min ts), then the 50 newest events per

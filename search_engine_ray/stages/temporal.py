@@ -273,3 +273,52 @@ def schedule_fetch_batch(events: "ray.data.Dataset", *,
     partial = events.select_columns([key, id_col, ts_col]).map_batches(
         _topk, batch_format="pyarrow")
     return partial.groupby(key).map_groups(finalize, batch_format="pyarrow")
+
+
+def rolling_user_stats(events: "ray.data.Dataset", *, window: int = 5,
+                       key: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       value_col: str = "value") -> "ray.data.Dataset":
+    """Per-key rolling ROWS-window aggregates — the SQL
+    ``SUM/MAX/COUNT(...) OVER (PARTITION BY key ORDER BY ts, id ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` — as ONE hash exchange keyed by
+    ``key`` with the window math fully vectorized inside the group
+    (prefix-sum difference for the rolling sum, a max-reduce over ``window``
+    shifted copies for the rolling max).  Ray Data has no window-function
+    operator; this is the composition pattern for it.
+
+    Values are fixed-point cents (int64) so results are bit-exact and
+    order-free — float accumulation order never leaks into the output.
+
+    Partitioning assumption: one key's history fits one group (bounded
+    per-entity history; salt the key if a single entity can exceed a block).
+
+    Output: (event_id, user_id, roll_sum_cents, roll_max_cents, roll_cnt),
+    one row per input event."""
+    k = max(1, int(window))
+    int64_min = np.iinfo(np.int64).min
+
+    def per_key(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                (id_col, "ascending")])
+        g = group.take(idx)
+        n = g.num_rows
+        # repo-wide cents convention (== SQL floor(value*100 + 0.5))
+        cents = np.floor(g.column(value_col).to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        pos = np.arange(n, dtype=np.int64)
+        lo = np.maximum(pos - k + 1, 0)
+        pad = np.concatenate((np.full(k - 1, int64_min, dtype=np.int64),
+                              cents))
+        roll_max = np.maximum.reduce([pad[i:i + n] for i in range(k)])
+        return pa.table({
+            id_col: g.column(id_col),
+            key: g.column(key),
+            "roll_sum_cents": pa.array(cs[pos + 1] - cs[lo], pa.int64()),
+            "roll_max_cents": pa.array(roll_max, pa.int64()),
+            "roll_cnt": pa.array(pos + 1 - lo, pa.int64()),
+        })
+
+    return (events.select_columns([key, id_col, ts_col, value_col])
+            .groupby(key).map_groups(per_key, batch_format="pyarrow"))

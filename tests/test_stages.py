@@ -1874,3 +1874,42 @@ def test_wordlist_blank_lines_do_not_shift_ranks(tmp_path):
     a = collect_external_frequencies([(str(clean), "ranked", 100, 1.0)])
     b = collect_external_frequencies([(str(blanky), "ranked", 100, 1.0)])
     assert a == b and a["beta"] > 0
+
+
+def test_rolling_user_stats_vs_naive():
+    """rolling_user_stats == naive per-row ROWS-window over (ts, event_id)
+    order, with timestamp ties and multi-batch partitioning."""
+    import math
+    import random
+
+    from search_engine_ray.stages.temporal import rolling_user_stats
+
+    rng = random.Random(23)
+    n, k = 500, 5
+    rows = []
+    for eid in range(n):
+        rows.append({
+            "event_id": eid,
+            "ts": rng.randrange(0, 300) * 1_000_000,     # us, heavy ties
+            "user_id": rng.randrange(6),
+            "value": round(rng.uniform(0, 200), 2),
+        })
+    t = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "value": pa.array([r["value"] for r in rows], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    got = {r["event_id"]: (r["roll_sum_cents"], r["roll_max_cents"],
+                           r["roll_cnt"])
+           for r in rolling_user_stats(ds, window=k).take_all()}
+    assert len(got) == n
+
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        hist = by_user.setdefault(r["user_id"], [])
+        hist.append((r["event_id"], int(math.floor(r["value"] * 100 + 0.5))))
+        win = [c for _, c in hist[-k:]]
+        assert got[r["event_id"]] == (sum(win), max(win), len(win)), r
