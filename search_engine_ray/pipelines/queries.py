@@ -874,6 +874,57 @@ def rolling_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return rf(_docs_with_ids(sf_dir))
 
 
+# -- positional index / phrase search ----------------------------------------
+
+# Fixed phrase set for the driver entry: 2-4 token phrases over the testdata
+# vocabulary, including stopword-bearing ("the batch") and repeated-token
+# ("batch batch batch") shapes.  The SQL mirror matches each phrase as a
+# space-joined-token substring, so the list must stay single-space, lowercase,
+# quote-free.
+POS_PHRASES = [
+    "table scan", "hash join", "sort merge", "the batch",
+    "merge data row", "batch batch batch", "the fast key order",
+    "slow join sort", "data line join", "vector window batch agg",
+]
+POS_TERMS = ["batch", "spark", "the", "vector"]
+
+_pos_indexes: dict[str, str] = {}
+
+
+def get_positional_index(sf_dir: str) -> str:
+    """Build (once per process) the positional index over ``documents`` and
+    return its directory.  Small docs_per_bucket so even sf0.001's 500 docs
+    exercise the multi-bucket fan-out the layout is designed for."""
+    key = os.path.abspath(sf_dir)
+    if key in _pos_indexes:
+        return _pos_indexes[key]
+    from ..stages.positions import build_positional_index
+    idx = os.path.join(_CACHE_ROOT, f"{hash64(key):08x}-pos")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        build_positional_index(docs, idx, docs_per_bucket=256)
+    _pos_indexes[key] = idx
+    return idx
+
+
+def search_phrase(sf_dir: str) -> "ray.data.Dataset":
+    """Exact phrase matches (phrase, doc_id) via positional postings —
+    posting intersection + position adjacency, never a text rescan."""
+    from ..stages.positions import phrase_match
+    idx = get_positional_index(sf_dir)
+    return phrase_match(idx, POS_PHRASES).select_columns(
+        ["phrase", "doc_id"])
+
+
+def term_positions(sf_dir: str) -> "ray.data.Dataset":
+    """(term, doc_id, npos) straight from the positional index artifact —
+    externally oracles the index CONTENTS (npos == surface token count)."""
+    from ..stages.positions import term_positions as tp
+    return tp(get_positional_index(sf_dir), POS_TERMS)
+
+
 # -- graph ------------------------------------------------------------------
 
 def _synthetic_edges(sf_dir: str) -> "ray.data.Dataset":

@@ -1,0 +1,287 @@
+"""Positional postings + exact phrase search.
+
+The reference reserves a ``positions INT[]`` column on its postings table but
+never fills it (/root/reference/app/crawler/worker.py:230-234 always inserts
+``[]``; SURVEY.md §1.3 documents the omission).  This module implements the
+real thing as a Ray-Data-native positional index so phrase queries ("this
+exact token sequence") evaluate by posting intersection + position adjacency
+instead of rescanning text.
+
+Tokenization here is *positional-plain*: lowercase ``\\b[a-zA-Z0-9]{2,}\\b``
+tokens with NO stopword drop and NO stemming — positions index the full
+surface token sequence so any phrase (including stopwords: "the fast key")
+is matchable, and the token stream is SQL-mirrorable (DuckDB
+``regexp_extract_all`` with the same pattern joins to the same sequence).
+
+Scale shape — doc-range buckets, not per-term groups
+----------------------------------------------------
+The index is partitioned by doc-id range (``bucket = doc_id //
+docs_per_bucket``), NOT by term:
+
+* phrase evaluation is per-document, so a doc-range shard holds everything
+  needed to answer a phrase for its docs — queries fan out one task per
+  bucket and union, exactly how a 256-node cluster would run it;
+* per-group state is bounded by the bucket's token count regardless of term
+  skew — "the" (df ~= every doc) never concentrates into one group the way
+  a groupby(term) would concentrate it;
+* within each bucket file rows are sorted by (term, doc_id) and written in
+  small row groups, so parquet min/max statistics prune non-phrase terms at
+  read time (only row groups whose term range covers a query token are
+  scanned).
+
+Positions are delta + varbyte encoded per (term, doc) — a binary cell, ~1
+byte per occurrence for dense positions — so the index row count is
+``sum_d |distinct terms of d|`` (same as the tf postings), not one row per
+token occurrence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..functions.varbyte import delta_encode, vb_decode, vb_encode
+
+# Same surface pattern as the reference tokenizer
+# (/root/reference/app/crawler/tokenizer.py:32-40) WITHOUT the stopword /
+# stemming post-steps: positions must index the raw token sequence.
+POS_TOKEN_RE = re.compile(r"\b[a-zA-Z0-9]{2,}\b")
+
+POSITIONS_SCHEMA = pa.schema([
+    ("bucket", pa.int32()),
+    ("term", pa.string()),
+    ("doc_id", pa.int64()),
+    ("npos", pa.int32()),
+    ("pos_buf", pa.binary()),
+])
+
+
+def tokenize_positions(text: str) -> list[str]:
+    """Surface token sequence of one document (no stop drop, no stem)."""
+    return POS_TOKEN_RE.findall((text or "").lower())
+
+
+def _tok_positions_task(batch: pa.Table, *, docs_per_bucket: int) -> pa.Table:
+    """(doc_id, text) batch -> (bucket, term, doc_id, npos, pos_buf) rows.
+
+    Per-doc grouping happens HERE, inside the map task — one row per
+    (term, doc) with an encoded position list leaves the task, so the
+    groupby(bucket) exchange ships ~postings volume, never one row per
+    token occurrence."""
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_pylist()
+
+    buckets: list[int] = []
+    terms: list[str] = []
+    out_docs: list[int] = []
+    npos: list[int] = []
+    bufs: list[bytes] = []
+
+    findall = POS_TOKEN_RE.findall
+    for text, doc_id in zip(texts, doc_ids):
+        positions: dict[str, list[int]] = {}
+        for i, tok in enumerate(findall((text or "").lower())):
+            positions.setdefault(tok, []).append(i)
+        b = int(doc_id) // docs_per_bucket
+        for term, plist in positions.items():
+            buckets.append(b)
+            terms.append(term)
+            out_docs.append(doc_id)
+            npos.append(len(plist))
+            bufs.append(vb_encode(delta_encode(
+                np.asarray(plist, dtype=np.int64))))
+
+    return pa.table({
+        "bucket": pa.array(buckets, pa.int32()),
+        "term": pa.array(terms, pa.string()),
+        "doc_id": pa.array(out_docs, pa.int64()),
+        "npos": pa.array(npos, pa.int32()),
+        "pos_buf": pa.array(bufs, pa.binary()),
+    })
+
+
+def decode_positions(buf: bytes) -> np.ndarray:
+    """Inverse of the per-(term, doc) position encoding."""
+    return np.cumsum(vb_decode(buf))
+
+
+def _write_bucket_group(group: pa.Table, *, index_dir: str,
+                        row_group_size: int) -> pa.Table:
+    """map_groups writer: one sorted parquet file per doc-range bucket.
+
+    Sorted by (term, doc_id) with small row groups so min/max stats on
+    ``term`` prune non-query terms at read time.  Atomic publish via
+    tmp + os.replace (same discipline as stages/postings.py segments)."""
+    bucket = int(group.column("bucket")[0].as_py())
+    table = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    path = os.path.join(index_dir, f"bucket-{bucket:06d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=row_group_size,
+                   compression="zstd")
+    os.replace(tmp, path)
+    return pa.table({
+        "bucket": pa.array([bucket], pa.int32()),
+        "rows": pa.array([table.num_rows], pa.int64()),
+        "path": pa.array([os.path.basename(path)], pa.string()),
+    })
+
+
+def build_positional_index(docs: "ray.data.Dataset", index_dir: str, *,
+                           docs_per_bucket: int = 65536,
+                           row_group_size: int = 4096,
+                           batch_size: int = 1024) -> dict:
+    """docs (doc_id, text) -> positional index at ``index_dir``.
+
+    Returns the manifest (also written to ``index_dir/manifest.json``).
+    Streaming end to end: tokenize tasks emit encoded (term, doc) rows, one
+    groupby(bucket) exchange co-locates each doc range, per-bucket writers
+    publish sorted files independently (a failed run re-publishes only
+    missing buckets — writes are atomic per bucket)."""
+    os.makedirs(index_dir, exist_ok=True)
+    import functools
+    fn = functools.partial(_tok_positions_task,
+                           docs_per_bucket=docs_per_bucket)
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size)
+    writer = functools.partial(_write_bucket_group, index_dir=index_dir,
+                               row_group_size=row_group_size)
+    stats = rows.groupby("bucket").map_groups(
+        writer, batch_format="pyarrow").take_all()
+    manifest = {
+        "docs_per_bucket": docs_per_bucket,
+        "buckets": sorted(int(r["bucket"]) for r in stats),
+        "rows": int(sum(r["rows"] for r in stats)),
+        "files": sorted(r["path"] for r in stats),
+    }
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def read_term_rows(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
+    """Stream (bucket, term, doc_id, npos, pos_buf) rows for ``terms`` only.
+
+    The filter is a pyarrow dataset expression, so parquet row-group
+    statistics on the sorted ``term`` column prune everything else at the
+    read — scan cost ~ sum df(term), not index size."""
+    manifest = load_manifest(index_dir)
+    paths = [os.path.join(index_dir, p) for p in manifest["files"]]
+    import pyarrow.dataset as pads
+    # explicit schema: filtered fragments can yield EMPTY blocks, which Ray
+    # would otherwise emit schema-less (cosmetic "different schema" warnings,
+    # and poison for any downstream join — see util.coalesce_blocks)
+    return ray.data.read_parquet(
+        paths, schema=POSITIONS_SCHEMA,
+        filter=pads.field("term").isin(sorted(set(terms))))
+
+
+def _match_phrases_group(group: pa.Table, *,
+                         phrases: list[tuple[str, list[str]]]) -> pa.Table:
+    """Per-bucket phrase evaluation (map_groups over ``bucket``).
+
+    Cheap candidate pruning first: a doc is a candidate for a phrase only if
+    it contains ALL the phrase's tokens (sorted doc-list intersection,
+    numpy).  Position decoding + adjacency runs only on candidates —
+    ``positions(tok_i+1) ∩ (positions(tok_i) + 1)`` chained across the
+    phrase; survivors of the chain are phrase-start positions, so
+    ``n_matches`` counts overlapping occurrences."""
+    # Bucket files are written (term, doc_id)-sorted, but the groupby
+    # exchange doesn't guarantee intra-group order — re-sort (cheap,
+    # group is one doc range's postings for the query tokens only).
+    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    terms = group.column("term").to_pylist()
+    doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    bufs = group.column("pos_buf").to_pylist()
+
+    # term -> (sorted doc array, first row index) over contiguous runs
+    by_term: dict[str, tuple[np.ndarray, int]] = {}
+    i = 0
+    n = len(terms)
+    while i < n:
+        j = i
+        t = terms[i]
+        while j < n and terms[j] == t:
+            j += 1
+        by_term[t] = (doc_ids[i:j], i)
+        i = j
+
+    out_phrase: list[str] = []
+    out_doc: list[int] = []
+    out_n: list[int] = []
+    for phrase, toks in phrases:
+        if not toks or any(t not in by_term for t in toks):
+            continue
+        cand = by_term[toks[0]][0]
+        for t in toks[1:]:
+            cand = cand[np.isin(cand, by_term[t][0])]
+            if len(cand) == 0:
+                break
+        for d in cand:
+            starts = None
+            ok = True
+            for off, t in enumerate(toks):
+                docs_t, row0 = by_term[t]
+                r = row0 + int(np.searchsorted(docs_t, d))
+                pos = decode_positions(bufs[r]) - off
+                starts = pos if starts is None else \
+                    np.intersect1d(starts, pos, assume_unique=True)
+                if len(starts) == 0:
+                    ok = False
+                    break
+            if ok and starts is not None and len(starts):
+                out_phrase.append(phrase)
+                out_doc.append(int(d))
+                out_n.append(len(starts))
+
+    return pa.table({
+        "phrase": pa.array(out_phrase, pa.string()),
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
+def phrase_match(index_dir: str, phrases: list[str]) -> "ray.data.Dataset":
+    """All (phrase, doc_id, n_matches) exact-sequence matches.
+
+    One pass: stream only the union of the phrases' token postings (pruned
+    read), one groupby(bucket) to co-locate each doc range, vectorized
+    candidate intersection + adjacency inside each bucket task.  Multiple
+    phrases share the scan — cost ~ sum over distinct tokens of df(token)."""
+    union_toks = sorted({t for p in phrases for t in tokenize_positions(p)})
+    if not union_toks:
+        return ray.data.from_arrow(pa.table({
+            "phrase": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }))
+    import functools
+    rows = read_term_rows(index_dir, union_toks)
+    fn = functools.partial(
+        _match_phrases_group,
+        phrases=[(p, tokenize_positions(p)) for p in phrases])
+    return rows.groupby("bucket").map_groups(fn, batch_format="pyarrow")
+
+
+def term_positions(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
+    """(term, doc_id, npos) for the given terms straight from the index
+    artifact — npos equals the surface token count of ``term`` in the doc,
+    which is what the SQL oracle recomputes from text."""
+    rows = read_term_rows(index_dir, terms)
+    return rows.select_columns(["term", "doc_id", "npos"]).map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("npos"), "npos",
+                               b.column("npos").cast(pa.int64())),
+        batch_format="pyarrow")

@@ -1,0 +1,123 @@
+"""Positional postings + phrase search (stages/positions.py).
+
+The reference reserves positions INT[] but always writes []
+(/root/reference/app/crawler/worker.py:230-234); these tests cover the real
+implementation: index layout, position round-trip, and phrase adjacency
+semantics incl. overlapping occurrences and repeated-token phrases.
+"""
+
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from search_engine_ray.stages.positions import (
+    build_positional_index, decode_positions, load_manifest, phrase_match,
+    term_positions, tokenize_positions)
+
+DOCS = [
+    (0, "the fast key order sort table scan merge part"),
+    (1, "batch batch batch batch stream"),
+    (2, "a small a part a batch"),           # 'a' dropped by {2,}
+    (3, "merge sort merge sort merge"),
+    (4, ""),
+    (5, "the end the end"),
+    (6, None),
+    (7, "end"),
+]
+
+PHRASES = ["batch batch batch", "the fast key", "small part batch",
+           "merge sort merge", "the end the", "absent phrase", "batch",
+           "part", "sort merge part"]
+
+
+def _ref_count(text: str, phrase: str) -> int:
+    t = tokenize_positions(text or "")
+    p = tokenize_positions(phrase)
+    if not p:
+        return 0
+    return sum(1 for i in range(len(t) - len(p) + 1) if t[i:i + len(p)] == p)
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("posidx"))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in DOCS], pa.int64()),
+        "text": pa.array([d[1] for d in DOCS], pa.string()),
+    }))
+    manifest = build_positional_index(ds, idx, docs_per_bucket=2)
+    return idx, manifest
+
+
+def test_manifest_and_bucket_layout(pos_index):
+    idx, manifest = pos_index
+    # docs_per_bucket=2 over doc_ids 0..7 -> buckets 0..3 (4 and 6 are
+    # empty/None docs, so bucket 2 exists via doc 5)
+    assert manifest["buckets"] == [0, 1, 2, 3]
+    for p in manifest["files"]:
+        assert os.path.exists(os.path.join(idx, p))
+    assert load_manifest(idx) == manifest
+
+
+def test_phrase_match_equals_sliding_window_reference(pos_index):
+    idx, _ = pos_index
+    res = phrase_match(idx, PHRASES).take_all()
+    got = {(r["phrase"], r["doc_id"]): r["n_matches"] for r in res}
+    for doc_id, text in DOCS:
+        for ph in PHRASES:
+            exp = _ref_count(text, ph)
+            assert got.get((ph, doc_id), 0) == exp, (doc_id, ph)
+    # no spurious rows
+    assert all(n > 0 for n in got.values())
+
+
+def test_term_positions_equals_token_counts(pos_index):
+    idx, _ = pos_index
+    res = term_positions(idx, ["batch", "the", "end"]).take_all()
+    got = {(r["term"], r["doc_id"]): r["npos"] for r in res}
+    exp = {}
+    for doc_id, text in DOCS:
+        for t in tokenize_positions(text or ""):
+            if t in ("batch", "the", "end"):
+                exp[(t, doc_id)] = exp.get((t, doc_id), 0) + 1
+    assert got == exp
+
+
+def test_positions_roundtrip_random():
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randrange(0, 200)
+        pos = sorted(rng.sample(range(10000), n))
+        from search_engine_ray.functions.varbyte import (delta_encode,
+                                                         vb_encode)
+        buf = vb_encode(delta_encode(np.asarray(pos, dtype=np.int64)))
+        assert decode_positions(buf).tolist() == pos
+
+
+def test_phrase_match_randomized_vs_reference(pos_index):
+    """Random corpora + random phrases vs the sliding-window reference."""
+    rng = random.Random(1234)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+            for i in range(40)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    }))
+    import tempfile
+    with tempfile.TemporaryDirectory() as idx:
+        build_positional_index(ds, idx, docs_per_bucket=7)
+        phrases = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 4)))
+                   for _ in range(12)]
+        phrases = sorted(set(phrases))
+        res = phrase_match(idx, phrases).take_all()
+        got = {(r["phrase"], r["doc_id"]): r["n_matches"] for r in res}
+        for doc_id, text in docs:
+            for ph in phrases:
+                assert got.get((ph, doc_id), 0) == _ref_count(text, ph), \
+                    (doc_id, ph)
