@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new this round: positional postings + phrase search --------------
         "search_phrase": Q.search_phrase,
         "term_positions": Q.term_positions,
+        # -- new this round: CCNet-style NB quality classifier -----------------
+        "quality_classifier": Q.quality_classifier,
         # -- green in round 2 only; refresh the external row -----------------
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
@@ -78,7 +80,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": Q.embedding_near_dups,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         "validate_turns": Q.validate_turns,
-        "customers_without_orders": Q.customers_without_orders,
         "spellcheck_suggestions": Q.spellcheck_suggestions,
         # -- implementation touched in round 4 (re-verify) -------------------
         "simhash_fingerprints": Q.simhash_fingerprints,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    positional-phrase entries) ----------------------------------------
         "lineitem_agg": Q.lineitem_agg,
         "topk_orders": Q.topk_orders,
+        "customers_without_orders": Q.customers_without_orders,
         # -- green round-2 driver row, unchanged since (demoted for the new
         #    events_rolling entry) --------------------------------------------
         "media_features": Q.media_features,
@@ -2913,6 +2915,61 @@ def oracle_sql() -> dict[str, str]:
     FROM toks WHERE term IN ({_pos_term_vals})
     GROUP BY term, doc_id
     ORDER BY term, doc_id
+    """
+
+    # CCNet-style NB quality classifier: labels derive from the seed-word
+    # rule, per-word log-likelihood-ratio weights and the class prior are
+    # floored to ln-microunits BEFORE the per-doc sum (same convention as
+    # dsir_logweights / lm_perplexity), so per-doc scores are order-free
+    # int64 sums on both sides.  Expression shape matches
+    # stages/classifier.py exactly: double division, ln, subtract, one
+    # microunit floor of the difference.
+    sql["quality_classifier"] = """
+    WITH w AS (
+      SELECT doc_id, t.word
+      FROM documents,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                  '[a-z]{2,32}')) AS t(word)
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             CASE WHEN EXISTS (SELECT 1 FROM w
+                               WHERE w.doc_id = d.doc_id
+                                 AND w.word = 'spark')
+                  THEN 1 ELSE 0 END AS label
+      FROM documents d
+    ),
+    cnt AS (
+      SELECT w.word,
+             sum(CASE WHEN lab.label = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN lab.label = 0 THEN 1 ELSE 0 END) AS n0
+      FROM w JOIN lab USING (doc_id)
+      GROUP BY w.word
+    ),
+    tot AS (SELECT sum(n1) AS nn1, sum(n0) AS nn0, count(*) AS v FROM cnt),
+    pri AS (SELECT sum(label) AS d1, count(*) - sum(label) AS d0 FROM lab),
+    wt AS (
+      SELECT word,
+             CAST(floor((ln((n1 + 1.0) / (nn1 + v))
+                         - ln((n0 + 1.0) / (nn0 + v))) * 1e6 + 0.5)
+                  AS BIGINT) AS wm
+      FROM cnt, tot
+    ),
+    prior AS (
+      SELECT CAST(floor((ln(d1 * 1.0 / (d1 + d0))
+                         - ln(d0 * 1.0 / (d1 + d0))) * 1e6 + 0.5)
+                  AS BIGINT) AS pm
+      FROM pri
+    ),
+    contrib AS (
+      SELECT w.doc_id, sum(wt.wm) AS s
+      FROM w JOIN wt USING (word)
+      GROUP BY w.doc_id
+    )
+    SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+           CAST(coalesce(c.s, 0) + prior.pm AS BIGINT) AS score_micro
+    FROM lab l LEFT JOIN contrib c USING (doc_id), prior
+    ORDER BY l.doc_id
     """
 
     return sql

@@ -925,6 +925,18 @@ def term_positions(sf_dir: str) -> "ray.data.Dataset":
     return tp(get_positional_index(sf_dir), POS_TERMS)
 
 
+# -- quality classifier -------------------------------------------------------
+
+def quality_classifier(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style NB quality scores: distributed count training (one
+    vocab-bounded exchange) + broadcast streaming scoring; ln-microunit
+    integer scores so the DuckDB mirror is hash-exact."""
+    from ..stages.classifier import nb_quality_scores
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return nb_quality_scores(docs)
+
+
 # -- graph ------------------------------------------------------------------
 
 def _synthetic_edges(sf_dir: str) -> "ray.data.Dataset":
