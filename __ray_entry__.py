@@ -73,13 +73,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_positions": Q.term_positions,
         # -- new this round: CCNet-style NB quality classifier -----------------
         "quality_classifier": Q.quality_classifier,
+        # -- new this round: dictionary prefix (wildcard) expansion ------------
+        "prefix_search": Q.prefix_search,
         # -- green in round 2 only; refresh the external row -----------------
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_near_dups": Q.embedding_near_dups,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
-        "validate_turns": Q.validate_turns,
         "spellcheck_suggestions": Q.spellcheck_suggestions,
         # -- implementation touched in round 4 (re-verify) -------------------
         "simhash_fingerprints": Q.simhash_fingerprints,
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": Q.lineitem_agg,
         "topk_orders": Q.topk_orders,
         "customers_without_orders": Q.customers_without_orders,
+        "validate_turns": Q.validate_turns,
         # -- green round-2 driver row, unchanged since (demoted for the new
         #    events_rolling entry) --------------------------------------------
         "media_features": Q.media_features,
@@ -2915,6 +2917,23 @@ def oracle_sql() -> dict[str, str]:
     FROM toks WHERE term IN ({_pos_term_vals})
     GROUP BY term, doc_id
     ORDER BY term, doc_id
+    """
+
+    # Dictionary prefix expansion: the engine answers from the segment
+    # artifact's (term, df, cf) dictionary columns via a row-group-pruned
+    # range read; the mirror recomputes df/cf from text.  Same stopworded
+    # unstemmed tokenization as the plain index (_TOKS).
+    _prefix_vals = ", ".join(f"('{p}')" for p in Q.PREFIXES)
+    sql["prefix_search"] = f"""
+    WITH {_TOKS},
+    stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+      FROM toks GROUP BY term
+    )
+    SELECT p.prefix, s.term, s.df, s.cf
+    FROM stats s JOIN (VALUES {_prefix_vals}) p(prefix)
+      ON s.term LIKE p.prefix || '%'
+    ORDER BY p.prefix, s.term
     """
 
     # CCNet-style NB quality classifier: labels derive from the seed-word

@@ -925,6 +925,20 @@ def term_positions(sf_dir: str) -> "ray.data.Dataset":
     return tp(get_positional_index(sf_dir), POS_TERMS)
 
 
+# -- dictionary prefix (wildcard) queries -------------------------------------
+
+PREFIXES = ["ba", "s", "wi", "q"]
+
+
+def prefix_search(sf_dir: str) -> "ray.data.Dataset":
+    """Wildcard ``pre*`` dictionary expansion over the plain index's segment
+    artifact: (prefix, term, df, cf), row-group-pruned read, posting
+    buffers never touched."""
+    from ..stages.postings import prefix_term_scan
+    eng = get_engine(sf_dir, stem=False)
+    return prefix_term_scan(eng.index_dir, PREFIXES)
+
+
 # -- quality classifier -------------------------------------------------------
 
 def quality_classifier(sf_dir: str) -> "ray.data.Dataset":

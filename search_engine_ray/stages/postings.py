@@ -734,3 +734,58 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
     save_manifest(index_dir, manifest)
     clear_part_sidecars(index_dir)
     return manifest
+
+
+def prefix_term_scan(index_dir: str, prefixes: list[str]
+                     ) -> "ray.data.Dataset":
+    """Dictionary prefix (wildcard ``pre*``) scan over the segment artifact:
+    (prefix, term, df, cf) for every indexed term matching any prefix.
+
+    The reference's Postgres B-tree on ``tokens.token`` answers this with an
+    index range scan; here the equivalent is a filtered parquet read over
+    ALL segment partition files — terms are hash-partitioned across parts,
+    so a prefix range cannot be routed to one part, but each part file is
+    term-sorted, so parquet row-group min/max statistics prune the
+    non-matching dictionary ranges inside every file.  Scan cost ~ matching
+    dictionary rows + one row-group footer per part, independent of corpus
+    size.  Posting buffers are never read (column projection drops them at
+    the reader).
+
+    Assumes a single-generation index (a fresh ``build_index``); a
+    multi-generation extended index would need the engine's merged
+    tombstone-aware view of df/cf.
+    """
+    import pyarrow.dataset as pads
+
+    manifest = load_manifest(index_dir)
+    seg_paths = sorted(
+        os.path.join(index_dir, e["file"]) if "/" in e["file"]
+        else os.path.join(index_dir, "segments", e["file"])
+        for e in manifest["entries"].values()
+        if "segment-" in e["file"])
+    expr = None
+    for p in prefixes:
+        if not p:
+            raise ValueError("empty prefix")
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        e = (pads.field("term") >= p) & (pads.field("term") < hi)
+        expr = e if expr is None else (expr | e)
+    schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                        ("cf", pa.int64())])
+    rows = ray.data.read_parquet(seg_paths, schema=schema,
+                                 columns=["term", "df", "cf"], filter=expr)
+    plist = sorted(prefixes)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        out_p: list[str] = []
+        idx: list[int] = []
+        for i, t in enumerate(terms):
+            for p in plist:               # a term may match several prefixes
+                if t.startswith(p):
+                    out_p.append(p)
+                    idx.append(i)
+        sub = batch.take(pa.array(idx, pa.int64()))
+        return sub.add_column(0, "prefix", pa.array(out_p, pa.string()))
+
+    return rows.map_batches(attach, batch_format="pyarrow")
