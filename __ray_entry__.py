@@ -75,13 +75,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": Q.quality_classifier,
         # -- new this round: dictionary prefix (wildcard) expansion ------------
         "prefix_search": Q.prefix_search,
+        # -- new this round: PMI collocation extraction ------------------------
+        "pmi_collocations": Q.pmi_collocations,
         # -- green in round 2 only; refresh the external row -----------------
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_near_dups": Q.embedding_near_dups,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
-        "spellcheck_suggestions": Q.spellcheck_suggestions,
         # -- implementation touched in round 4 (re-verify) -------------------
         "simhash_fingerprints": Q.simhash_fingerprints,
         "simhash_near_pairs": Q.simhash_near_pairs,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": Q.topk_orders,
         "customers_without_orders": Q.customers_without_orders,
         "validate_turns": Q.validate_turns,
+        "spellcheck_suggestions": Q.spellcheck_suggestions,
         # -- green round-2 driver row, unchanged since (demoted for the new
         #    events_rolling entry) --------------------------------------------
         "media_features": Q.media_features,
@@ -2934,6 +2936,44 @@ def oracle_sql() -> dict[str, str]:
     FROM stats s JOIN (VALUES {_prefix_vals}) p(prefix)
       ON s.term LIKE p.prefix || '%'
     ORDER BY p.prefix, s.term
+    """
+
+    # PMI collocations: adjacent [a-z]{2,32} word pairs, min count 5, top-50
+    # by ln-microunit PMI with (pmi desc, w1, w2) total-order tie-break.
+    # Expression shape matches stages/cooc.py exactly (double divisions,
+    # one ln, one microunit floor).
+    sql["pmi_collocations"] = """
+    WITH lists AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z]{2,32}') AS l
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(l) AS word, generate_subscripts(l, 1) AS ord
+      FROM lists
+    ),
+    uni AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    bi AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS c_ab
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      GROUP BY a.word, b.word
+    ),
+    m AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams FROM bi),
+    n AS (SELECT count(*) AS n_tokens FROM words)
+    SELECT bi.w1, bi.w2, bi.c_ab,
+           CAST(floor(ln((bi.c_ab * 1.0 / m.n_bigrams)
+                         / ((ua.c * 1.0 / n.n_tokens)
+                            * (ub.c * 1.0 / n.n_tokens))) * 1e6 + 0.5)
+                AS BIGINT) AS pmi_micro
+    FROM bi
+    JOIN uni ua ON ua.word = bi.w1
+    JOIN uni ub ON ub.word = bi.w2
+    CROSS JOIN m CROSS JOIN n
+    WHERE bi.c_ab >= 5
+    ORDER BY pmi_micro DESC, bi.w1, bi.w2
+    LIMIT 50
     """
 
     # CCNet-style NB quality classifier: labels derive from the seed-word

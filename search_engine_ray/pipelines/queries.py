@@ -939,6 +939,17 @@ def prefix_search(sf_dir: str) -> "ray.data.Dataset":
     return prefix_term_scan(eng.index_dir, PREFIXES)
 
 
+# -- collocations --------------------------------------------------------------
+
+def pmi_collocations(sf_dir: str) -> pa.Table:
+    """Top-50 adjacent-pair collocations by ln-microunit PMI (min count 5):
+    one pre-aggregated pair exchange, cluster-side thresholding."""
+    from ..stages.cooc import pmi_collocations as pmi
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return pmi(docs)
+
+
 # -- quality classifier -------------------------------------------------------
 
 def quality_classifier(sf_dir: str) -> "ray.data.Dataset":
