@@ -77,9 +77,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": Q.prefix_search,
         # -- new this round: PMI collocation extraction ------------------------
         "pmi_collocations": Q.pmi_collocations,
+        # -- new this round: KWIC snippets off the positional index ------------
+        "search_snippets": Q.search_snippets,
+        # -- new this round: HITS hubs/authorities -----------------------------
+        "graph_hits": Q.graph_hits,
         # -- green in round 2 only; refresh the external row -----------------
-        "ann_topk": Q.ann_topk,
-        "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_near_dups": Q.embedding_near_dups,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
@@ -106,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": Q.customers_without_orders,
         "validate_turns": Q.validate_turns,
         "spellcheck_suggestions": Q.spellcheck_suggestions,
+        "ann_topk": Q.ann_topk,
+        "ann_lsh_topk": Q.ann_lsh_topk,
         # -- green round-2 driver row, unchanged since (demoted for the new
         #    events_rolling entry) --------------------------------------------
         "media_features": Q.media_features,
@@ -2936,6 +2940,71 @@ def oracle_sql() -> dict[str, str]:
     FROM stats s JOIN (VALUES {_prefix_vals}) p(prefix)
       ON s.term LIKE p.prefix || '%'
     ORDER BY p.prefix, s.term
+    """
+
+    # HITS hubs/authorities: 10 UNNORMALIZED integer rounds (normalization
+    # is one scalar division, omitted so every score is exact int64 —
+    # rankings unchanged), mirrored by an unrolled CTE pair per round over
+    # the denser _hits_edges graph (see queries._hits_edges).
+    _hits_parts = [
+        "n AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        "edges AS MATERIALIZED ("
+        "SELECT doc_id AS src, (doc_id*5+3) % n.n AS dst "
+        "FROM documents CROSS JOIN n WHERE doc_id % 2 = 0 "
+        "UNION ALL "
+        "SELECT doc_id AS src, (doc_id*11+7) % n.n AS dst "
+        "FROM documents CROSS JOIN n WHERE doc_id % 2 = 0 "
+        "UNION ALL "
+        "SELECT doc_id AS src, (doc_id*7+13) % n.n AS dst "
+        "FROM documents CROSS JOIN n WHERE doc_id % 3 = 0)",
+        "a0 AS MATERIALIZED (SELECT doc_id, CAST(1 AS BIGINT) AS v "
+        "FROM documents)",
+    ]
+    for _k in range(10):
+        _hits_parts.append(
+            f"h{_k + 1} AS MATERIALIZED (SELECT d.doc_id, "
+            f"CAST(coalesce(s.s, 0) AS BIGINT) AS v FROM documents d "
+            f"LEFT JOIN (SELECT e.src AS doc_id, sum(a.v) AS s "
+            f"FROM edges e JOIN a{_k} a ON a.doc_id = e.dst "
+            f"GROUP BY e.src) s ON s.doc_id = d.doc_id)")
+        _hits_parts.append(
+            f"a{_k + 1} AS MATERIALIZED (SELECT d.doc_id, "
+            f"CAST(coalesce(s.s, 0) AS BIGINT) AS v FROM documents d "
+            f"LEFT JOIN (SELECT e.dst AS doc_id, sum(h.v) AS s "
+            f"FROM edges e JOIN h{_k + 1} h ON h.doc_id = e.src "
+            f"GROUP BY e.dst) s ON s.doc_id = d.doc_id)")
+    sql["graph_hits"] = (
+        "WITH " + ",\n".join(_hits_parts) +
+        "\nSELECT h.doc_id, h.v AS hub, a.v AS auth "
+        "FROM h10 h JOIN a10 a USING (doc_id) ORDER BY doc_id")
+
+    # KWIC snippets: ±2 surface tokens around the FIRST occurrence of each
+    # query term; the engine resolves the first position from the positional
+    # index, the mirror recomputes it from the token list (1-based ord ==
+    # 0-based position + 1; DuckDB list slices are 1-based inclusive).
+    _snip_term_vals = ", ".join(f"'{t}'" for t in Q.SNIPPET_TERMS)
+    sql["search_snippets"] = f"""
+    WITH lists AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '\\b[a-zA-Z0-9]{{2,}}\\b') AS l
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS ord
+      FROM lists
+    ),
+    firsts AS (
+      SELECT doc_id, w AS term, min(ord) AS p
+      FROM words WHERE w IN ({_snip_term_vals})
+      GROUP BY doc_id, w
+    )
+    SELECT f.term, f.doc_id,
+           array_to_string(
+             li.l[greatest(1, f.p - 2):least(len(li.l), f.p + 2)],
+             ' ') AS snippet
+    FROM firsts f JOIN lists li USING (doc_id)
+    ORDER BY f.term, f.doc_id
     """
 
     # PMI collocations: adjacent [a-z]{2,32} word pairs, min count 5, top-50

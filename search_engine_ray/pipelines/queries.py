@@ -925,6 +925,19 @@ def term_positions(sf_dir: str) -> "ray.data.Dataset":
     return tp(get_positional_index(sf_dir), POS_TERMS)
 
 
+SNIPPET_TERMS = ["spark", "window"]
+
+
+def search_snippets(sf_dir: str) -> "ray.data.Dataset":
+    """KWIC snippets (±2 tokens around the first occurrence), first
+    occurrence located via the positional index."""
+    from ..stages.positions import term_snippets
+    idx = get_positional_index(sf_dir)
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return term_snippets(idx, docs, SNIPPET_TERMS, window=2)
+
+
 # -- dictionary prefix (wildcard) queries -------------------------------------
 
 PREFIXES = ["ba", "s", "wi", "q"]
@@ -983,6 +996,41 @@ def _synthetic_edges(sf_dir: str) -> "ray.data.Dataset":
 def graph_inlinks(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.graph import inlink_counts
     return inlink_counts(_synthetic_edges(sf_dir))
+
+
+def _hits_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Denser deterministic graph for HITS (the pagerank graph's out-degree
+    is ≤1, which collapses hub scores): even docs link to (5id+3)%N and
+    (11id+7)%N, plus the pagerank rule's (7id+13)%N for id%3==0."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    n = docs.count()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        even = ids[ids % 2 == 0]
+        tri = ids[ids % 3 == 0]
+        src = np.concatenate([even, even, tri])
+        dst = np.concatenate([(even * 5 + 3) % n, (even * 11 + 7) % n,
+                              (tri * 7 + 13) % n])
+        return pa.table({"src_doc_id": pa.array(src, pa.int64()),
+                         "dst_doc_id": pa.array(dst, pa.int64())})
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def graph_hits(sf_dir: str) -> pa.Table:
+    """Kleinberg HITS, 10 unnormalized integer rounds — hash-exact vs the
+    20-CTE iterative SQL mirror."""
+    from ..stages.graph import hits
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    n = docs.count()
+    hub, auth = hits(_hits_edges(sf_dir), n, iterations=10)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "hub": pa.array(hub, pa.int64()),
+        "auth": pa.array(auth, pa.int64()),
+    })
 
 
 def graph_pagerank(sf_dir: str) -> pa.Table:

@@ -285,3 +285,52 @@ def term_positions(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
         lambda b: b.set_column(b.schema.get_field_index("npos"), "npos",
                                b.column("npos").cast(pa.int64())),
         batch_format="pyarrow")
+
+
+def term_snippets(index_dir: str, docs: "ray.data.Dataset",
+                  terms: list[str], *, window: int = 2,
+                  batch_size: int = 1024) -> "ray.data.Dataset":
+    """KWIC snippets: (term, doc_id, snippet) — the ±``window`` token
+    context around the FIRST occurrence of each query term, resolved from
+    the positional index (no corpus rescan to FIND the occurrence; one
+    filtered read gives (doc, first_position) per term).
+
+    Matched (doc, term, pos) triples are collected and shipped in the task
+    closure of a single streaming pass over ``docs`` that tokenizes only
+    matched docs and slices the window.  Driver/closure state is bounded by
+    Σ df(term) over the query terms — snippets are a query-time operation
+    over a result PAGE (k ≤ 100 docs) in real serving, where that bound is
+    trivial; this corpus-wide entry exists to oracle the mechanics.  For a
+    head-term corpus-wide run, swap the broadcast for the distributed
+    hash-join used by the dedup verify path."""
+    rows = read_term_rows(index_dir, terms).select_columns(
+        ["term", "doc_id", "pos_buf"]).take_all()
+    firsts: dict[int, list[tuple[str, int]]] = {}
+    for r in rows:
+        p0 = int(decode_positions(r["pos_buf"])[0])
+        firsts.setdefault(int(r["doc_id"]), []).append((r["term"], p0))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_t: list[str] = []
+        out_d: list[int] = []
+        out_s: list[str] = []
+        for text, d in zip(texts, doc_ids):
+            hits = firsts.get(int(d))
+            if not hits:
+                continue
+            toks = tokenize_positions(text)
+            for term, p0 in hits:
+                lo = max(0, p0 - window)
+                out_t.append(term)
+                out_d.append(int(d))
+                out_s.append(" ".join(toks[lo:p0 + window + 1]))
+        return pa.table({
+            "term": pa.array(out_t, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "snippet": pa.array(out_s, pa.string()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size)

@@ -121,3 +121,27 @@ def test_phrase_match_randomized_vs_reference(pos_index):
             for ph in phrases:
                 assert got.get((ph, doc_id), 0) == _ref_count(text, ph), \
                     (doc_id, ph)
+
+
+def test_term_snippets_windows(pos_index):
+    from search_engine_ray.stages.positions import term_snippets
+    idx, _ = pos_index
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in DOCS], pa.int64()),
+        "text": pa.array([d[1] for d in DOCS], pa.string()),
+    }))
+    res = term_snippets(idx, ds, ["batch", "end", "sort"],
+                        window=2).take_all()
+    got = {(r["term"], r["doc_id"]): r["snippet"] for r in res}
+    exp = {}
+    for doc_id, text in DOCS:
+        toks = tokenize_positions(text or "")
+        for t in ("batch", "end", "sort"):
+            if t in toks:
+                p = toks.index(t)
+                exp[(t, doc_id)] = " ".join(toks[max(0, p - 2):p + 3])
+    assert got == exp
+    # edge coverage: first-token occurrence trims the left side
+    assert got[("batch", 1)] == "batch batch batch"
+    # near-end occurrence trims the right side
+    assert got[("end", 7)] == "end"

@@ -1913,3 +1913,36 @@ def test_rolling_user_stats_vs_naive():
         hist.append((r["event_id"], int(math.floor(r["value"] * 100 + 0.5))))
         win = [c for _, c in hist[-k:]]
         assert got[r["event_id"]] == (sum(win), max(win), len(win)), r
+
+
+def test_hits_matches_dense_reference():
+    """Distributed integer HITS vs a plain numpy reference on a random
+    multigraph (duplicate edges included — each parallel edge contributes)."""
+    import random
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from search_engine_ray.stages.graph import hits
+
+    rng = random.Random(42)
+    n = 30
+    src = [rng.randrange(n) for _ in range(120)]
+    dst = [rng.randrange(n) for _ in range(120)]
+    edges = ray.data.from_arrow(pa.table({
+        "src_doc_id": pa.array(src, pa.int64()),
+        "dst_doc_id": pa.array(dst, pa.int64()),
+    })).repartition(4)
+
+    hub, auth = hits(edges, n, iterations=6)
+
+    a = np.ones(n, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for _ in range(6):
+        h = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            h[s] += a[d]
+        a = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            a[d] += h[s]
+    assert hub.tolist() == h.tolist()
+    assert auth.tolist() == a.tolist()
