@@ -81,8 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": Q.search_snippets,
         # -- new this round: HITS hubs/authorities -----------------------------
         "graph_hits": Q.graph_hits,
+        # -- new this round: hybrid lexical+semantic RRF -----------------------
+        "hybrid_rrf": Q.hybrid_rrf,
         # -- green in round 2 only; refresh the external row -----------------
-        "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_near_dups": Q.embedding_near_dups,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # -- implementation touched in round 4 (re-verify) -------------------
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spellcheck_suggestions": Q.spellcheck_suggestions,
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_ivf_topk": Q.ann_ivf_topk,
         # -- green round-2 driver row, unchanged since (demoted for the new
         #    events_rolling entry) --------------------------------------------
         "media_features": Q.media_features,
@@ -2940,6 +2942,55 @@ def oracle_sql() -> dict[str, str]:
     FROM stats s JOIN (VALUES {_prefix_vals}) p(prefix)
       ON s.term LIKE p.prefix || '%'
     ORDER BY p.prefix, s.term
+    """
+
+    # Hybrid retrieval: reciprocal-rank fusion (k=60) of the stage-1
+    # lexical list and the cosine list for query vec 0, both top-50 ranked
+    # on the round-6 convention with doc_id tie-break; contributions are
+    # two divisions + one addition in the same operand order as the engine,
+    # rounded to 6 after the sum.  Missing-list rank surfaces as 0.
+    sql["hybrid_rrf"] = f"""
+    WITH {_TOKS},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    s1 AS (
+      SELECT tf.doc_id,
+             round(SUM(tf.tf * ln((n.n - stats.df + 0.5)
+                                  / (stats.df + 0.5) + 1)), 6) AS token_score
+      FROM tf JOIN stats USING(term), n
+      WHERE tf.term IN ('merge','sort','window')
+      GROUP BY tf.doc_id
+    ),
+    lexk AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY token_score DESC, doc_id)
+               AS r FROM s1) WHERE r <= 50
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(qv.qe,
+                   CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      FROM embeddings e CROSS JOIN qv
+    ),
+    semk AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+               AS r FROM sims) WHERE r <= 50
+    ),
+    ids AS (SELECT doc_id FROM lexk UNION SELECT doc_id FROM semk)
+    SELECT i.doc_id,
+           round(coalesce(1.0 / (60 + l.r), 0)
+                 + coalesce(1.0 / (60 + s.r), 0), 6) AS rrf,
+           coalesce(l.r, 0) AS lex_rank,
+           coalesce(s.r, 0) AS sem_rank
+    FROM ids i
+    LEFT JOIN lexk l USING (doc_id)
+    LEFT JOIN semk s USING (doc_id)
+    ORDER BY rrf DESC, i.doc_id
+    LIMIT 20
     """
 
     # HITS hubs/authorities: 10 UNNORMALIZED integer rounds (normalization

@@ -952,6 +952,58 @@ def prefix_search(sf_dir: str) -> "ray.data.Dataset":
     return prefix_term_scan(eng.index_dir, PREFIXES)
 
 
+# -- hybrid retrieval (lexical + semantic RRF) ---------------------------------
+
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+HYBRID_TOPN = 50    # per-list depth entering the fusion
+HYBRID_OUT = 20
+
+
+def hybrid_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical stage-1 list
+    (tf·idf over STAGE1_TERMS) and the semantic cosine list (query vec 0).
+
+    score(d) = 1/(60 + lex_rank) + 1/(60 + sem_rank), missing-list
+    contribution = 0.  Both inputs are top-``HYBRID_TOPN`` lists ranked on
+    the round-6 convention (score DESC, doc_id ASC), so the fusion — two
+    divisions and one addition with identical operand order — is bit-equal
+    to the SQL mirror before its round-6.  Fusion itself is driver-side on
+    two k-bounded lists: that IS the production shape (fusion always runs
+    on result pages, never the corpus)."""
+    from ..stages.ann import brute_force_topk
+
+    lex = search_stage1(sf_dir)
+    lex_rows = sorted(zip(lex.column("doc_id").to_pylist(),
+                          lex.column("token_score").to_pylist()),
+                      key=lambda r: (-r[1], r[0]))[:HYBRID_TOPN]
+    lex_rank = {d: i + 1 for i, (d, _) in enumerate(lex_rows)}
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    sem_t = _rerank_topk(
+        brute_force_topk(emb, [ANN_QUERY_IDS[0]],
+                         _query_vecs(sf_dir)[:1], k=HYBRID_TOPN + 10),
+        k=HYBRID_TOPN)
+    sem_rank = {v: r for v, r in zip(sem_t.column("vec_id").to_pylist(),
+                                     sem_t.column("rank").to_pylist())}
+
+    ids = sorted(set(lex_rank) | set(sem_rank))
+    fused = []
+    for d in ids:
+        lr = lex_rank.get(d, 0)
+        sr = sem_rank.get(d, 0)
+        s = (1.0 / (RRF_K + lr) if lr else 0.0) \
+            + (1.0 / (RRF_K + sr) if sr else 0.0)
+        fused.append((d, round(s, 6), lr, sr))
+    fused.sort(key=lambda r: (-r[1], r[0]))
+    fused = fused[:HYBRID_OUT]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in fused], pa.int64()),
+        "rrf": pa.array([r[1] for r in fused], pa.float64()),
+        "lex_rank": pa.array([r[2] for r in fused], pa.int64()),
+        "sem_rank": pa.array([r[3] for r in fused], pa.int64()),
+    })
+
+
 # -- collocations --------------------------------------------------------------
 
 def pmi_collocations(sf_dir: str) -> pa.Table:

@@ -1946,3 +1946,26 @@ def test_hits_matches_dense_reference():
             a[d] += h[s]
     assert hub.tolist() == h.tolist()
     assert auth.tolist() == a.tolist()
+
+
+def test_hybrid_rrf_invariants():
+    """Fusion output self-consistency on the sf0.001 fixture corpus."""
+    from search_engine_ray.pipelines.queries import (HYBRID_OUT, HYBRID_TOPN,
+                                                     RRF_K, hybrid_rrf)
+    t = hybrid_rrf("/root/testdata/sf0.001")
+    assert t.num_rows == HYBRID_OUT
+    rows = t.to_pylist()
+    for r in rows:
+        assert 0 <= r["lex_rank"] <= HYBRID_TOPN
+        assert 0 <= r["sem_rank"] <= HYBRID_TOPN
+        assert r["lex_rank"] or r["sem_rank"]
+        exp = (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0) \
+            + (1.0 / (RRF_K + r["sem_rank"]) if r["sem_rank"] else 0.0)
+        assert r["rrf"] == round(exp, 6)
+    # descending with doc_id tie-break
+    key = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+    # docs on both lists outrank single-list docs of similar depth: the top
+    # fused row must beat any pure single-list score at rank 1
+    assert rows[0]["rrf"] >= round(1.0 / (RRF_K + 1), 6) or (
+        rows[0]["lex_rank"] and rows[0]["sem_rank"])
