@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..functions.varbyte import delta_encode, vb_decode, vb_encode
+from ..functions.varbyte import vb_decode, vb_encode_with_sizes
 
 # Same surface pattern as the reference tokenizer
 # (/root/reference/app/crawler/tokenizer.py:32-40) WITHOUT the stopword /
@@ -74,35 +74,68 @@ def _tok_positions_task(batch: pa.Table, *, docs_per_bucket: int) -> pa.Table:
     Per-doc grouping happens HERE, inside the map task — one row per
     (term, doc) with an encoded position list leaves the task, so the
     groupby(bucket) exchange ships ~postings volume, never one row per
-    token occurrence."""
-    texts = batch.column("text").to_pylist()
-    doc_ids = batch.column("doc_id").to_pylist()
+    token occurrence.
 
-    buckets: list[int] = []
-    terms: list[str] = []
-    out_docs: list[int] = []
-    npos: list[int] = []
-    bufs: list[bytes] = []
+    Vectorized batch-wide (same discipline as the SimHash fingerprint
+    pass): one token stream for the whole batch, a stable lexsort groups
+    (doc, term) runs with positions already ascending, boundary-reset gaps
+    feed ONE vb_encode_with_sizes call, and per-row buffers are byte
+    slices of that single encode — no per-(term, doc) encoder calls."""
+    texts = batch.column("text").to_pylist()
+    doc_ids_in = batch.column("doc_id").to_numpy(zero_copy_only=False)
 
     findall = POS_TOKEN_RE.findall
-    for text, doc_id in zip(texts, doc_ids):
-        positions: dict[str, list[int]] = {}
-        for i, tok in enumerate(findall((text or "").lower())):
-            positions.setdefault(tok, []).append(i)
-        b = int(doc_id) // docs_per_bucket
-        for term, plist in positions.items():
-            buckets.append(b)
-            terms.append(term)
-            out_docs.append(doc_id)
-            npos.append(len(plist))
-            bufs.append(vb_encode(delta_encode(
-                np.asarray(plist, dtype=np.int64))))
+    all_tokens: list[str] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = findall((text or "").lower())
+        all_tokens.extend(toks)
+        lens[i] = len(toks)
+    total = len(all_tokens)
+    if total == 0:
+        return POSITIONS_SCHEMA.empty_table()
+
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+    # factorize token strings once per batch (Arrow dictionary encode)
+    codes_arr = pa.array(all_tokens, pa.string()).dictionary_encode()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = codes_arr.dictionary.to_pylist()
+
+    # stable sort by (doc, term-code): ties keep token order -> positions
+    # ascending within each (doc, term) run
+    order = np.lexsort((codes, doc_of))
+    s_doc = doc_of[order]
+    s_code = codes[order]
+    s_pos = pos_in_doc[order]
+    new_run = np.empty(total, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (s_doc[1:] != s_doc[:-1]) | (s_code[1:] != s_code[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.concatenate((run_starts[1:], [total]))
+
+    # boundary-reset deltas == delta_encode per run (first value absolute)
+    gaps = s_pos.copy()
+    gaps[1:] -= s_pos[:-1]
+    gaps[run_starts] = s_pos[run_starts]
+    buf, sizes = vb_encode_with_sizes(gaps)
+    byte_ends = np.cumsum(sizes)
+    byte_starts = byte_ends - sizes
+    mv = memoryview(buf)
+
+    run_doc = doc_ids_in[s_doc[run_starts]]
+    npos = (run_ends - run_starts).astype(np.int32)
+    bufs = [bytes(mv[byte_starts[a]:byte_ends[b - 1]])
+            for a, b in zip(run_starts, run_ends)]
+    terms = [vocab[c] for c in s_code[run_starts]]
 
     return pa.table({
-        "bucket": pa.array(buckets, pa.int32()),
+        "bucket": pa.array((run_doc // docs_per_bucket).astype(np.int32)),
         "term": pa.array(terms, pa.string()),
-        "doc_id": pa.array(out_docs, pa.int64()),
-        "npos": pa.array(npos, pa.int32()),
+        "doc_id": pa.array(run_doc, pa.int64()),
+        "npos": pa.array(npos),
         "pos_buf": pa.array(bufs, pa.binary()),
     })
 

@@ -145,3 +145,39 @@ def test_term_snippets_windows(pos_index):
     assert got[("batch", 1)] == "batch batch batch"
     # near-end occurrence trims the right side
     assert got[("end", 7)] == "end"
+
+
+def test_vectorized_tokenize_equals_reference_impl():
+    """The batch-vectorized position encoder must be bit-identical to a
+    plain per-doc reference encode over random unicode-ish docs."""
+    import functools
+    from search_engine_ray.functions.varbyte import delta_encode, vb_encode
+    from search_engine_ray.stages.positions import _tok_positions_task
+
+    rng = random.Random(31337)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ffff", "x1", "Q9", "éé", "a"]
+    docs = []
+    for i in range(300):
+        docs.append((i * 3,  # non-contiguous ids exercise bucketing math
+                     " ".join(rng.choice(vocab)
+                              for _ in range(rng.randrange(0, 40)))))
+    docs += [(901, ""), (902, None), (903, "  --  !!")]
+    batch = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })
+    got = _tok_positions_task(batch, docs_per_bucket=64)
+    got_rows = {(r["term"], r["doc_id"]): (r["bucket"], r["npos"],
+                                           r["pos_buf"])
+                for r in got.to_pylist()}
+
+    exp_rows = {}
+    for doc_id, text in docs:
+        positions = {}
+        for p, tok in enumerate(tokenize_positions(text or "")):
+            positions.setdefault(tok, []).append(p)
+        for term, plist in positions.items():
+            exp_rows[(term, doc_id)] = (
+                doc_id // 64, len(plist),
+                vb_encode(delta_encode(np.asarray(plist, dtype=np.int64))))
+    assert got_rows == exp_rows
