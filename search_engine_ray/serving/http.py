@@ -119,7 +119,9 @@ def _ensure_tracking(srv):
     return srv
 
 
-def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
+def make_handler(engine, lexicon=None, *,
+                 serialize_search: bool | None = None,
+                 phrase_engine=None):
     """``serialize_search``: guard engine.search with a lock.  Default: only
     for a single-process QueryEngine (its stage-1 accumulate buffers are
     reused per engine).  A ShardedQueryEngine needs no lock — per-shard
@@ -397,6 +399,24 @@ def make_handler(engine, lexicon=None, *, serialize_search: bool | None = None):
                     self._search(qs)
                 elif u.path == "/search/news":
                     self._search(qs, intent_bias=8.0)
+                elif u.path == "/search/phrase":
+                    if phrase_engine is None:
+                        self._json(404, {"detail": "no positional index"})
+                        return
+                    q = (qs.get("q") or [""])[0]
+                    if not q.strip():
+                        self._json(422, {"detail": "q required"})
+                        return
+                    try:
+                        limit = int((qs.get("limit") or ["10"])[0])
+                    except ValueError:
+                        self._json(422, {"detail": "bad limit"})
+                        return
+                    if not 1 <= limit <= 100:
+                        self._json(422, {"detail": "bad limit"})
+                        return
+                    hits = phrase_engine.phrase(q, limit=limit)
+                    self._json(200, {"results": hits, "count": len(hits)})
                 elif u.path == "/spellcheck":
                     q = (qs.get("q") or [""])[0]
                     if not q:
@@ -423,12 +443,14 @@ class SearchServer:
     manager."""
 
     def __init__(self, index_dir_or_engine, *, host: str = "127.0.0.1",
-                 port: int = 0, lexicon=None, scoring: str = "reference"):
+                 port: int = 0, lexicon=None, scoring: str = "reference",
+                 phrase_engine=None):
         engine = (index_dir_or_engine if hasattr(index_dir_or_engine,
                                                  "search")
                   else QueryEngine(index_dir_or_engine, scoring=scoring))
-        self._httpd = ThreadingHTTPServer((host, port),
-                                          make_handler(engine, lexicon))
+        self._httpd = ThreadingHTTPServer(
+            (host, port),
+            make_handler(engine, lexicon, phrase_engine=phrase_engine))
         self._httpd.inflight = 0
         self._httpd.inflight_lock = threading.Lock()
         self.host, self.port = self._httpd.server_address[:2]

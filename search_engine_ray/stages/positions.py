@@ -222,26 +222,50 @@ def read_term_rows(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
         filter=pads.field("term").isin(sorted(set(terms))))
 
 
-def _match_phrases_group(group: pa.Table, *,
-                         phrases: list[tuple[str, list[str]]]) -> pa.Table:
-    """Per-bucket phrase evaluation (map_groups over ``bucket``).
+def match_one_phrase(by_term: dict, toks: list[str]
+                     ) -> list[tuple[int, int]]:
+    """Core phrase evaluation over a posting map ``term -> (sorted doc_id
+    array, aligned position-buffer sequence)``; returns [(doc_id,
+    n_matches)] for docs with ≥1 occurrence.
 
-    Cheap candidate pruning first: a doc is a candidate for a phrase only if
-    it contains ALL the phrase's tokens (sorted doc-list intersection,
-    numpy).  Position decoding + adjacency runs only on candidates —
+    Cheap candidate pruning first: a doc is a candidate only if it contains
+    ALL the phrase's tokens (sorted doc-list intersection, numpy).
+    Position decoding + adjacency runs only on candidates —
     ``positions(tok_i+1) ∩ (positions(tok_i) + 1)`` chained across the
     phrase; survivors of the chain are phrase-start positions, so
-    ``n_matches`` counts overlapping occurrences."""
-    # Bucket files are written (term, doc_id)-sorted, but the groupby
-    # exchange doesn't guarantee intra-group order — re-sort (cheap,
-    # group is one doc range's postings for the query tokens only).
-    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-    terms = group.column("term").to_pylist()
-    doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    bufs = group.column("pos_buf").to_pylist()
+    ``n_matches`` counts overlapping occurrences.  Shared by the
+    distributed per-bucket matcher and the in-memory serving PhraseEngine
+    (state/phrase_engine.py)."""
+    if not toks or any(t not in by_term for t in toks):
+        return []
+    cand = by_term[toks[0]][0]
+    for t in toks[1:]:
+        cand = cand[np.isin(cand, by_term[t][0])]
+        if len(cand) == 0:
+            return []
+    out: list[tuple[int, int]] = []
+    for d in cand:
+        starts = None
+        ok = True
+        for off, t in enumerate(toks):
+            docs_t, bufs_t = by_term[t]
+            r = int(np.searchsorted(docs_t, d))
+            pos = decode_positions(bufs_t[r]) - off
+            starts = pos if starts is None else \
+                np.intersect1d(starts, pos, assume_unique=True)
+            if len(starts) == 0:
+                ok = False
+                break
+        if ok and starts is not None and len(starts):
+            out.append((int(d), len(starts)))
+    return out
 
-    # term -> (sorted doc array, first row index) over contiguous runs
-    by_term: dict[str, tuple[np.ndarray, int]] = {}
+
+def postings_map_from_sorted(terms: list[str], doc_ids: np.ndarray,
+                             bufs: list[bytes]) -> dict:
+    """(term, doc_id)-sorted columnar rows -> the ``match_one_phrase``
+    posting map (contiguous-run slicing, no copies of the doc array)."""
+    by_term: dict = {}
     i = 0
     n = len(terms)
     while i < n:
@@ -249,36 +273,32 @@ def _match_phrases_group(group: pa.Table, *,
         t = terms[i]
         while j < n and terms[j] == t:
             j += 1
-        by_term[t] = (doc_ids[i:j], i)
+        by_term[t] = (doc_ids[i:j], bufs[i:j])
         i = j
+    return by_term
+
+
+def _match_phrases_group(group: pa.Table, *,
+                         phrases: list[tuple[str, list[str]]]) -> pa.Table:
+    """Per-bucket phrase evaluation (map_groups over ``bucket``) — builds
+    the posting map for this doc range and runs the shared core."""
+    # Bucket files are written (term, doc_id)-sorted, but the groupby
+    # exchange doesn't guarantee intra-group order — re-sort (cheap,
+    # group is one doc range's postings for the query tokens only).
+    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    by_term = postings_map_from_sorted(
+        group.column("term").to_pylist(),
+        group.column("doc_id").to_numpy(zero_copy_only=False),
+        group.column("pos_buf").to_pylist())
 
     out_phrase: list[str] = []
     out_doc: list[int] = []
     out_n: list[int] = []
     for phrase, toks in phrases:
-        if not toks or any(t not in by_term for t in toks):
-            continue
-        cand = by_term[toks[0]][0]
-        for t in toks[1:]:
-            cand = cand[np.isin(cand, by_term[t][0])]
-            if len(cand) == 0:
-                break
-        for d in cand:
-            starts = None
-            ok = True
-            for off, t in enumerate(toks):
-                docs_t, row0 = by_term[t]
-                r = row0 + int(np.searchsorted(docs_t, d))
-                pos = decode_positions(bufs[r]) - off
-                starts = pos if starts is None else \
-                    np.intersect1d(starts, pos, assume_unique=True)
-                if len(starts) == 0:
-                    ok = False
-                    break
-            if ok and starts is not None and len(starts):
-                out_phrase.append(phrase)
-                out_doc.append(int(d))
-                out_n.append(len(starts))
+        for d, cnt in match_one_phrase(by_term, toks):
+            out_phrase.append(phrase)
+            out_doc.append(d)
+            out_n.append(cnt)
 
     return pa.table({
         "phrase": pa.array(out_phrase, pa.string()),

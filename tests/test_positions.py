@@ -181,3 +181,51 @@ def test_vectorized_tokenize_equals_reference_impl():
                 doc_id // 64, len(plist),
                 vb_encode(delta_encode(np.asarray(plist, dtype=np.int64))))
     assert got_rows == exp_rows
+
+
+def test_phrase_engine_matches_distributed_path(pos_index):
+    from search_engine_ray.state.phrase_engine import PhraseEngine
+    idx, manifest = pos_index
+    eng = PhraseEngine(idx)
+    assert eng.num_rows == manifest["rows"]
+    dist = phrase_match(idx, PHRASES).take_all()
+    for ph in PHRASES:
+        exp = sorted(((r["doc_id"], r["n_matches"]) for r in dist
+                      if r["phrase"] == ph), key=lambda r: (-r[1], r[0]))
+        got = [(h["doc_id"], h["n_matches"]) for h in eng.phrase(ph, limit=100)]
+        assert got == exp, ph
+    # bucket-sliced shard answers only its doc range
+    shard = PhraseEngine(idx, buckets=[0])  # docs 0..1
+    got = [(h["doc_id"], h["n_matches"])
+           for h in shard.phrase("batch", limit=100)]
+    assert got == [(1, 4)]
+    # limit respected
+    assert len(eng.phrase("batch", limit=1)) == 1
+
+
+def test_serving_phrase_endpoint(pos_index):
+    import json
+    import urllib.request
+    from search_engine_ray.serving.http import SearchServer
+    from search_engine_ray.state.phrase_engine import PhraseEngine
+
+    class _NoEngine:
+        def search(self, *a, **k):
+            return []
+
+    idx, _ = pos_index
+    with SearchServer(_NoEngine(), phrase_engine=PhraseEngine(idx)) as srv:
+        base = f"http://{srv.host}:{srv.port}"
+        r = json.load(urllib.request.urlopen(
+            base + "/search/phrase?q=batch%20batch%20batch&limit=5"))
+        assert r == {"results": [{"doc_id": 1, "n_matches": 2}], "count": 1}
+        r = json.load(urllib.request.urlopen(
+            base + "/search/phrase?q=absent%20phrase"))
+        assert r == {"results": [], "count": 0}
+        for bad in ("/search/phrase?q=", "/search/phrase?q=x&limit=0",
+                    "/search/phrase?q=x&limit=abc"):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError("expected 422")
+            except urllib.error.HTTPError as e:
+                assert e.code == 422, bad
