@@ -83,8 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": Q.graph_hits,
         # -- new this round: hybrid lexical+semantic RRF -----------------------
         "hybrid_rrf": Q.hybrid_rrf,
+        # -- new this round: boolean AND/NOT retrieval -------------------------
+        "search_boolean": Q.search_boolean,
         # -- green in round 2 only; refresh the external row -----------------
-        "embedding_near_dups": Q.embedding_near_dups,
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # -- implementation touched in round 4 (re-verify) -------------------
         "simhash_fingerprints": Q.simhash_fingerprints,
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.ann_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_ivf_topk": Q.ann_ivf_topk,
+        "embedding_near_dups": Q.embedding_near_dups,
         # -- green round-2 driver row, unchanged since (demoted for the new
         #    events_rolling entry) --------------------------------------------
         "media_features": Q.media_features,
@@ -2942,6 +2944,26 @@ def oracle_sql() -> dict[str, str]:
     FROM stats s JOIN (VALUES {_prefix_vals}) p(prefix)
       ON s.term LIKE p.prefix || '%'
     ORDER BY p.prefix, s.term
+    """
+
+    # Boolean AND/NOT retrieval: require every AND term (matched-term count
+    # equals the query arity), anti-filter the NOT term's posting docs,
+    # score = stage-1 sum over the required terms (round-6).
+    sql["search_boolean"] = f"""
+    WITH {_TOKS},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id,
+           round(SUM(tf.tf * ln((n.n - stats.df + 0.5)
+                                / (stats.df + 0.5) + 1)), 6) AS token_score
+    FROM tf JOIN stats USING(term), n
+    WHERE tf.term IN ('merge','sort')
+      AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks
+                            WHERE term = 'window')
+    GROUP BY tf.doc_id
+    HAVING count(DISTINCT tf.term) = 2
+    ORDER BY tf.doc_id
     """
 
     # Hybrid retrieval: reciprocal-rank fusion (k=60) of the stage-1

@@ -952,6 +952,24 @@ def prefix_search(sf_dir: str) -> "ray.data.Dataset":
     return prefix_term_scan(eng.index_dir, PREFIXES)
 
 
+# -- boolean query semantics ----------------------------------------------------
+
+def search_boolean(sf_dir: str) -> pa.Table:
+    """Boolean retrieval: docs matching 'merge' AND 'sort' AND NOT 'window',
+    scored by the stage-1 sum over the required terms.  AND = full
+    matched_terms count from the same posting intersection the engine
+    already computes; NOT = posting-list anti-filter (no text rescan)."""
+    eng = get_engine(sf_dir, stem=False)
+    rows = eng.score_terms(["merge", "sort"])
+    excluded = {r[0] for r in eng.score_terms(["window"])}
+    kept = sorted((r[0], round(r[1], 6)) for r in rows
+                  if r[2] == 2 and r[0] not in excluded)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in kept], pa.int64()),
+        "token_score": pa.array([s for _, s in kept], pa.float64()),
+    })
+
+
 # -- hybrid retrieval (lexical + semantic RRF) ---------------------------------
 
 RRF_K = 60          # the standard reciprocal-rank-fusion constant
