@@ -120,8 +120,9 @@ def run_cycle(docs: "ray.data.Dataset", out_dir: str, *,
               else {"iterations": pagerank_iterations})
         pr = pagerank_dataset(resolved, n, **kw)
         inl = inlink_counts(resolved)
-        joined = pr.join(inl, "left_outer", num_partitions=8,
-                         on=("doc_id",)).map_batches(
+        from ..util import hash_join
+        joined = hash_join(pr, inl, "left_outer", num_partitions=8,
+                           on=("doc_id",)).map_batches(
             lambda b: pa.table({
                 "doc_id": b.column("doc_id"),
                 "pagerank": b.column("pagerank"),

@@ -101,9 +101,10 @@ def benchmark_ngram_overlap(corpus: "ray.data.Dataset",
         num_partitions = int(max(2, min(
             64, corpus.count() * 16 // 2_000_000 + 2)))
 
-    hits = corpus_rows.join(bench_hashes, "inner",
-                            num_partitions=num_partitions,
-                            on=("ngram_hash",))
+    from ..util import hash_join
+    hits = hash_join(corpus_rows, bench_hashes, "inner",
+                     num_partitions=num_partitions,
+                     on=("ngram_hash",))
     return coalesce_blocks(
         hits.groupby("doc_id").aggregate(Count()).map_batches(
             lambda b: pa.table({
@@ -131,8 +132,9 @@ def decontaminated_survivors(corpus: "ray.data.Dataset",
         lambda b: pa.table({"doc_id": b.column("doc_id")}),
         batch_format="pyarrow")
     nparts = int(max(2, min(64, n_docs // 2_000_000 + 2)))
-    return corpus.select_columns(["doc_id"]).join(
-        bad, "left_anti", num_partitions=nparts, on=("doc_id",))
+    from ..util import hash_join
+    return hash_join(corpus.select_columns(["doc_id"]), bad, "left_anti",
+                     num_partitions=nparts, on=("doc_id",))
 
 
 # -- corpus-level duplicated-span detection ----------------------------------
@@ -250,7 +252,8 @@ def duplicated_spans(docs: "ray.data.Dataset", *, n: int = DEFAULT_NGRAM,
                 ["ngram_hash"]),
             batch_format="pyarrow"))
     nparts = int(max(2, min(64, docs.count() * 16 // 2_000_000 + 2)))
-    hits = rows.join(dup_hashes, "inner", num_partitions=nparts,
+    from ..util import hash_join
+    hits = hash_join(rows, dup_hashes, "inner", num_partitions=nparts,
                      on=("ngram_hash",))
 
     def add_part(b: pa.Table) -> pa.Table:

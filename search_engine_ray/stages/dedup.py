@@ -393,8 +393,9 @@ def _pairs_with_texts(docs: "ray.data.Dataset",
                             batch_format="pyarrow")
     txt_b = txt.map_batches(as_side("doc_b", "text_b"),
                             batch_format="pyarrow")
-    with_a = pairs.join(txt_a, "inner", num_partitions=nparts,
-                        on=("doc_a",))
+    from ..util import hash_join
+    with_a = hash_join(pairs, txt_a, "inner", num_partitions=nparts,
+                       on=("doc_a",))
 
     # The first join can emit EMPTY schema-less blocks for partitions with
     # no matches; as the LEFT side of the second join those blocks can't
@@ -410,8 +411,8 @@ def _pairs_with_texts(docs: "ray.data.Dataset",
                             ("text_a", pa.large_string())])
     with_a = coalesce_blocks(with_a).map_batches(
         force_schema(mid_schema, "doc_b"), batch_format="pyarrow")
-    return with_a.join(txt_b, "inner", num_partitions=nparts,
-                       on=("doc_b",))
+    return hash_join(with_a, txt_b, "inner", num_partitions=nparts,
+                     on=("doc_b",))
 
 
 def _verify_jaccard_batch(batch: pa.Table, *, threshold: float,
@@ -554,7 +555,7 @@ def connected_components(pairs: "ray.data.Dataset", *,
                 [bb.cast(pa.int64()), a.cast(pa.int64())]),
         })
 
-    from ..util import coalesce_blocks
+    from ..util import coalesce_blocks, hash_join
     edges = coalesce_blocks(
         pairs.map_batches(both_dirs, batch_format="pyarrow")).materialize()
     if edges.count() == 0:          # no pairs -> no clustered nodes
@@ -577,7 +578,7 @@ def connected_components(pairs: "ray.data.Dataset", *,
     for _ in range(max_iterations):
         # propagate: neighbor labels arrive via the edge join; keep the min
         # of (own label, best neighbor label)
-        msgs = edges.join(labels, "inner", num_partitions=max(
+        msgs = hash_join(edges, labels, "inner", num_partitions=max(
             2, edges.num_blocks() // 4), on=("src",), right_on=("node",))
         msgs = msgs.map_batches(
             lambda b: pa.table({"node": b.column("dst"),
@@ -589,8 +590,8 @@ def connected_components(pairs: "ray.data.Dataset", *,
         # back into the NEXT round's hash joins reproduces the flaky
         # ArrowInvalid documented on util.coalesce_blocks (materialize()
         # alone does not merge blocks)
-        new_labels = coalesce_blocks(labels.join(
-            merged, "left_outer", num_partitions=max(
+        new_labels = coalesce_blocks(hash_join(
+            labels, merged, "left_outer", num_partitions=max(
                 2, edges.num_blocks() // 4),
             on=("node",)).map_batches(
             lambda b: pa.table({
@@ -662,7 +663,7 @@ def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
     collision probability ~2^-64 at 2^40 lines).  Both widths produce
     identical output wherever the 64-bit hash is collision-free, which a
     parity test pins."""
-    from ..util import coalesce_blocks
+    from ..util import coalesce_blocks, hash_join
 
     if hash_bits not in (64, 128):
         raise ValueError(f"hash_bits must be 64 or 128, got {hash_bits}")
@@ -722,8 +723,8 @@ def line_dedup(docs: "ray.data.Dataset", *, line_tokens: int = LINE_TOKENS,
                                 "mp": b.column("min(packed)")}),
             batch_format="pyarrow"))
 
-    flags = exploded.join(winners, "inner", num_partitions=num_partitions,
-                          on=("line_hash",))
+    flags = hash_join(exploded, winners, "inner",
+                      num_partitions=num_partitions, on=("line_hash",))
 
     def flag(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

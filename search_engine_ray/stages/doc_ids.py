@@ -267,7 +267,9 @@ def add_doc_ids_join(ds: "ray.data.Dataset",
     fixture scale 64 of them would starve a 4-CPU box)."""
     if num_partitions is None:
         num_partitions = max(2, min(1024, n // 1_000_000))
-    joined = ds.join(offsets_ds, "inner", num_partitions, on=("conv_id",))
+    from ..util import hash_join
+    joined = hash_join(ds, offsets_ds, "inner", num_partitions,
+                       on=("conv_id",))
 
     def add_id(batch: pa.Table) -> pa.Table:
         doc_id = pa.array(

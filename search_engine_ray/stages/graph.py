@@ -141,8 +141,9 @@ def resolve_edges_join(edges: "ray.data.Dataset", docs: "ray.data.Dataset",
             "dst_turn_idx": b.column("turn_idx"),
             "dst_doc_id": b.column("doc_id"),
         }), batch_format="pyarrow")
-    joined = edges.join(keys, "inner", num_partitions,
-                        on=("dst_conv_id", "dst_turn_idx"))
+    from ..util import hash_join
+    joined = hash_join(edges, keys, "inner", num_partitions,
+                       on=("dst_conv_id", "dst_turn_idx"))
     resolved = joined.map_batches(
         lambda b: b.select(["src_doc_id", "dst_doc_id"]),
         batch_format="pyarrow")
@@ -284,9 +285,10 @@ def pagerank_dataset(resolved: "ray.data.Dataset", num_nodes: int, *,
         lambda b: pa.table({"deg_src": b.column("src_doc_id"),
                             "out_deg": b.column("sum(deg)")}),
         batch_format="pyarrow"))
-    edges_deg = edges.join(deg, "inner", num_partitions,
-                           on=("src_doc_id",),
-                           right_on=("deg_src",)).materialize()
+    from ..util import hash_join
+    edges_deg = hash_join(edges, deg, "inner", num_partitions,
+                          on=("src_doc_id",),
+                          right_on=("deg_src",)).materialize()
 
     nodes = ray.data.range(num_nodes).map_batches(
         lambda b: pa.table({"doc_id": b.column("id").cast(pa.int64())}),
@@ -299,8 +301,8 @@ def pagerank_dataset(resolved: "ray.data.Dataset", num_nodes: int, *,
 
     base = (1.0 - damping) / num_nodes
     for _ in range(iterations):
-        joined = edges_deg.join(ranks, "inner", num_partitions,
-                                on=("src_doc_id",), right_on=("rank_id",))
+        joined = hash_join(edges_deg, ranks, "inner", num_partitions,
+                           on=("src_doc_id",), right_on=("rank_id",))
 
         def contribs(batch: pa.Table) -> pa.Table:
             dst = batch.column("dst_doc_id").to_numpy(zero_copy_only=False)
@@ -316,8 +318,8 @@ def pagerank_dataset(resolved: "ray.data.Dataset", num_nodes: int, *,
         summed = coalesce_blocks(
             joined.map_batches(contribs, batch_format="pyarrow").groupby(
                 "dst_doc_id").aggregate(Sum("contrib")))
-        merged = nodes.join(summed, "left_outer", num_partitions,
-                            on=("doc_id",), right_on=("dst_doc_id",))
+        merged = hash_join(nodes, summed, "left_outer", num_partitions,
+                           on=("doc_id",), right_on=("dst_doc_id",))
         ranks = merged.map_batches(
             lambda b, _base=base: pa.table({
                 "rank_id": b.column("doc_id"),

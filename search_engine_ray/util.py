@@ -17,6 +17,34 @@ def default_pool_max(cap: int = 64) -> int:
     return 8
 
 
+def hash_join(left, right, join_type: str, num_partitions: int, **kwargs):
+    """``Dataset.join`` with a bounded aggregator CPU reservation.
+
+    Ray 2.49's join op reserves ``min(1, (CPU/2)/num_partitions)`` CPUs per
+    aggregator actor (join.py:196, hash_shuffle.py:1007-1020).  With the
+    default sizing, ONE join's pool can reserve half the cluster, and two
+    concurrent joins (e.g. the chained pair⋈text_a⋈text_b verify join, or a
+    join running beside another entry's groupby) can reserve the ENTIRE CPU
+    budget at low cluster sizes — upstream map tasks then never schedule and
+    the streaming executor deadlocks (observed as the rare sf0.001 sweep
+    stall at num_cpus=8).  Capping the whole pool at ~25% of cluster CPUs
+    leaves room for the producing stages regardless of how many joins are
+    in flight; num_cpus is a scheduling reservation, not a cgroup, so
+    finalize work is not slowed on an otherwise-idle cluster."""
+    if "aggregator_ray_remote_args" not in kwargs:
+        try:
+            import ray
+            cpus = float(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8.0
+        except Exception:
+            cpus = 8.0
+        n_agg = max(1, min(num_partitions, 64))
+        per = min(1.0, max(0.05, (cpus / 4.0) / n_agg))
+        kwargs["aggregator_ray_remote_args"] = {
+            "num_cpus": per, "scheduling_strategy": "SPREAD"}
+    return left.join(right, join_type, num_partitions, **kwargs)
+
+
 def force_schema(schema, sentinel: str):
     """``map_batches`` fn pinning blocks to ``schema``: blocks that are
     empty or missing the ``sentinel`` column (Ray's sort-based aggregates
