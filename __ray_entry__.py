@@ -85,24 +85,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": Q.hybrid_rrf,
         # -- new this round: boolean AND/NOT retrieval -------------------------
         "search_boolean": Q.search_boolean,
+        # -- round-4 session-3 additions (never driver-verified) -------------
+        "search_proximity": Q.search_proximity,
+        "events_funnel": Q.events_funnel,
+        "events_retention": Q.events_retention,
+        "domain_quality_gate": Q.domain_quality_gate,
         # -- green in round 2 only; refresh the external row -----------------
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # -- implementation touched in round 4 (re-verify) -------------------
         "simhash_fingerprints": Q.simhash_fingerprints,
         "simhash_near_pairs": Q.simhash_near_pairs,
         "line_dedup": Q.line_dedup,
-        "c4_clean": Q.c4_clean,
-        "c4_survivors": Q.c4_survivors,
         # -- flagship index/search path (SURVEY.md §2.4 A1/A2, A6/K1/K2) -----
         "corpus_stats": Q.corpus_stats,
         "term_stats": Q.term_stats,
         "search_stage1": Q.search_stage1,
-        "search_plain": Q.search_plain,
         "search_bm25_plain": Q.search_bm25_plain,
-        "search_stemmed": Q.search_stemmed,
         "search_bm25_stemmed": Q.search_bm25_stemmed,
         "search_reference": Q.search_reference,
         # ---- driver window boundary (exactly 50 above) ----------------------
+        # -- green r3 driver rows, unchanged since (demoted for the session-3
+        #    proximity/funnel/retention/quantile-gate entries) ----------------
+        "search_plain": Q.search_plain,
+        "search_stemmed": Q.search_stemmed,
+        "c4_clean": Q.c4_clean,
+        "c4_survivors": Q.c4_survivors,
         # -- green r2/r3 driver rows, unchanged since (demoted for the new
         #    positional-phrase entries) ----------------------------------------
         "lineitem_agg": Q.lineitem_agg,
@@ -2927,6 +2934,91 @@ def oracle_sql() -> dict[str, str]:
     FROM toks WHERE term IN ({_pos_term_vals})
     GROUP BY term, doc_id
     ORDER BY term, doc_id
+    """
+
+    # NEAR/n proximity: the engine evaluates min |pos_a - pos_b| per doc via
+    # positional postings (sorted-array nearest neighbor); the mirror
+    # recomputes surface token positions (generate_subscripts zipped with
+    # unnest) and takes the grouped min over the position cross product.
+    _prox_vals = ", ".join(f"('{a}','{b}')" for a, b in Q.PROX_PAIRS)
+    sql["search_proximity"] = f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(text),
+                   '\\b[a-zA-Z0-9]{{2,}}\\b') AS toks FROM documents)
+    ),
+    pairs(term_a, term_b) AS (VALUES {_prox_vals})
+    SELECT p.term_a, p.term_b, a.doc_id,
+           min(abs(a.pos - b.pos)) AS min_dist
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+    JOIN pairs p ON a.term = p.term_a AND b.term = p.term_b
+    GROUP BY 1, 2, 3
+    HAVING min(abs(a.pos - b.pos)) <= {Q.PROX_MAX_DIST}
+    ORDER BY 1, 2, 3
+    """
+
+    # Ordered earliest-completion funnel: step i+1 strictly after the
+    # earliest qualifying step-i time (min(ts) chained through strict >).
+    _fsteps = Q.FUNNEL_STEPS
+    _fctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    _prev = None
+    for _i, _s in enumerate(_fsteps, 1):
+        if _prev is None:
+            _fctes.append(
+                f"s{_i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{_s}' GROUP BY 1)")
+        else:
+            _fctes.append(
+                f"s{_i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {_prev} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{_s}' AND e.ts > p.t GROUP BY 1)")
+        _prev = f"s{_i}"
+    _fsum = " + ".join(
+        f"CASE WHEN s{i}.user_id IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, len(_fsteps) + 1))
+    _fjoin = " ".join(f"LEFT JOIN s{i} USING(user_id)"
+                      for i in range(1, len(_fsteps) + 1))
+    sql["events_funnel"] = f"""
+    WITH {", ".join(_fctes)}
+    SELECT u.user_id, CAST({_fsum} AS BIGINT) AS steps_completed
+    FROM u {_fjoin}
+    ORDER BY u.user_id
+    """
+
+    # Weekly cohort retention; week index = Monday-anchored integer weeks
+    # ((days_since_epoch + 3) // 7 == days since Monday 1969-12-29, div 7).
+    sql["events_retention"] = """
+    WITH wk AS (
+      SELECT user_id,
+             datediff('day', DATE '1969-12-29', CAST(ts AS DATE)) // 7 AS w
+      FROM events
+    ),
+    coh AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1),
+    act AS (SELECT DISTINCT k.user_id, c.cw, k.w - c.cw AS off
+            FROM wk k JOIN coh c ON k.user_id = c.user_id)
+    SELECT CAST(cw AS BIGINT) AS cohort_week,
+           CAST(off AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM act GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # Per-source discrete-median gate; quantile_disc == the engine's
+    # histogram cumulative rule (smallest value with cum_count >= ceil(n/2)).
+    sql["domain_quality_gate"] = """
+    WITH rows_ AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\b[a-zA-Z0-9]{2,}\\b')) AS BIGINT) AS token_count
+      FROM documents
+    ),
+    thr AS (SELECT source, quantile_disc(token_count, 0.5) AS threshold
+            FROM rows_ GROUP BY 1)
+    SELECT r.doc_id, r.source, r.token_count,
+           CAST(t.threshold AS BIGINT) AS threshold
+    FROM rows_ r JOIN thr t ON r.source = t.source
+    WHERE r.token_count >= t.threshold
+    ORDER BY r.doc_id
     """
 
     # Dictionary prefix expansion: the engine answers from the segment

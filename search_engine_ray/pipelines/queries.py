@@ -1949,3 +1949,64 @@ def incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
     store = content_hash_store(_mod_filter(docs, INC_STORE_MOD, True))
     incoming = _mod_filter(docs, INC_STORE_MOD, False)
     return incremental_dedup_survivors(incoming, store)
+
+
+# -- round-4 session-3 additions: proximity / funnels / quantile gate --------
+
+# NEAR/n pairs over the positional index: mixed head ("the") / body terms so
+# the entry exercises both fat and thin posting rows.
+PROX_PAIRS = [("hash", "join"), ("sort", "merge"), ("spark", "window"),
+              ("the", "key")]
+PROX_MAX_DIST = 4
+
+
+def search_proximity(sf_dir: str) -> "ray.data.Dataset":
+    """Unordered NEAR/4 retrieval: (term_a, term_b, doc_id, min_dist) via
+    positional postings — sorted-array nearest-occurrence distance, never a
+    text rescan."""
+    from ..stages.positions import pair_proximity
+    idx = get_positional_index(sf_dir)
+    return pair_proximity(idx, PROX_PAIRS, max_dist=PROX_MAX_DIST)
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def events_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered earliest-completion funnel view→click→purchase per user."""
+    from ..stages.temporal import funnel_steps
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ev, FUNNEL_STEPS)
+
+
+def events_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Weekly cohort retention matrix (cohort_week, week_offset, n_users)."""
+    from ..stages.temporal import retention_matrix
+    ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
+                            columns=["user_id", "ts"])
+    return retention_matrix(ev)
+
+
+def domain_quality_gate(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source median gate over token counts: keep each source's docs at
+    or above the source's PERCENTILE_DISC(0.5) token count — the
+    drop-the-bottom-half-per-domain curation step, histogram-exact."""
+    from ..functions.text import TOKEN_RE
+    from ..stages.curation import per_key_quantile_gate
+
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n = [len(TOKEN_RE.findall((t or "").lower())) for t in texts]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "token_count": pa.array(n, pa.int64()),
+        })
+
+    rows = docs.map_batches(prep, batch_format="pyarrow")
+    return per_key_quantile_gate(rows, key="source", value_col="token_count",
+                                 id_col="doc_id")

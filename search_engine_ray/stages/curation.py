@@ -386,3 +386,59 @@ def mix_sources(docs: "ray.data.Dataset", *,
             "keep", pa.array(draws.astype(np.int64) < ppm, pa.bool_()))
 
     return counts.map_batches(flag, batch_format="pyarrow")
+
+
+def per_key_quantile_gate(ds: "ray.data.Dataset", *, key: str,
+                          value_col: str, id_col: str,
+                          q_num: int = 1, q_den: int = 2
+                          ) -> "ray.data.Dataset":
+    """Per-key discrete-quantile gate: keep rows whose ``value_col`` >=
+    PERCENTILE_DISC(q) of their ``key`` group — the "drop each domain's
+    below-median documents" curation step, without ever materializing a
+    group's raw values.
+
+    Exact and scale-safe via a value HISTOGRAM: groupby (key, value) counts
+    collapse each key to its distinct integer values (bounded — e.g. word
+    counts, score microunits), the per-key disc-quantile is the smallest
+    value whose cumulative count reaches ``ceil(q * n)`` (computed as
+    ``(q_num * n + q_den - 1) // q_den``, matching DuckDB
+    ``quantile_disc``), and the thresholds rejoin the rows on ``key``
+    through the bounded hash join — no per-key sort of raw rows, no driver
+    state.
+
+    Output: the input's (id_col, key, value_col) rows at/above their key's
+    quantile, plus the key's threshold."""
+    from ray.data.aggregate import Count
+
+    from ..util import coalesce_blocks, hash_join
+
+    rows = ds.select_columns([id_col, key, value_col]).materialize()
+
+    hist = coalesce_blocks(
+        rows.groupby([key, value_col]).aggregate(Count()))
+
+    def per_key(group: pa.Table) -> pa.Table:
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        c = group.column("count()").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        target = (q_num * n + q_den - 1) // q_den
+        thr = int(v[int(np.searchsorted(cum, target))])
+        return pa.table({
+            "gate_key": group.column(key).slice(0, 1),
+            "threshold": pa.array([thr], pa.int64()),
+        })
+
+    thresholds = coalesce_blocks(
+        hist.groupby(key).map_groups(per_key, batch_format="pyarrow"))
+
+    joined = hash_join(rows, thresholds, "inner",
+                       num_partitions=max(2, rows.num_blocks() // 4),
+                       on=(key,), right_on=("gate_key",))
+    return joined.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column(value_col), b.column("threshold"))).select(
+            [id_col, key, value_col, "threshold"]),
+        batch_format="pyarrow")

@@ -387,3 +387,77 @@ def term_snippets(index_dir: str, docs: "ray.data.Dataset",
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _proximity_group(group: pa.Table, *, pairs: list[tuple[str, str]],
+                     max_dist: int) -> pa.Table:
+    """Per-bucket proximity evaluation (map_groups over ``bucket``)."""
+    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    by_term = postings_map_from_sorted(
+        group.column("term").to_pylist(),
+        group.column("doc_id").to_numpy(zero_copy_only=False),
+        group.column("pos_buf").to_pylist())
+
+    out_a: list[str] = []
+    out_b: list[str] = []
+    out_d: list[int] = []
+    out_m: list[int] = []
+    for ta, tb in pairs:
+        if ta not in by_term or tb not in by_term:
+            continue
+        docs_a, bufs_a = by_term[ta]
+        docs_b, bufs_b = by_term[tb]
+        cand = docs_a[np.isin(docs_a, docs_b)]
+        for d in cand:
+            pa_pos = decode_positions(
+                bufs_a[int(np.searchsorted(docs_a, d))]).astype(np.int64)
+            pb_pos = decode_positions(
+                bufs_b[int(np.searchsorted(docs_b, d))]).astype(np.int64)
+            # min |x - y| over two sorted arrays: each a-position's nearest
+            # b-neighbor via one searchsorted (O((na+nb) log nb), no n^2)
+            i = np.searchsorted(pb_pos, pa_pos)
+            big = np.int64(2**62)
+            left = np.where(i > 0,
+                            pa_pos - pb_pos[np.maximum(i - 1, 0)], big)
+            right = np.where(i < len(pb_pos),
+                             pb_pos[np.minimum(i, len(pb_pos) - 1)] - pa_pos,
+                             big)
+            mind = int(min(left.min(), right.min()))
+            if mind <= max_dist:
+                out_a.append(ta)
+                out_b.append(tb)
+                out_d.append(int(d))
+                out_m.append(mind)
+    return pa.table({
+        "term_a": pa.array(out_a, pa.string()),
+        "term_b": pa.array(out_b, pa.string()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "min_dist": pa.array(out_m, pa.int64()),
+    })
+
+
+def pair_proximity(index_dir: str, pairs: list[tuple[str, str]], *,
+                   max_dist: int = 4) -> "ray.data.Dataset":
+    """Unordered term-pair proximity search over the positional index:
+    (term_a, term_b, doc_id, min_dist) for docs where the two terms occur
+    within ``max_dist`` surface-token positions of each other (``min_dist``
+    = min |pos_a - pos_b| over all occurrence pairs).
+
+    The classic `"a NEAR/n b"` retrieval operator.  Same scale shape as
+    :func:`phrase_match`: one row-group-pruned read of the pairs' posting
+    rows (scan ~ Σ df), one groupby(bucket) to co-locate each doc range,
+    vectorized nearest-neighbor distance (sorted-array searchsorted, not
+    the all-pairs product) inside the bucket task."""
+    union_toks = sorted({t for p in pairs for t in p})
+    if not union_toks:
+        return ray.data.from_arrow(pa.table({
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "min_dist": pa.array([], pa.int64()),
+        }))
+    import functools
+    rows = read_term_rows(index_dir, union_toks)
+    fn = functools.partial(_proximity_group, pairs=list(pairs),
+                           max_dist=max_dist)
+    return rows.groupby("bucket").map_groups(fn, batch_format="pyarrow")

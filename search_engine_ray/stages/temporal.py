@@ -322,3 +322,101 @@ def rolling_user_stats(events: "ray.data.Dataset", *, window: int = 5,
 
     return (events.select_columns([key, id_col, ts_col, value_col])
             .groupby(key).map_groups(per_key, batch_format="pyarrow"))
+
+
+def funnel_steps(events: "ray.data.Dataset",
+                 steps: list[str]) -> "ray.data.Dataset":
+    """Ordered-funnel completion per user: how many of ``steps`` each user
+    completed IN ORDER, where step ``i+1`` must occur STRICTLY after the
+    earliest qualifying occurrence of step ``i`` (the standard
+    earliest-completion funnel; strict ``>`` on ``ts`` keeps the result
+    deterministic and mirrors the SQL ``min(ts) ... WHERE ts > prev``
+    chain).
+
+    One hash exchange keyed by user; the step chain is a vectorized
+    searchsorted walk inside each group.
+
+    Partitioning assumption: one user's events fit one group (salt the key
+    for pathological entities).
+
+    Output: (user_id, steps_completed) — one row per user with ≥1 event."""
+    step_list = list(steps)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        types = group.column("event_type").to_pylist()
+        done = 0
+        cur = -(1 << 62)               # earliest prior-step time
+        for s in step_list:
+            mask = np.fromiter((t == s for t in types), dtype=bool,
+                               count=len(types))
+            cand = ts[mask]
+            cand = cand[cand > cur]
+            if len(cand) == 0:
+                break
+            cur = int(cand.min())
+            done += 1
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1),
+            "steps_completed": pa.array([done], pa.int64()),
+        })
+
+    return (events.select_columns(["user_id", "ts", "event_type"])
+            .groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow"))
+
+
+_MONDAY_EPOCH_OFFSET_DAYS = 3      # 1969-12-29 (a Monday) -> 1970-01-01
+
+US_PER_WEEK_DAY = 86_400_000_000
+
+
+def retention_matrix(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Weekly cohort retention: users cohorted by the ISO week (Monday
+    start) of their first event; for each (cohort_week, week_offset) the
+    number of cohort users active in that week.
+
+    Week index = ``(days_since_epoch + 3) // 7`` — integer weeks anchored
+    on Monday 1969-12-29, so both sides (numpy here, ``datediff`` in the
+    SQL mirror) agree without any timezone/calendar library.
+
+    Two keyed exchanges, both bounded: groupby(user) reduces each user's
+    events to their distinct active weeks (≤ weeks-of-history rows per
+    user); groupby(cohort_week, week_offset) counts users.  No driver-side
+    state.
+
+    Output: (cohort_week, week_offset, n_users)."""
+
+    def to_weeks(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = ts // US_PER_WEEK_DAY
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "w": pa.array((days + _MONDAY_EPOCH_OFFSET_DAYS) // 7,
+                          pa.int64()),
+        })
+
+    def per_user(group: pa.Table) -> pa.Table:
+        w = np.unique(group.column("w").to_numpy(zero_copy_only=False))
+        cw = int(w.min())
+        return pa.table({
+            "cohort_week": pa.array(np.full(len(w), cw), pa.int64()),
+            "week_offset": pa.array(w - cw, pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    from ..util import coalesce_blocks
+    weeks = events.select_columns(["user_id", "ts"]).map_batches(
+        to_weeks, batch_format="pyarrow")
+    per = weeks.groupby("user_id").map_groups(per_user,
+                                              batch_format="pyarrow")
+    return coalesce_blocks(
+        per.groupby(["cohort_week", "week_offset"]).aggregate(
+            Count())).map_batches(
+        lambda b: pa.table({
+            "cohort_week": b.column("cohort_week"),
+            "week_offset": b.column("week_offset"),
+            "n_users": b.column("count()").cast(pa.int64()),
+        }), batch_format="pyarrow")

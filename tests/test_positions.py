@@ -229,3 +229,31 @@ def test_serving_phrase_endpoint(pos_index):
                 raise AssertionError("expected 422")
             except urllib.error.HTTPError as e:
                 assert e.code == 422, bad
+
+
+def test_pair_proximity_equals_naive_min_distance(pos_index):
+    """pair_proximity == brute-force min |pos_a - pos_b| over the surface
+    token sequences, including head-vs-head and absent-term pairs."""
+    from search_engine_ray.stages.positions import pair_proximity
+
+    pairs = [("sort", "merge"), ("batch", "stream"), ("the", "end"),
+             ("absent", "batch"), ("part", "batch"), ("end", "end")]
+    max_dist = 3
+    got = {(r["term_a"], r["term_b"], r["doc_id"]): r["min_dist"]
+           for r in pair_proximity(pos_index[0], pairs,
+                                   max_dist=max_dist).take_all()}
+
+    exp = {}
+    for doc_id, text in DOCS:
+        toks = tokenize_positions(text or "")
+        for ta, tb in pairs:
+            pa_ = [i for i, t in enumerate(toks) if t == ta]
+            pb_ = [i for i, t in enumerate(toks) if t == tb]
+            if not pa_ or not pb_:
+                continue
+            mind = min(abs(x - y) for x in pa_ for y in pb_)
+            if mind <= max_dist:
+                exp[(ta, tb, doc_id)] = mind
+    assert got == exp
+    # same-term pair distance is 0 wherever the term occurs at all
+    assert all(v == 0 for (a, b, _), v in got.items() if a == b)

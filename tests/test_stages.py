@@ -1969,3 +1969,132 @@ def test_hybrid_rrf_invariants():
     # fused row must beat any pure single-list score at rank 1
     assert rows[0]["rrf"] >= round(1.0 / (RRF_K + 1), 6) or (
         rows[0]["lex_rank"] and rows[0]["sem_rank"])
+
+
+def test_funnel_steps_vs_naive():
+    """funnel_steps == naive earliest-completion chain per user, including
+    out-of-order arrivals, ties broken by strict ts >, and 0-step users."""
+    import random
+
+    from search_engine_ray.stages.temporal import funnel_steps
+
+    rng = random.Random(7)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error", "signup"]
+    rows = []
+    for eid in range(400):
+        rows.append((eid, rng.randrange(20), rng.choice(types),
+                     rng.randrange(1000) * 1_000_000))
+    # a user whose click precedes every view (must stall at 1 step)
+    rows.append((400, 90, "click", 1_000_000))
+    rows.append((401, 90, "view", 2_000_000))
+    # a user with view and purchase but no click (stalls at 1)
+    rows.append((402, 91, "view", 1_000_000))
+    rows.append((403, 91, "purchase", 2_000_000))
+    # a user with only errors (0 steps, still a row)
+    rows.append((404, 92, "error", 1_000_000))
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+    })).repartition(5)
+
+    got = {r["user_id"]: r["steps_completed"]
+           for r in funnel_steps(ds, steps).take_all()}
+
+    by_user = {}
+    for eid, uid, et, ts in rows:
+        by_user.setdefault(uid, []).append((et, ts))
+    exp = {}
+    for uid, evs in by_user.items():
+        cur, done = -1, 0
+        for s in steps:
+            cand = [t for et, t in evs if et == s and t > cur]
+            if not cand:
+                break
+            cur = min(cand)
+            done += 1
+        exp[uid] = done
+    assert got == exp
+    assert got[90] == 1 and got[91] == 1 and got[92] == 0
+
+
+def test_retention_matrix_vs_naive():
+    """retention_matrix == naive Monday-week cohort/offset counts."""
+    import random
+
+    from search_engine_ray.stages.temporal import retention_matrix
+
+    rng = random.Random(11)
+    US_DAY = 86_400_000_000
+    rows = []
+    for eid in range(600):
+        rows.append((rng.randrange(25), rng.randrange(70) * US_DAY
+                     + rng.randrange(US_DAY)))
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+    })).repartition(7)
+
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_matrix(ds).take_all()}
+
+    weeks = {}
+    for uid, ts in rows:
+        weeks.setdefault(uid, set()).add((ts // US_DAY + 3) // 7)
+    exp = {}
+    for uid, ws in weeks.items():
+        cw = min(ws)
+        for w in ws:
+            exp[(cw, w - cw)] = exp.get((cw, w - cw), 0) + 1
+    assert got == exp
+    # every cohort has an offset-0 row covering its full membership
+    cohorts = {}
+    for uid, ws in weeks.items():
+        cohorts[min(ws)] = cohorts.get(min(ws), 0) + 1
+    for cw, n in cohorts.items():
+        assert got[(cw, 0)] == n
+
+
+def test_per_key_quantile_gate_vs_naive():
+    """per_key_quantile_gate == sort-based PERCENTILE_DISC per key, for
+    several q values, with duplicate-heavy and single-row keys."""
+    import random
+
+    from search_engine_ray.stages.curation import per_key_quantile_gate
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(500):
+        rows.append((i, f"k{rng.randrange(12)}",
+                     rng.choice([1, 2, 2, 3, 5, 8, 8, 8, 13, 21])))
+    rows.append((500, "solo", 42))     # single-row key: threshold = value
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "token_count": pa.array([r[2] for r in rows], pa.int64()),
+    })).repartition(6)
+
+    for q_num, q_den in ((1, 2), (1, 4), (3, 4)):
+        got = {r["doc_id"]: (r["token_count"], r["threshold"]) for r in
+               per_key_quantile_gate(ds, key="source",
+                                     value_col="token_count",
+                                     id_col="doc_id", q_num=q_num,
+                                     q_den=q_den).take_all()}
+        by_key = {}
+        for i, k, v in rows:
+            by_key.setdefault(k, []).append(v)
+        thr = {}
+        for k, vs in by_key.items():
+            s = sorted(vs)
+            n = len(s)
+            target = (q_num * n + q_den - 1) // q_den
+            thr[k] = s[max(target, 1) - 1]
+        exp = {i: (v, thr[k]) for i, k, v in rows if v >= thr[k]}
+        assert got == exp, (q_num, q_den)
+    assert 500 in got
