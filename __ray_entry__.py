@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": Q.events_funnel,
         "events_retention": Q.events_retention,
         "domain_quality_gate": Q.domain_quality_gate,
+        "search_facets": Q.search_facets,
         # -- green in round 2 only; refresh the external row -----------------
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # -- implementation touched in round 4 (re-verify) -------------------
@@ -98,14 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": Q.line_dedup,
         # -- flagship index/search path (SURVEY.md §2.4 A1/A2, A6/K1/K2) -----
         "corpus_stats": Q.corpus_stats,
-        "term_stats": Q.term_stats,
         "search_stage1": Q.search_stage1,
         "search_bm25_plain": Q.search_bm25_plain,
         "search_bm25_stemmed": Q.search_bm25_stemmed,
         "search_reference": Q.search_reference,
         # ---- driver window boundary (exactly 50 above) ----------------------
         # -- green r3 driver rows, unchanged since (demoted for the session-3
-        #    proximity/funnel/retention/quantile-gate entries) ----------------
+        #    proximity/funnel/retention/quantile-gate/facet entries) ----------
+        "term_stats": Q.term_stats,
         "search_plain": Q.search_plain,
         "search_stemmed": Q.search_stemmed,
         "c4_clean": Q.c4_clean,
@@ -3001,6 +3002,22 @@ def oracle_sql() -> dict[str, str]:
            CAST(off AS BIGINT) AS week_offset,
            count(*) AS n_users
     FROM act GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # Result-set facet counts: matched turns of the stage-1 term set,
+    # counted per role and per tool (engine joins match ids to turn
+    # metadata; mirror derives the same match set from text).
+    sql["search_facets"] = f"""
+    WITH {_TOKS},
+    s1 AS (SELECT DISTINCT doc_id FROM toks
+           WHERE term IN ('merge','sort','window')),
+    tr AS ({TRANSCRIPTS_FROM_DOCUMENTS_SQL}),
+    m AS (SELECT tr.role, tr.tool FROM tr JOIN s1 USING(doc_id))
+    SELECT 'role' AS facet, role AS value, count(*) AS n_docs
+    FROM m GROUP BY 2
+    UNION ALL
+    SELECT 'tool', tool, count(*) FROM m GROUP BY 2
+    ORDER BY 1, 2
     """
 
     # Per-source discrete-median gate; quantile_disc == the engine's

@@ -2010,3 +2010,53 @@ def domain_quality_gate(sf_dir: str) -> "ray.data.Dataset":
     rows = docs.map_batches(prep, batch_format="pyarrow")
     return per_key_quantile_gate(rows, key="source", value_col="token_count",
                                  id_col="doc_id")
+
+
+def search_facets(sf_dir: str) -> "ray.data.Dataset":
+    """Result-set facet counts (the Elasticsearch-aggregations /
+    Solr-faceting operator): for the stage-1 match set of STAGE1_TERMS,
+    the number of matched turns per ``role`` and per ``tool``.
+
+    Distributed shape: the engine's stage-1 match ids become a Dataset and
+    rejoin turn metadata through the bounded hash join (NOT the closed-form
+    doc_id arithmetic — the join is the operator under test), then one
+    groupby per facet, unioned as (facet, value, n_docs).  In sharded
+    serving the same counts come from per-shard partial facet maps merged
+    at the coordinator; this entry oracles the aggregation semantics."""
+    from ..sources.transcripts import transcripts_from_documents
+    from ..util import hash_join
+
+    eng = get_engine(sf_dir, stem=False)
+    rows = eng.score_terms(list(STAGE1_TERMS))
+    matched = ray.data.from_arrow(pa.table({
+        "m_doc_id": pa.array(sorted(r[0] for r in rows), pa.int64())}))
+    from ..sources.transcripts import TURNS_PER_CONV
+
+    def meta(b: pa.Table) -> pa.Table:
+        # dense doc_id from the (conv_id, turn_idx) key — the general form
+        # for any transcript table under stable turn ordering
+        conv_num = pc.utf8_slice_codeunits(
+            b.column("conv_id"), 5).cast(pa.int64())
+        doc_id = pc.add(pc.multiply(conv_num, TURNS_PER_CONV),
+                        b.column("turn_idx").cast(pa.int64()))
+        return pa.table({"doc_id": doc_id, "role": b.column("role"),
+                         "tool": b.column("tool")})
+
+    tr = transcripts_from_documents(sf_dir).map_batches(
+        meta, batch_format="pyarrow").materialize()
+    m = hash_join(tr, matched, "inner",
+                  num_partitions=max(2, tr.num_blocks() // 4),
+                  on=("doc_id",), right_on=("m_doc_id",)).materialize()
+
+    def facet(ds, col, name):
+        from ray.data.aggregate import Count
+
+        from ..util import coalesce_blocks
+        return coalesce_blocks(ds.groupby(col).aggregate(Count())).map_batches(
+            lambda b: pa.table({
+                "facet": pa.array([name] * b.num_rows, pa.string()),
+                "value": b.column(col),
+                "n_docs": b.column("count()").cast(pa.int64()),
+            }), batch_format="pyarrow")
+
+    return facet(m, "role", "role").union(facet(m, "tool", "tool"))

@@ -54,3 +54,36 @@ def test_batch_search_wand_matches_exhaustive(built_index):
                         concurrency=1, batch_size=2,
                         use_wand=True).take_all()
     assert key(plain) == key(wand) and plain
+
+
+def test_search_facets_partition_the_match_set():
+    """Facet counts partition the stage-1 match set: each facet's counts sum
+    to the same total (the number of matched turns), and every value's count
+    equals the naive filter count."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.queries import (STAGE1_TERMS, get_engine,
+                                                     search_facets)
+    from search_engine_ray.sources.transcripts import TURNS_PER_CONV
+
+    sf = "/root/testdata/sf0.001"
+    rows = search_facets(sf).take_all()
+    by_facet = {}
+    for r in rows:
+        by_facet.setdefault(r["facet"], {})[r["value"]] = r["n_docs"]
+    assert set(by_facet) == {"role", "tool"}
+
+    matched = {r[0] for r in get_engine(sf, stem=False).score_terms(
+        list(STAGE1_TERMS))}
+    assert sum(by_facet["role"].values()) == len(matched)
+    assert sum(by_facet["tool"].values()) == len(matched)
+    # naive per-value recount from the transcript definition
+    from search_engine_ray.sources.transcripts import ROLES, TOOLS
+    exp_role = {}
+    exp_tool = {}
+    for d in matched:
+        exp_role[ROLES[d % 4]] = exp_role.get(ROLES[d % 4], 0) + 1
+        t = TOOLS[d % 5]
+        exp_tool[t] = exp_tool.get(t, 0) + 1
+    assert by_facet["role"] == exp_role
+    assert by_facet["tool"] == exp_tool
