@@ -417,6 +417,17 @@ def make_handler(engine, lexicon=None, *,
                         return
                     hits = phrase_engine.phrase(q, limit=limit)
                     self._json(200, {"results": hits, "count": len(hits)})
+                elif u.path == "/search/facets":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        self._json(422, {"detail": "q required"})
+                        return
+                    if not hasattr(engine, "facet_counts"):
+                        self._json(404, {"detail": "facets unsupported"})
+                        return
+                    with lock:
+                        facets, count = engine.facet_counts(q)
+                    self._json(200, {"facets": facets, "count": count})
                 elif u.path == "/spellcheck":
                     q = (qs.get("q") or [""])[0]
                     if not q:

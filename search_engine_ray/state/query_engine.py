@@ -619,6 +619,42 @@ class QueryEngine:
             "tool": d["tool"][i],
         }
 
+    def facet_counts_terms(self, sorted_terms: list[str],
+                           fields: tuple[str, ...] = ("role", "tool")
+                           ) -> tuple[dict, int]:
+        """Facet value counts over the FULL stage-1 match set of
+        ``sorted_terms`` (facet aggregations run over every match, not the
+        candidate page — Elasticsearch-aggregation semantics): ``({field:
+        {value: n_docs}}, match_count)``.  Vectorized: one np.unique over
+        the metadata column per field, no per-doc Python loop."""
+        d = self._docs
+        if d is None:
+            raise RuntimeError("facet_counts needs document metadata; this "
+                               "engine was built with load_docs=False")
+        rows = self.score_terms(list(sorted_terms))
+        ids = np.fromiter((r[0] for r in rows), dtype=np.int64,
+                          count=len(rows)) - self._base
+        out: dict = {}
+        for f in fields:
+            if len(ids):
+                vals, counts = np.unique(d[f][ids], return_counts=True)
+                out[f] = {str(v): int(c)
+                          for v, c in zip(vals.tolist(), counts.tolist())}
+            else:
+                out[f] = {}
+        return out, len(rows)
+
+    def facet_counts(self, q: str, *,
+                     fields: tuple[str, ...] = ("role", "tool")
+                     ) -> tuple[dict, int]:
+        """Query-string front end of :meth:`facet_counts_terms` (same
+        normalization as search; termless queries facet nothing)."""
+        ctx = search_context(q, 1, 0)
+        if ctx is None:
+            return {f: {} for f in fields}, 0
+        return self.facet_counts_terms(sorted(set(ctx["query_terms"])),
+                                       fields=fields)
+
     def search(self, q: str, *, limit: int = 20, offset: int = 0,
                intent_bias: float = 0.0) -> list[dict]:
         """Full two-stage search; returns the ranked page as dict rows.

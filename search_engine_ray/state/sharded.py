@@ -45,6 +45,13 @@ class _ShardActor:
     def loaded_postings_bytes(self) -> int:
         return self._eng.loaded_postings_bytes()
 
+    def facet_range(self, sorted_terms: list[str],
+                    fields: tuple[str, ...]) -> tuple[dict, int]:
+        """Partial facet map for this shard's doc range — the coordinator
+        sums value counts across shards (ranges are disjoint, so the merge
+        is exact)."""
+        return self._eng.facet_counts_terms(sorted_terms, fields=fields)
+
     def score_range(self, sorted_terms: list[str], cl: int,
                     ctx: dict | None = None) -> tuple[bool, list[tuple]]:
         """(ok, local top-cl rows) within this shard's range; rows carry
@@ -169,6 +176,32 @@ class ShardedQueryEngine:
         ranked.sort(key=lambda r: (-r["score"], r["url"]))
         page = ranked[offset:offset + limit]
         return page, max(len(ranked), offset + len(page))
+
+    def facet_counts(self, q: str, *,
+                     fields: tuple[str, ...] = ("role", "tool")
+                     ) -> tuple[dict, int]:
+        """Distributed facet aggregation: each shard counts its disjoint
+        doc-range's matched facet values (vectorized, actor-side), the
+        coordinator sums the partial maps.  Identical to the single
+        engine's facet_counts by construction (disjoint-range sum)."""
+        if not self._actors:
+            raise RuntimeError("ShardedQueryEngine is shut down")
+        ctx = search_context(q, 1, 0)
+        if ctx is None:
+            return {f: {} for f in fields}, 0
+        terms = sorted(set(ctx["query_terms"]))
+        row = self._replicas[next(self._rr) % len(self._replicas)] \
+            if len(self._replicas) > 1 else self._actors
+        futs = [a.facet_range.remote(terms, tuple(fields)) for a in row]
+        merged: dict = {f: {} for f in fields}
+        total = 0
+        for part, n in ray.get(futs):
+            total += n
+            for f, m in part.items():
+                bucket = merged[f]
+                for v, c in m.items():
+                    bucket[v] = bucket.get(v, 0) + c
+        return merged, total
 
     def shutdown(self) -> None:
         for row in self._replicas:

@@ -883,3 +883,36 @@ def test_extend_reducer_retry_is_idempotent(tmp_path, monkeypatch):
     for q, limit, offset in QUERY_SET[:6]:
         assert _rows_key(qi.search(q, limit=limit, offset=offset)) == \
             _rows_key(qf.search(q, limit=limit, offset=offset)), q
+
+
+def test_facet_counts_single_vs_sharded_and_naive(built_index):
+    """facet_counts over the full match set: single engine == naive recount
+    from doc_meta == sharded per-range merge, for several query shapes."""
+    from search_engine_ray.state.sharded import ShardedQueryEngine
+    cfg, _ = built_index
+    single = QueryEngine(cfg.index_dir)
+    sharded = ShardedQueryEngine(cfg.index_dir, num_shards=3)
+    try:
+        for q in ("word0001 word0002", "word0003", "the and of", ""):
+            facets, count = single.facet_counts(q)
+            assert set(facets) == {"role", "tool"}
+            # naive recount from the match set
+            from search_engine_ray.functions.text import search_context
+            ctx = search_context(q, 1, 0)
+            if ctx is None:
+                assert count == 0 and facets == {"role": {}, "tool": {}}
+            else:
+                rows = single.score_terms(sorted(set(ctx["query_terms"])))
+                assert count == len(rows)
+                exp_role: dict = {}
+                exp_tool: dict = {}
+                for doc_id, _, _ in rows:
+                    m = single.doc_meta(doc_id)
+                    exp_role[m["role"]] = exp_role.get(m["role"], 0) + 1
+                    exp_tool[m["tool"]] = exp_tool.get(m["tool"], 0) + 1
+                assert facets["role"] == exp_role
+                assert facets["tool"] == exp_tool
+            sf, sc = sharded.facet_counts(q)
+            assert (sf, sc) == (facets, count), q
+    finally:
+        sharded.shutdown()

@@ -318,3 +318,23 @@ def test_search_count_and_param_validation(server):
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 422, bad
+
+
+def test_facets_endpoint(server):
+    srv, cfg = server
+    status, body = _get(srv.port, "/search/facets?q=word0001%20word0002")
+    assert status == 200
+    facets, count = QueryEngine(cfg.index_dir).facet_counts(
+        "word0001 word0002")
+    assert body == {"facets": facets, "count": count}
+    assert set(body["facets"]) == {"role", "tool"}
+    assert sum(body["facets"]["role"].values()) == count
+    # termless query facets nothing; missing q is a validation error
+    status, body = _get(srv.port, "/search/facets?q=the%20and%20of")
+    assert status == 200 and body["count"] == 0 \
+        and body["facets"] == {"role": {}, "tool": {}}
+    try:
+        _get(srv.port, "/search/facets?q=")
+        raise AssertionError("expected 422")
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
