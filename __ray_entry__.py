@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": Q.events_retention,
         "domain_quality_gate": Q.domain_quality_gate,
         "search_facets": Q.search_facets,
+        "more_like_this": Q.more_like_this,
         # -- green in round 2 only; refresh the external row -----------------
         "embedding_near_dups_aug": Q.embedding_near_dups_aug,
         # -- implementation touched in round 4 (re-verify) -------------------
@@ -98,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": Q.simhash_near_pairs,
         "line_dedup": Q.line_dedup,
         # -- flagship index/search path (SURVEY.md §2.4 A1/A2, A6/K1/K2) -----
-        "corpus_stats": Q.corpus_stats,
         "search_stage1": Q.search_stage1,
         "search_bm25_plain": Q.search_bm25_plain,
         "search_bm25_stemmed": Q.search_bm25_stemmed,
@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver window boundary (exactly 50 above) ----------------------
         # -- green r3 driver rows, unchanged since (demoted for the session-3
         #    proximity/funnel/retention/quantile-gate/facet entries) ----------
+        "corpus_stats": Q.corpus_stats,
         "term_stats": Q.term_stats,
         "search_plain": Q.search_plain,
         "search_stemmed": Q.search_stemmed,
@@ -3017,6 +3018,49 @@ def oracle_sql() -> dict[str, str]:
     FROM m GROUP BY 2
     UNION ALL
     SELECT 'tool', tool, count(*) FROM m GROUP BY 2
+    ORDER BY 1, 2
+    """
+
+    # More-like-this: seed's top-m tf*idf terms become the derived query,
+    # stage-1 scoring over them, top-k other docs per seed.  Both tie-break
+    # chains pinned (term selection: tfidf DESC term ASC; results: score
+    # DESC doc_id ASC).
+    _mlt_seeds = ", ".join(f"({s})" for s in Q.MLT_SEEDS)
+    sql["more_like_this"] = f"""
+    WITH {_TOKS},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    seeds(seed) AS (VALUES {_mlt_seeds}),
+    seed_terms AS (
+      SELECT s.seed, tf.term,
+             row_number() OVER (PARTITION BY s.seed
+               ORDER BY tf.tf * ln((n.n - st.df + 0.5)/(st.df + 0.5) + 1)
+                        DESC, tf.term ASC) AS rn
+      FROM seeds s JOIN tf ON tf.doc_id = s.seed
+      JOIN stats st ON st.term = tf.term, n
+    ),
+    qt AS (SELECT seed, term FROM seed_terms WHERE rn <= {Q.MLT_TERMS}),
+    scored AS (
+      SELECT qt.seed, tf.doc_id,
+             SUM(tf.tf * ln((n.n - st.df + 0.5)/(st.df + 0.5) + 1))
+               AS score,
+             count(DISTINCT tf.term) AS matched_terms
+      FROM qt JOIN tf ON tf.term = qt.term
+      JOIN stats st ON st.term = tf.term, n
+      WHERE tf.doc_id != qt.seed
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT seed, doc_id, round(score, 6) AS mlt_score, matched_terms,
+             row_number() OVER (PARTITION BY seed
+               ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(seed AS BIGINT) AS seed_doc_id, doc_id, mlt_score,
+           matched_terms
+    FROM ranked WHERE rn <= {Q.MLT_K}
     ORDER BY 1, 2
     """
 

@@ -79,12 +79,30 @@ def get_unified_engine(sf_dir: str, *, stem: bool) -> tuple[QueryEngine, int]:
     return eng, n_web
 
 
+_docs_ids_cache: dict[str, "ray.data.Dataset"] = {}
+
+
 def _docs_with_ids(sf_dir: str) -> "ray.data.Dataset":
     """Transcript docs + deterministic doc_id (== documents.doc_id by
-    construction of the derivation)."""
+    construction of the derivation), MATERIALIZED once per process+sf_dir.
+
+    Materializing here is a correctness-of-scheduling decision, not just a
+    speedup: the dedup pipelines branch this dataset 3+ ways (fingerprint
+    pass, pair-verify text sides, survivor anti-join), and every LAZY
+    branch re-executes the lineage with its own `_AddDocId` actor pool
+    (min 1 CPU each).  On a 4-CPU cluster three lingering pools plus one
+    dispatched read task reserve everything, the next pool's min-size
+    actor can never place, and the paused read generator never frees its
+    CPU — a live-reproduced streaming-executor deadlock.  Branching off
+    the materialized blocks spins the pool exactly once.  (At 100 TB the
+    same role is played by a parquet checkpoint of the id-assigned corpus,
+    which `pipelines/build.py` already writes as the doc store.)"""
     from ..stages.doc_ids import assign_doc_ids
-    ds, _ = assign_doc_ids(transcripts_from_documents(sf_dir))
-    return ds
+    key = os.path.abspath(sf_dir)
+    if key not in _docs_ids_cache:
+        ds, _ = assign_doc_ids(transcripts_from_documents(sf_dir))
+        _docs_ids_cache[key] = ds.materialize()
+    return _docs_ids_cache[key]
 
 
 # -- index statistics -------------------------------------------------------
@@ -1967,6 +1985,49 @@ def search_proximity(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.positions import pair_proximity
     idx = get_positional_index(sf_dir)
     return pair_proximity(idx, PROX_PAIRS, max_dist=PROX_MAX_DIST)
+
+
+MLT_SEEDS = [3, 40, 77]
+MLT_TERMS = 5
+MLT_K = 15
+
+
+def more_like_this(sf_dir: str) -> pa.Table:
+    """More-like-this retrieval (the classic Lucene/ES MLT operator): for
+    each seed doc, select its top-``MLT_TERMS`` tf*idf terms (tf from the
+    seed's stopworded unstemmed tokens, idf from the index dictionary —
+    the same ln((N-df+0.5)/(df+0.5)+1) the stage-1 scorer uses), run the
+    standard stage-1 accumulation over that derived query, and keep the
+    top-``MLT_K`` OTHER docs per seed.  Term selection tie-break
+    (tfidf DESC, term ASC) and result tie-break (score DESC, doc_id ASC)
+    are pinned so the DuckDB mirror is hash-exact."""
+    from ..functions.text import tokenize
+    eng = get_engine(sf_dir, stem=False)
+    out = []
+    for seed in MLT_SEEDS:
+        tf = tokenize(eng.doc_meta(seed)["text"],
+                      do_stem=False, drop_stopwords=True)
+        cand = []
+        for t, n in tf.items():
+            st = eng.term_stats(t)
+            if st is not None:
+                cand.append((-(n * st[2]), t))
+        cand.sort()
+        terms = [t for _, t in cand[:MLT_TERMS]]
+        taken = 0
+        for doc_id, score, matched in eng.score_terms(terms):
+            if doc_id == seed:
+                continue
+            out.append((seed, doc_id, round(score, 6), matched))
+            taken += 1
+            if taken >= MLT_K:
+                break
+    return pa.table({
+        "seed_doc_id": pa.array([r[0] for r in out], pa.int64()),
+        "doc_id": pa.array([r[1] for r in out], pa.int64()),
+        "mlt_score": pa.array([r[2] for r in out], pa.float64()),
+        "matched_terms": pa.array([r[3] for r in out], pa.int64()),
+    })
 
 
 FUNNEL_STEPS = ["view", "click", "purchase"]

@@ -27,10 +27,23 @@ def hash_join(left, right, join_type: str, num_partitions: int, **kwargs):
     join running beside another entry's groupby) can reserve the ENTIRE CPU
     budget at low cluster sizes — upstream map tasks then never schedule and
     the streaming executor deadlocks (observed as the rare sf0.001 sweep
-    stall at num_cpus=8).  Capping the whole pool at ~25% of cluster CPUs
-    leaves room for the producing stages regardless of how many joins are
-    in flight; num_cpus is a scheduling reservation, not a cgroup, so
-    finalize work is not slowed on an otherwise-idle cluster."""
+    stall at num_cpus=8).
+
+    The deadlock anatomy (reproduced live, 3-round 4-cpu stress): aggregator
+    actors are plain ``.remote()`` actors OUTSIDE the streaming executor's
+    per-operator resource accounting, so their reservation silently shrinks
+    the budget the executor plans against.  A pipeline with two running
+    actor pools (2x1 CPU) plus a dispatched read task (1 CPU) needs the 4th
+    CPU for the NEXT pool's min-size actor; the read's streaming generator
+    is paused pending that downstream pool's capacity, so its CPU never
+    frees — any aggregator fraction then makes first-actor placement
+    impossible and the execution hangs (self-heals only if an idle pool
+    actor times out ~10 min later).  At sandbox-sized clusters (<= 8 CPUs)
+    aggregators therefore reserve ZERO CPUs — num_cpus is a scheduling
+    reservation, not a cgroup, so this costs nothing when the cluster is
+    otherwise idle; at real cluster sizes the pool keeps a proportional
+    reservation (~25% of CPUs) so placement pressure still spreads
+    aggregators across nodes."""
     if "aggregator_ray_remote_args" not in kwargs:
         try:
             import ray
@@ -39,7 +52,8 @@ def hash_join(left, right, join_type: str, num_partitions: int, **kwargs):
         except Exception:
             cpus = 8.0
         n_agg = max(1, min(num_partitions, 64))
-        per = min(1.0, max(0.05, (cpus / 4.0) / n_agg))
+        per = 0.0 if cpus <= 8 \
+            else min(1.0, max(0.05, (cpus / 4.0) / n_agg))
         kwargs["aggregator_ray_remote_args"] = {
             "num_cpus": per, "scheduling_strategy": "SPREAD"}
     return left.join(right, join_type, num_partitions, **kwargs)
