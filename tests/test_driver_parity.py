@@ -83,3 +83,49 @@ def test_stage1_unstemmed_matches_oracle_formula(derived_table):
             assert got[doc_id] == (round(score, 6), matched)
         else:
             assert doc_id not in got
+
+
+def test_more_like_this_matches_naive(derived_table):
+    """more_like_this vs a from-scratch recomputation: term selection
+    (tf*idf DESC, term ASC), stage-1 scoring over the derived query, and
+    the top-k cut (score DESC, doc_id ASC) all pinned."""
+    import math
+    from collections import Counter
+
+    from search_engine_ray.functions.text import STOPWORDS, TOKEN_RE
+    from search_engine_ray.pipelines.queries import (MLT_K, MLT_SEEDS,
+                                                     MLT_TERMS,
+                                                     more_like_this)
+
+    texts = {d: t for d, t in zip(
+        derived_table.column("doc_id").to_pylist(),
+        derived_table.column("text").to_pylist())}
+    toks = {d: [w for w in TOKEN_RE.findall((t or "").lower())
+                if w not in STOPWORDS] for d, t in texts.items()}
+    n = len(texts)
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    idf = {t: math.log((n - d + 0.5) / (d + 0.5) + 1) for t, d in df.items()}
+
+    got = more_like_this(SF_DIR)
+    rows = list(zip(got.column("seed_doc_id").to_pylist(),
+                    got.column("doc_id").to_pylist(),
+                    got.column("mlt_score").to_pylist(),
+                    got.column("matched_terms").to_pylist()))
+    for seed in MLT_SEEDS:
+        tf = Counter(toks[seed])
+        cand = sorted(((-(c * idf[t]), t) for t, c in tf.items()))
+        terms = [t for _, t in cand[:MLT_TERMS]]
+        scored = []
+        for d, ts in toks.items():
+            if d == seed:
+                continue
+            dtf = Counter(ts)
+            s = sum(dtf[t] * idf[t] for t in terms if dtf[t])
+            m = sum(1 for t in terms if dtf[t])
+            if m:
+                scored.append((d, s, m))
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        exp = [(seed, d, round(s, 6), m) for d, s, m in scored[:MLT_K]]
+        assert [r for r in rows if r[0] == seed] == exp, seed
