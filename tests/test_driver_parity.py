@@ -97,9 +97,10 @@ def test_more_like_this_matches_naive(derived_table):
                                                      MLT_TERMS,
                                                      more_like_this)
 
-    texts = {d: t for d, t in zip(
-        derived_table.column("doc_id").to_pylist(),
-        derived_table.column("text").to_pylist())}
+    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    texts = {d: t for d, t in zip(src.column("doc_id").to_pylist(),
+                                  src.column("text").to_pylist())}
     toks = {d: [w for w in TOKEN_RE.findall((t or "").lower())
                 if w not in STOPWORDS] for d, t in texts.items()}
     n = len(texts)

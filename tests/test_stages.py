@@ -2098,3 +2098,44 @@ def test_per_key_quantile_gate_vs_naive():
         exp = {i: (v, thr[k]) for i, k, v in rows if v >= thr[k]}
         assert got == exp, (q_num, q_den)
     assert 500 in got
+
+
+def test_hash_join_aggregator_reservation_policy():
+    """hash_join's aggregator resource override: ZERO CPU reservation at
+    sandbox-sized clusters (<= 8 CPUs — the live-reproduced deadlock mode),
+    proportional ~25%-of-cluster pool at real cluster sizes, caller
+    override always respected."""
+    from unittest import mock
+
+    from search_engine_ray.util import hash_join
+
+    captured = {}
+
+    class FakeDS:
+        def join(self, other, join_type, num_partitions, **kwargs):
+            captured.update(kwargs)
+            return "joined"
+
+    def run(cpus, nparts):
+        captured.clear()
+        with mock.patch("ray.cluster_resources",
+                        return_value={"CPU": float(cpus)}), \
+             mock.patch("ray.is_initialized", return_value=True):
+            out = hash_join(FakeDS(), None, "inner", nparts, on=("k",))
+        assert out == "joined"
+        return captured["aggregator_ray_remote_args"]
+
+    # this pytest session runs at 4 CPUs: reservation must be zero
+    assert run(4, 8)["num_cpus"] == 0.0
+    assert run(8, 8)["num_cpus"] == 0.0
+    # 32-cpu cluster, 8 partitions: (32/4)/8 = 1.0 per aggregator
+    assert run(32, 8)["num_cpus"] == 1.0
+    # 64 partitions at 32 cpus: (32/4)/64 = 0.125
+    assert run(32, 64)["num_cpus"] == 0.125
+    # never exceeds 1 CPU per aggregator
+    assert run(256, 4)["num_cpus"] == 1.0
+    # caller-provided args pass through untouched
+    captured.clear()
+    hash_join(FakeDS(), None, "inner", 8,
+              aggregator_ray_remote_args={"num_cpus": 0.5})
+    assert captured["aggregator_ray_remote_args"] == {"num_cpus": 0.5}
