@@ -222,20 +222,42 @@ def read_term_rows(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
         filter=pads.field("term").isin(sorted(set(terms))))
 
 
+def decode_positions_many(bufs: list[bytes],
+                          counts: np.ndarray) -> np.ndarray:
+    """Decode MANY per-(term, doc) position rows in ONE varbyte pass.
+
+    The rows are concatenated and decoded as a single stream (varbyte is
+    self-delimiting); ``counts`` gives values per row, and a segmented
+    cumsum rebuilds each row's absolute positions (deltas reset at row
+    starts, first value absolute — the build encoder's boundary-reset
+    contract, `_tok_positions_task`)."""
+    if not bufs:
+        return np.zeros(0, dtype=np.int64)
+    deltas = vb_decode(b"".join(bufs)).astype(np.int64)
+    c = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    row_carry = np.where(starts > 0, c[np.maximum(starts - 1, 0)], 0)
+    return c - np.repeat(row_carry, counts)
+
+
 def match_one_phrase(by_term: dict, toks: list[str]
                      ) -> list[tuple[int, int]]:
     """Core phrase evaluation over a posting map ``term -> (sorted doc_id
-    array, aligned position-buffer sequence)``; returns [(doc_id,
-    n_matches)] for docs with ≥1 occurrence.
+    array, aligned position-buffer sequence[, npos array])``; returns
+    [(doc_id, n_matches)] for docs with ≥1 occurrence.
 
     Cheap candidate pruning first: a doc is a candidate only if it contains
-    ALL the phrase's tokens (sorted doc-list intersection, numpy).
-    Position decoding + adjacency runs only on candidates —
-    ``positions(tok_i+1) ∩ (positions(tok_i) + 1)`` chained across the
-    phrase; survivors of the chain are phrase-start positions, so
-    ``n_matches`` counts overlapping occurrences.  Shared by the
-    distributed per-bucket matcher and the in-memory serving PhraseEngine
-    (state/phrase_engine.py)."""
+    ALL the phrase's tokens (sorted doc-list intersection, numpy).  When
+    per-row occurrence counts (``npos``) ride in the map, the adjacency
+    chain is fully VECTORIZED across candidate docs: one batched varbyte
+    decode per token, then sorted int64 keys ``local_doc * S + (pos - off
+    + k)`` intersected across the phrase (np.intersect1d on sorted unique
+    arrays) — no per-doc Python loop.  Survivors are phrase-start
+    positions, so ``n_matches`` counts overlapping occurrences.  Without
+    npos (or if the key space would overflow int64) the per-candidate
+    scalar chain runs instead; both paths are pinned equal by the phrase
+    property tests.  Shared by the distributed per-bucket matcher and the
+    in-memory serving PhraseEngine (state/phrase_engine.py)."""
     if not toks or any(t not in by_term for t in toks):
         return []
     cand = by_term[toks[0]][0]
@@ -243,12 +265,42 @@ def match_one_phrase(by_term: dict, toks: list[str]
         cand = cand[np.isin(cand, by_term[t][0])]
         if len(cand) == 0:
             return []
+
+    k = len(toks)
+    have_npos = all(len(by_term[t]) > 2 and by_term[t][2] is not None
+                    for t in set(toks))
+    if have_npos:
+        base = int(cand[0])
+        span = int(cand[-1]) - base + 1
+        keys = None
+        max_shift = 0
+        parts = []
+        for off, t in enumerate(toks):
+            docs_t, bufs_t, npos_t = by_term[t]
+            idx = np.searchsorted(docs_t, cand)
+            counts = np.asarray(npos_t, dtype=np.int64)[idx]
+            pos = decode_positions_many([bufs_t[j] for j in idx], counts)
+            parts.append((off, idx, counts, pos))
+            if len(pos):
+                max_shift = max(max_shift, int(pos.max()) + k)
+        scale = 1 << max(1, (max_shift + 1)).bit_length()
+        if span * scale < (1 << 62):        # key space fits int64
+            for off, idx, counts, pos in parts:
+                local = np.repeat(cand - base, counts)
+                key = local * scale + (pos - off + k)
+                keys = key if keys is None else np.intersect1d(
+                    keys, key, assume_unique=True)
+                if len(keys) == 0:
+                    return []
+            docs, n = np.unique(keys // scale, return_counts=True)
+            return [(int(base + d), int(c)) for d, c in zip(docs, n)]
+
     out: list[tuple[int, int]] = []
     for d in cand:
         starts = None
         ok = True
         for off, t in enumerate(toks):
-            docs_t, bufs_t = by_term[t]
+            docs_t, bufs_t = by_term[t][0], by_term[t][1]
             r = int(np.searchsorted(docs_t, d))
             pos = decode_positions(bufs_t[r]) - off
             starts = pos if starts is None else \
@@ -262,9 +314,12 @@ def match_one_phrase(by_term: dict, toks: list[str]
 
 
 def postings_map_from_sorted(terms: list[str], doc_ids: np.ndarray,
-                             bufs: list[bytes]) -> dict:
+                             bufs: list[bytes],
+                             npos: np.ndarray | None = None) -> dict:
     """(term, doc_id)-sorted columnar rows -> the ``match_one_phrase``
-    posting map (contiguous-run slicing, no copies of the doc array)."""
+    posting map (contiguous-run slicing, no copies of the doc array).
+    Passing ``npos`` (per-row occurrence counts) enables the vectorized
+    adjacency path in :func:`match_one_phrase`."""
     by_term: dict = {}
     i = 0
     n = len(terms)
@@ -273,7 +328,8 @@ def postings_map_from_sorted(terms: list[str], doc_ids: np.ndarray,
         t = terms[i]
         while j < n and terms[j] == t:
             j += 1
-        by_term[t] = (doc_ids[i:j], bufs[i:j])
+        by_term[t] = (doc_ids[i:j], bufs[i:j],
+                      None if npos is None else npos[i:j])
         i = j
     return by_term
 
@@ -289,7 +345,8 @@ def _match_phrases_group(group: pa.Table, *,
     by_term = postings_map_from_sorted(
         group.column("term").to_pylist(),
         group.column("doc_id").to_numpy(zero_copy_only=False),
-        group.column("pos_buf").to_pylist())
+        group.column("pos_buf").to_pylist(),
+        group.column("npos").to_numpy(zero_copy_only=False))
 
     out_phrase: list[str] = []
     out_doc: list[int] = []
@@ -307,26 +364,61 @@ def _match_phrases_group(group: pa.Table, *,
     })
 
 
+def _map_bucket_files(index_dir: str, terms: list[str], row_fn,
+                      empty_schema: pa.Schema) -> "ray.data.Dataset":
+    """Fan one task out per bucket FILE and union the results — the
+    zero-shuffle physical plan for bucket-local query evaluation.
+
+    Bucket files already ARE the doc-range groups (written (term,
+    doc_id)-sorted by `_write_bucket_group`), so a groupby(bucket) over the
+    scanned rows would re-exchange Σ df(term) rows just to rebuild a
+    co-location the layout guarantees.  Each task instead does its own
+    filtered parquet read (``term IN terms`` — row-group statistics prune
+    non-query terms) and evaluates ``row_fn`` on the bucket's rows."""
+    manifest = load_manifest(index_dir)
+    paths = manifest["files"]
+    want = sorted(set(terms))
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        outs = []
+        for rel in batch.column("path").to_pylist():
+            t = pq.read_table(os.path.join(index_dir, rel),
+                              columns=["term", "doc_id", "npos", "pos_buf"],
+                              filters=[("term", "in", want)])
+            if t.num_rows:
+                r = row_fn(t)
+                if r.num_rows:
+                    outs.append(r)
+        return (pa.concat_tables(outs) if outs
+                else empty_schema.empty_table())
+
+    if not paths:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    return ray.data.from_items(
+        [{"path": p} for p in paths],
+        override_num_blocks=len(paths)).map_batches(
+        per_file, batch_format="pyarrow")
+
+
 def phrase_match(index_dir: str, phrases: list[str]) -> "ray.data.Dataset":
     """All (phrase, doc_id, n_matches) exact-sequence matches.
 
-    One pass: stream only the union of the phrases' token postings (pruned
-    read), one groupby(bucket) to co-locate each doc range, vectorized
-    candidate intersection + adjacency inside each bucket task.  Multiple
-    phrases share the scan — cost ~ sum over distinct tokens of df(token)."""
+    One task per bucket file, NO shuffle: each task reads only the union
+    of the phrases' token postings for its doc range (row-group-pruned),
+    then runs the vectorized candidate intersection + adjacency.  Multiple
+    phrases share the scan — cost ~ sum over distinct tokens of df(token),
+    fanned out across buckets exactly as a multi-node cluster would run
+    it."""
     union_toks = sorted({t for p in phrases for t in tokenize_positions(p)})
+    empty = pa.schema([("phrase", pa.string()), ("doc_id", pa.int64()),
+                       ("n_matches", pa.int64())])
     if not union_toks:
-        return ray.data.from_arrow(pa.table({
-            "phrase": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "n_matches": pa.array([], pa.int64()),
-        }))
+        return ray.data.from_arrow(empty.empty_table())
     import functools
-    rows = read_term_rows(index_dir, union_toks)
     fn = functools.partial(
         _match_phrases_group,
         phrases=[(p, tokenize_positions(p)) for p in phrases])
-    return rows.groupby("bucket").map_groups(fn, batch_format="pyarrow")
+    return _map_bucket_files(index_dir, union_toks, fn, empty)
 
 
 def term_positions(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
@@ -391,49 +483,70 @@ def term_snippets(index_dir: str, docs: "ray.data.Dataset",
 
 def _proximity_group(group: pa.Table, *, pairs: list[tuple[str, str]],
                      max_dist: int) -> pa.Table:
-    """Per-bucket proximity evaluation (map_groups over ``bucket``)."""
+    """Per-bucket proximity evaluation, vectorized across candidate docs.
+
+    One batched varbyte decode per side, then doc-prefixed sorted keys
+    ``local_doc * S + pos``: each a-occurrence's nearest b-occurrence is
+    its searchsorted neighbor in the b key array (same-doc checked by
+    ``key // S`` equality), and the per-doc minimum falls out of one
+    ``np.minimum.reduceat`` over the candidate row boundaries — no per-doc
+    Python loop."""
     group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
     by_term = postings_map_from_sorted(
         group.column("term").to_pylist(),
         group.column("doc_id").to_numpy(zero_copy_only=False),
-        group.column("pos_buf").to_pylist())
+        group.column("pos_buf").to_pylist(),
+        group.column("npos").to_numpy(zero_copy_only=False))
 
-    out_a: list[str] = []
-    out_b: list[str] = []
-    out_d: list[int] = []
-    out_m: list[int] = []
+    big = np.int64(1) << np.int64(62)
+    tabs = []
     for ta, tb in pairs:
         if ta not in by_term or tb not in by_term:
             continue
-        docs_a, bufs_a = by_term[ta]
-        docs_b, bufs_b = by_term[tb]
+        docs_a, bufs_a, npos_a = by_term[ta]
+        docs_b, bufs_b, npos_b = by_term[tb]
         cand = docs_a[np.isin(docs_a, docs_b)]
-        for d in cand:
-            pa_pos = decode_positions(
-                bufs_a[int(np.searchsorted(docs_a, d))]).astype(np.int64)
-            pb_pos = decode_positions(
-                bufs_b[int(np.searchsorted(docs_b, d))]).astype(np.int64)
-            # min |x - y| over two sorted arrays: each a-position's nearest
-            # b-neighbor via one searchsorted (O((na+nb) log nb), no n^2)
-            i = np.searchsorted(pb_pos, pa_pos)
-            big = np.int64(2**62)
-            left = np.where(i > 0,
-                            pa_pos - pb_pos[np.maximum(i - 1, 0)], big)
-            right = np.where(i < len(pb_pos),
-                             pb_pos[np.minimum(i, len(pb_pos) - 1)] - pa_pos,
-                             big)
-            mind = int(min(left.min(), right.min()))
-            if mind <= max_dist:
-                out_a.append(ta)
-                out_b.append(tb)
-                out_d.append(int(d))
-                out_m.append(mind)
-    return pa.table({
-        "term_a": pa.array(out_a, pa.string()),
-        "term_b": pa.array(out_b, pa.string()),
-        "doc_id": pa.array(out_d, pa.int64()),
-        "min_dist": pa.array(out_m, pa.int64()),
-    })
+        if len(cand) == 0:
+            continue
+        base = int(cand[0])
+        ia = np.searchsorted(docs_a, cand)
+        ib = np.searchsorted(docs_b, cand)
+        ca = np.asarray(npos_a, dtype=np.int64)[ia]
+        cb = np.asarray(npos_b, dtype=np.int64)[ib]
+        pos_a = decode_positions_many([bufs_a[j] for j in ia], ca)
+        pos_b = decode_positions_many([bufs_b[j] for j in ib], cb)
+        top = int(max(pos_a.max() if len(pos_a) else 0,
+                      pos_b.max() if len(pos_b) else 0)) + 2
+        scale = np.int64(1 << top.bit_length())
+        ka = np.repeat(cand - base, ca) * scale + pos_a
+        kb = np.repeat(cand - base, cb) * scale + pos_b
+        i = np.searchsorted(kb, ka)
+        li = np.maximum(i - 1, 0)
+        ri = np.minimum(i, len(kb) - 1)
+        left = np.where((i > 0) & (kb[li] // scale == ka // scale),
+                        ka - kb[li], big)
+        right = np.where((i < len(kb)) & (kb[ri] // scale == ka // scale),
+                         kb[ri] - ka, big)
+        d = np.minimum(left, right)
+        starts = np.concatenate(([0], np.cumsum(ca)[:-1])).astype(np.int64)
+        mind = np.minimum.reduceat(d, starts)
+        keep = mind <= max_dist
+        if keep.any():
+            n = int(keep.sum())
+            tabs.append(pa.table({
+                "term_a": pa.array([ta] * n, pa.string()),
+                "term_b": pa.array([tb] * n, pa.string()),
+                "doc_id": pa.array(cand[keep], pa.int64()),
+                "min_dist": pa.array(mind[keep], pa.int64()),
+            }))
+    if not tabs:
+        return pa.table({
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "min_dist": pa.array([], pa.int64()),
+        })
+    return pa.concat_tables(tabs)
 
 
 def pair_proximity(index_dir: str, pairs: list[tuple[str, str]], *,
@@ -449,15 +562,11 @@ def pair_proximity(index_dir: str, pairs: list[tuple[str, str]], *,
     vectorized nearest-neighbor distance (sorted-array searchsorted, not
     the all-pairs product) inside the bucket task."""
     union_toks = sorted({t for p in pairs for t in p})
+    empty = pa.schema([("term_a", pa.string()), ("term_b", pa.string()),
+                      ("doc_id", pa.int64()), ("min_dist", pa.int64())])
     if not union_toks:
-        return ray.data.from_arrow(pa.table({
-            "term_a": pa.array([], pa.string()),
-            "term_b": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "min_dist": pa.array([], pa.int64()),
-        }))
+        return ray.data.from_arrow(empty.empty_table())
     import functools
-    rows = read_term_rows(index_dir, union_toks)
     fn = functools.partial(_proximity_group, pairs=list(pairs),
                            max_dist=max_dist)
-    return rows.groupby("bucket").map_groups(fn, batch_format="pyarrow")
+    return _map_bucket_files(index_dir, union_toks, fn, empty)

@@ -31,6 +31,7 @@ class PhraseEngine:
         want = None if buckets is None else set(buckets)
         terms: list[str] = []
         doc_parts: list[np.ndarray] = []
+        npos_parts: list[np.ndarray] = []
         bufs: list[bytes] = []
         for path in sorted(manifest["files"]):
             if want is not None:
@@ -38,20 +39,25 @@ class PhraseEngine:
                 if b not in want:
                     continue
             t = pq.read_table(os.path.join(index_dir, path),
-                              columns=["term", "doc_id", "pos_buf"])
+                              columns=["term", "doc_id", "npos", "pos_buf"])
             terms.extend(t.column("term").to_pylist())
             doc_parts.append(
                 t.column("doc_id").to_numpy(zero_copy_only=False))
+            npos_parts.append(
+                t.column("npos").to_numpy(zero_copy_only=False))
             bufs.extend(t.column("pos_buf").to_pylist())
         doc_ids = (np.concatenate(doc_parts) if doc_parts
                    else np.empty(0, dtype=np.int64))
+        npos = (np.concatenate(npos_parts) if npos_parts
+                else np.empty(0, dtype=np.int64))
         # bucket files are (term, doc_id)-sorted but terms recur across
         # buckets: merge to one global (term, doc_id) order
         order = np.lexsort((doc_ids, np.asarray(terms, dtype="U")))
         terms = [terms[i] for i in order]
         doc_ids = doc_ids[order]
+        npos = npos[order]
         bufs = [bufs[i] for i in order]
-        self._by_term = postings_map_from_sorted(terms, doc_ids, bufs)
+        self._by_term = postings_map_from_sorted(terms, doc_ids, bufs, npos)
         self.num_rows = len(terms)
 
     def phrase(self, text: str, *, limit: int = 10) -> list[dict]:

@@ -257,3 +257,44 @@ def test_pair_proximity_equals_naive_min_distance(pos_index):
     assert got == exp
     # same-term pair distance is 0 wherever the term occurs at all
     assert all(v == 0 for (a, b, _), v in got.items() if a == b)
+
+
+def test_vectorized_matcher_equals_scalar_on_random_corpora():
+    """match_one_phrase's vectorized path (npos present) must equal the
+    scalar per-doc chain (npos stripped) on random corpora — including
+    repeated-token phrases, overlapping occurrences, and absent terms."""
+    import random
+
+    from search_engine_ray.functions.varbyte import vb_encode_with_sizes
+    from search_engine_ray.stages.positions import (match_one_phrase,
+                                                    postings_map_from_sorted)
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(8):
+        docs = {d: [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+                for d in range(rng.randint(1, 40))}
+        rows = []
+        for d, toks in sorted(docs.items()):
+            by = {}
+            for i, t in enumerate(toks):
+                by.setdefault(t, []).append(i)
+            for t, ps in by.items():
+                gaps = np.diff([0] + ps) if len(ps) else []
+                gaps = np.asarray([ps[0]] + list(np.diff(ps)),
+                                  dtype=np.int64)
+                buf, _ = vb_encode_with_sizes(gaps)
+                rows.append((t, d, len(ps), bytes(buf)))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        terms = [r[0] for r in rows]
+        dids = np.asarray([r[1] for r in rows], dtype=np.int64)
+        npos = np.asarray([r[2] for r in rows], dtype=np.int64)
+        bufs = [r[3] for r in rows]
+        with_n = postings_map_from_sorted(terms, dids, bufs, npos)
+        without = postings_map_from_sorted(terms, dids, bufs)
+        for _ in range(20):
+            plen = rng.randint(1, 4)
+            ph = [rng.choice(vocab) for _ in range(plen)]
+            a = sorted(match_one_phrase(with_n, ph))
+            b = sorted(match_one_phrase(without, ph))
+            assert a == b, (trial, ph)
