@@ -79,7 +79,7 @@ def get_unified_engine(sf_dir: str, *, stem: bool) -> tuple[QueryEngine, int]:
     return eng, n_web
 
 
-_docs_ids_cache: dict[str, "ray.data.Dataset"] = {}
+_docs_ids_cache: dict[tuple[str, str], "ray.data.Dataset"] = {}
 
 
 def _docs_with_ids(sf_dir: str) -> "ray.data.Dataset":
@@ -97,11 +97,28 @@ def _docs_with_ids(sf_dir: str) -> "ray.data.Dataset":
     the materialized blocks spins the pool exactly once.  (At 100 TB the
     same role is played by a parquet checkpoint of the id-assigned corpus,
     which `pipelines/build.py` already writes as the doc store.)"""
+    import ray as _ray
+
     from ..stages.doc_ids import assign_doc_ids
-    key = os.path.abspath(sf_dir)
-    if key not in _docs_ids_cache:
+
+    def _session() -> str:
+        # MaterializedDataset blocks die with the Ray session; key the
+        # cache on the driver job so a shutdown/init cycle recomputes
+        # instead of returning dead object refs
+        try:
+            if _ray.is_initialized():
+                return _ray.get_runtime_context().get_job_id()
+        except Exception:
+            pass
+        return ""
+
+    key = (os.path.abspath(sf_dir), _session())
+    if key not in _docs_ids_cache or not key[1]:
         ds, _ = assign_doc_ids(transcripts_from_documents(sf_dir))
-        _docs_ids_cache[key] = ds.materialize()
+        mat = ds.materialize()
+        key = (key[0], _session())     # session may have just auto-inited
+        _docs_ids_cache.clear()        # drop any prior session's refs
+        _docs_ids_cache[key] = mat
     return _docs_ids_cache[key]
 
 
@@ -2084,27 +2101,17 @@ def search_facets(sf_dir: str) -> "ray.data.Dataset":
     groupby per facet, unioned as (facet, value, n_docs).  In sharded
     serving the same counts come from per-shard partial facet maps merged
     at the coordinator; this entry oracles the aggregation semantics."""
-    from ..sources.transcripts import transcripts_from_documents
     from ..util import hash_join
 
     eng = get_engine(sf_dir, stem=False)
     rows = eng.score_terms(list(STAGE1_TERMS))
     matched = ray.data.from_arrow(pa.table({
         "m_doc_id": pa.array(sorted(r[0] for r in rows), pa.int64())}))
-    from ..sources.transcripts import TURNS_PER_CONV
-
-    def meta(b: pa.Table) -> pa.Table:
-        # dense doc_id from the (conv_id, turn_idx) key — the general form
-        # for any transcript table under stable turn ordering
-        conv_num = pc.utf8_slice_codeunits(
-            b.column("conv_id"), 5).cast(pa.int64())
-        doc_id = pc.add(pc.multiply(conv_num, TURNS_PER_CONV),
-                        b.column("turn_idx").cast(pa.int64()))
-        return pa.table({"doc_id": doc_id, "role": b.column("role"),
-                         "tool": b.column("tool")})
-
-    tr = transcripts_from_documents(sf_dir).map_batches(
-        meta, batch_format="pyarrow").materialize()
+    # the id-assigned corpus (production derivation, cached+materialized)
+    # already carries (doc_id, role, tool) — reuse it, don't re-derive
+    tr = _docs_with_ids(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "role", "tool"]),
+        batch_format="pyarrow").materialize()
     m = hash_join(tr, matched, "inner",
                   num_partitions=max(2, tr.num_blocks() // 4),
                   on=("doc_id",), right_on=("m_doc_id",)).materialize()

@@ -422,11 +422,14 @@ def make_handler(engine, lexicon=None, *,
                     if not q:
                         self._json(422, {"detail": "q required"})
                         return
-                    if not hasattr(engine, "facet_counts"):
+                    try:
+                        with lock:
+                            facets, count = engine.facet_counts(q)
+                    except (AttributeError, RuntimeError):
+                        # engine without facets (or built load_docs=False,
+                        # which raises RuntimeError from facet_counts)
                         self._json(404, {"detail": "facets unsupported"})
                         return
-                    with lock:
-                        facets, count = engine.facet_counts(q)
                     self._json(200, {"facets": facets, "count": count})
                 elif u.path == "/spellcheck":
                     q = (qs.get("q") or [""])[0]

@@ -518,6 +518,28 @@ def _proximity_group(group: pa.Table, *, pairs: list[tuple[str, str]],
         top = int(max(pos_a.max() if len(pos_a) else 0,
                       pos_b.max() if len(pos_b) else 0)) + 2
         scale = np.int64(1 << top.bit_length())
+        span = int(cand[-1]) - base + 1
+        if span * int(scale) >= (1 << 62):
+            # key space would wrap int64 (huge bucket x very long docs):
+            # per-candidate scalar chain, same contract
+            for j, d in enumerate(cand):
+                pa_p = decode_positions(bufs_a[int(ia[j])]).astype(np.int64)
+                pb_p = decode_positions(bufs_b[int(ib[j])]).astype(np.int64)
+                i2 = np.searchsorted(pb_p, pa_p)
+                l2 = np.where(i2 > 0, pa_p - pb_p[np.maximum(i2 - 1, 0)],
+                              big)
+                r2 = np.where(i2 < len(pb_p),
+                              pb_p[np.minimum(i2, len(pb_p) - 1)] - pa_p,
+                              big)
+                m2 = int(min(l2.min(), r2.min()))
+                if m2 <= max_dist:
+                    tabs.append(pa.table({
+                        "term_a": pa.array([ta], pa.string()),
+                        "term_b": pa.array([tb], pa.string()),
+                        "doc_id": pa.array([int(d)], pa.int64()),
+                        "min_dist": pa.array([m2], pa.int64()),
+                    }))
+            continue
         ka = np.repeat(cand - base, ca) * scale + pos_a
         kb = np.repeat(cand - base, cb) * scale + pos_b
         i = np.searchsorted(kb, ka)
@@ -556,11 +578,11 @@ def pair_proximity(index_dir: str, pairs: list[tuple[str, str]], *,
     within ``max_dist`` surface-token positions of each other (``min_dist``
     = min |pos_a - pos_b| over all occurrence pairs).
 
-    The classic `"a NEAR/n b"` retrieval operator.  Same scale shape as
-    :func:`phrase_match`: one row-group-pruned read of the pairs' posting
-    rows (scan ~ Σ df), one groupby(bucket) to co-locate each doc range,
-    vectorized nearest-neighbor distance (sorted-array searchsorted, not
-    the all-pairs product) inside the bucket task."""
+    The classic `"a NEAR/n b"` retrieval operator.  Same zero-shuffle plan
+    as :func:`phrase_match`: one task per bucket file, each doing its own
+    term-filtered row-group-pruned read (scan ~ Σ df fanned across
+    buckets), with the nearest-neighbor distance fully vectorized inside
+    the task (sorted doc-prefixed keys, not the all-pairs product)."""
     union_toks = sorted({t for p in pairs for t in p})
     empty = pa.schema([("term_a", pa.string()), ("term_b", pa.string()),
                       ("doc_id", pa.int64()), ("min_dist", pa.int64())])

@@ -369,7 +369,7 @@ def funnel_steps(events: "ray.data.Dataset",
 
 _MONDAY_EPOCH_OFFSET_DAYS = 3      # 1969-12-29 (a Monday) -> 1970-01-01
 
-US_PER_WEEK_DAY = 86_400_000_000
+US_PER_DAY = 86_400_000_000
 
 
 def retention_matrix(events: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -390,7 +390,7 @@ def retention_matrix(events: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def to_weeks(b: pa.Table) -> pa.Table:
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        days = ts // US_PER_WEEK_DAY
+        days = ts // US_PER_DAY
         return pa.table({
             "user_id": b.column("user_id"),
             "w": pa.array((days + _MONDAY_EPOCH_OFFSET_DAYS) // 7,

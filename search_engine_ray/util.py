@@ -45,17 +45,25 @@ def hash_join(left, right, join_type: str, num_partitions: int, **kwargs):
     reservation (~25% of CPUs) so placement pressure still spreads
     aggregators across nodes."""
     if "aggregator_ray_remote_args" not in kwargs:
+        cpus = None
         try:
             import ray
-            cpus = float(ray.cluster_resources().get("CPU", 8)) \
-                if ray.is_initialized() else 8.0
+            if ray.is_initialized():
+                cpus = float(ray.cluster_resources().get("CPU", 0)) or None
         except Exception:
-            cpus = 8.0
-        n_agg = max(1, min(num_partitions, 64))
-        per = 0.0 if cpus <= 8 \
-            else min(1.0, max(0.05, (cpus / 4.0) / n_agg))
-        kwargs["aggregator_ray_remote_args"] = {
-            "num_cpus": per, "scheduling_strategy": "SPREAD"}
+            pass
+        if cpus is not None:
+            # Ray not initialized yet -> leave stock defaults: the join
+            # will auto-init with the REAL cluster size, and sizing from a
+            # guessed CPU count here would hand a big cluster num_cpus=0
+            # aggregators (dropping the placement-pressure reservation).
+            # Every driver-contract / bench / test path initializes Ray
+            # first, so the <=8-cpu deadlock fix still always applies.
+            n_agg = max(1, min(num_partitions, 64))
+            per = 0.0 if cpus <= 8 \
+                else min(1.0, max(0.05, (cpus / 4.0) / n_agg))
+            kwargs["aggregator_ray_remote_args"] = {
+                "num_cpus": per, "scheduling_strategy": "SPREAD"}
     return left.join(right, join_type, num_partitions, **kwargs)
 
 

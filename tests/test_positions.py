@@ -280,7 +280,6 @@ def test_vectorized_matcher_equals_scalar_on_random_corpora():
             for i, t in enumerate(toks):
                 by.setdefault(t, []).append(i)
             for t, ps in by.items():
-                gaps = np.diff([0] + ps) if len(ps) else []
                 gaps = np.asarray([ps[0]] + list(np.diff(ps)),
                                   dtype=np.int64)
                 buf, _ = vb_encode_with_sizes(gaps)

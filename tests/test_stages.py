@@ -2139,3 +2139,9 @@ def test_hash_join_aggregator_reservation_policy():
     hash_join(FakeDS(), None, "inner", 8,
               aggregator_ray_remote_args={"num_cpus": 0.5})
     assert captured["aggregator_ray_remote_args"] == {"num_cpus": 0.5}
+    # Ray not initialized: no override — stock defaults size from the REAL
+    # cluster after auto-init instead of a guessed CPU count
+    captured.clear()
+    with mock.patch("ray.is_initialized", return_value=False):
+        hash_join(FakeDS(), None, "inner", 8, on=("k",))
+    assert "aggregator_ray_remote_args" not in captured
