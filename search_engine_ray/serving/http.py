@@ -417,6 +417,27 @@ def make_handler(engine, lexicon=None, *,
                         return
                     hits = phrase_engine.phrase(q, limit=limit)
                     self._json(200, {"results": hits, "count": len(hits)})
+                elif u.path == "/search/near":
+                    if phrase_engine is None:
+                        self._json(404, {"detail": "no positional index"})
+                        return
+                    a = (qs.get("a") or [""])[0]
+                    b = (qs.get("b") or [""])[0]
+                    if not a.strip() or not b.strip():
+                        self._json(422, {"detail": "a and b required"})
+                        return
+                    try:
+                        dist = int((qs.get("dist") or ["4"])[0])
+                        limit = int((qs.get("limit") or ["10"])[0])
+                    except ValueError:
+                        self._json(422, {"detail": "bad dist/limit"})
+                        return
+                    if not 0 <= dist <= 1000 or not 1 <= limit <= 100:
+                        self._json(422, {"detail": "bad dist/limit"})
+                        return
+                    hits = phrase_engine.near(a, b, max_dist=dist,
+                                              limit=limit)
+                    self._json(200, {"results": hits, "count": len(hits)})
                 elif u.path == "/search/facets":
                     q = (qs.get("q") or [""])[0]
                     if not q:

@@ -481,16 +481,70 @@ def term_snippets(index_dir: str, docs: "ray.data.Dataset",
         fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def proximity_pair_core(by_term: dict, ta: str, tb: str, max_dist: int
+                        ) -> list[tuple[int, int]]:
+    """Min |pos_a - pos_b| per doc for one unordered term pair, vectorized
+    across candidate docs: one batched varbyte decode per side, then
+    doc-prefixed sorted keys ``local_doc * S + pos`` — each a-occurrence's
+    nearest b-occurrence is its searchsorted neighbor in the b key array
+    (same-doc checked by ``key // S`` equality), and the per-doc minimum
+    falls out of one ``np.minimum.reduceat`` over the candidate row
+    boundaries.  Falls back to the per-candidate scalar chain if the key
+    space would wrap int64 (huge bucket × very long docs).  Returns
+    [(doc_id, min_dist)] with min_dist <= max_dist; shared by the
+    distributed per-bucket task and the serving PhraseEngine."""
+    if ta not in by_term or tb not in by_term:
+        return []
+    docs_a, bufs_a, npos_a = by_term[ta]
+    docs_b, bufs_b, npos_b = by_term[tb]
+    cand = docs_a[np.isin(docs_a, docs_b)]
+    if len(cand) == 0:
+        return []
+    big = np.int64(1) << np.int64(62)
+    base = int(cand[0])
+    ia = np.searchsorted(docs_a, cand)
+    ib = np.searchsorted(docs_b, cand)
+    ca = np.asarray(npos_a, dtype=np.int64)[ia]
+    cb = np.asarray(npos_b, dtype=np.int64)[ib]
+    pos_a = decode_positions_many([bufs_a[j] for j in ia], ca)
+    pos_b = decode_positions_many([bufs_b[j] for j in ib], cb)
+    top = int(max(pos_a.max() if len(pos_a) else 0,
+                  pos_b.max() if len(pos_b) else 0)) + 2
+    scale = np.int64(1 << top.bit_length())
+    span = int(cand[-1]) - base + 1
+    if span * int(scale) >= (1 << 62):
+        out = []
+        for j, d in enumerate(cand):
+            pa_p = decode_positions(bufs_a[int(ia[j])]).astype(np.int64)
+            pb_p = decode_positions(bufs_b[int(ib[j])]).astype(np.int64)
+            i2 = np.searchsorted(pb_p, pa_p)
+            l2 = np.where(i2 > 0, pa_p - pb_p[np.maximum(i2 - 1, 0)], big)
+            r2 = np.where(i2 < len(pb_p),
+                          pb_p[np.minimum(i2, len(pb_p) - 1)] - pa_p, big)
+            m2 = int(min(l2.min(), r2.min()))
+            if m2 <= max_dist:
+                out.append((int(d), m2))
+        return out
+    ka = np.repeat(cand - base, ca) * scale + pos_a
+    kb = np.repeat(cand - base, cb) * scale + pos_b
+    i = np.searchsorted(kb, ka)
+    li = np.maximum(i - 1, 0)
+    ri = np.minimum(i, len(kb) - 1)
+    left = np.where((i > 0) & (kb[li] // scale == ka // scale),
+                    ka - kb[li], big)
+    right = np.where((i < len(kb)) & (kb[ri] // scale == ka // scale),
+                     kb[ri] - ka, big)
+    d = np.minimum(left, right)
+    starts = np.concatenate(([0], np.cumsum(ca)[:-1])).astype(np.int64)
+    mind = np.minimum.reduceat(d, starts)
+    keep = mind <= max_dist
+    return [(int(d), int(m)) for d, m in zip(cand[keep], mind[keep])]
+
+
 def _proximity_group(group: pa.Table, *, pairs: list[tuple[str, str]],
                      max_dist: int) -> pa.Table:
-    """Per-bucket proximity evaluation, vectorized across candidate docs.
-
-    One batched varbyte decode per side, then doc-prefixed sorted keys
-    ``local_doc * S + pos``: each a-occurrence's nearest b-occurrence is
-    its searchsorted neighbor in the b key array (same-doc checked by
-    ``key // S`` equality), and the per-doc minimum falls out of one
-    ``np.minimum.reduceat`` over the candidate row boundaries — no per-doc
-    Python loop."""
+    """Per-bucket proximity evaluation — packages
+    :func:`proximity_pair_core` results for each query pair."""
     group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
     by_term = postings_map_from_sorted(
         group.column("term").to_pylist(),
@@ -498,68 +552,15 @@ def _proximity_group(group: pa.Table, *, pairs: list[tuple[str, str]],
         group.column("pos_buf").to_pylist(),
         group.column("npos").to_numpy(zero_copy_only=False))
 
-    big = np.int64(1) << np.int64(62)
     tabs = []
     for ta, tb in pairs:
-        if ta not in by_term or tb not in by_term:
-            continue
-        docs_a, bufs_a, npos_a = by_term[ta]
-        docs_b, bufs_b, npos_b = by_term[tb]
-        cand = docs_a[np.isin(docs_a, docs_b)]
-        if len(cand) == 0:
-            continue
-        base = int(cand[0])
-        ia = np.searchsorted(docs_a, cand)
-        ib = np.searchsorted(docs_b, cand)
-        ca = np.asarray(npos_a, dtype=np.int64)[ia]
-        cb = np.asarray(npos_b, dtype=np.int64)[ib]
-        pos_a = decode_positions_many([bufs_a[j] for j in ia], ca)
-        pos_b = decode_positions_many([bufs_b[j] for j in ib], cb)
-        top = int(max(pos_a.max() if len(pos_a) else 0,
-                      pos_b.max() if len(pos_b) else 0)) + 2
-        scale = np.int64(1 << top.bit_length())
-        span = int(cand[-1]) - base + 1
-        if span * int(scale) >= (1 << 62):
-            # key space would wrap int64 (huge bucket x very long docs):
-            # per-candidate scalar chain, same contract
-            for j, d in enumerate(cand):
-                pa_p = decode_positions(bufs_a[int(ia[j])]).astype(np.int64)
-                pb_p = decode_positions(bufs_b[int(ib[j])]).astype(np.int64)
-                i2 = np.searchsorted(pb_p, pa_p)
-                l2 = np.where(i2 > 0, pa_p - pb_p[np.maximum(i2 - 1, 0)],
-                              big)
-                r2 = np.where(i2 < len(pb_p),
-                              pb_p[np.minimum(i2, len(pb_p) - 1)] - pa_p,
-                              big)
-                m2 = int(min(l2.min(), r2.min()))
-                if m2 <= max_dist:
-                    tabs.append(pa.table({
-                        "term_a": pa.array([ta], pa.string()),
-                        "term_b": pa.array([tb], pa.string()),
-                        "doc_id": pa.array([int(d)], pa.int64()),
-                        "min_dist": pa.array([m2], pa.int64()),
-                    }))
-            continue
-        ka = np.repeat(cand - base, ca) * scale + pos_a
-        kb = np.repeat(cand - base, cb) * scale + pos_b
-        i = np.searchsorted(kb, ka)
-        li = np.maximum(i - 1, 0)
-        ri = np.minimum(i, len(kb) - 1)
-        left = np.where((i > 0) & (kb[li] // scale == ka // scale),
-                        ka - kb[li], big)
-        right = np.where((i < len(kb)) & (kb[ri] // scale == ka // scale),
-                         kb[ri] - ka, big)
-        d = np.minimum(left, right)
-        starts = np.concatenate(([0], np.cumsum(ca)[:-1])).astype(np.int64)
-        mind = np.minimum.reduceat(d, starts)
-        keep = mind <= max_dist
-        if keep.any():
-            n = int(keep.sum())
+        hits = proximity_pair_core(by_term, ta, tb, max_dist)
+        if hits:
             tabs.append(pa.table({
-                "term_a": pa.array([ta] * n, pa.string()),
-                "term_b": pa.array([tb] * n, pa.string()),
-                "doc_id": pa.array(cand[keep], pa.int64()),
-                "min_dist": pa.array(mind[keep], pa.int64()),
+                "term_a": pa.array([ta] * len(hits), pa.string()),
+                "term_b": pa.array([tb] * len(hits), pa.string()),
+                "doc_id": pa.array([h[0] for h in hits], pa.int64()),
+                "min_dist": pa.array([h[1] for h in hits], pa.int64()),
             }))
     if not tabs:
         return pa.table({

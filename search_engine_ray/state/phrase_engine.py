@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..stages.positions import (load_manifest, match_one_phrase,
-                                postings_map_from_sorted, tokenize_positions)
+                                postings_map_from_sorted,
+                                proximity_pair_core, tokenize_positions)
 
 
 class PhraseEngine:
@@ -67,3 +68,17 @@ class PhraseEngine:
         hits = match_one_phrase(self._by_term, toks)
         hits.sort(key=lambda r: (-r[1], r[0]))
         return [{"doc_id": d, "n_matches": c} for d, c in hits[:limit]]
+
+    def near(self, term_a: str, term_b: str, *, max_dist: int = 4,
+             limit: int = 10) -> list[dict]:
+        """NEAR/n serving query: top-``limit`` docs where the two surface
+        terms occur within ``max_dist`` token positions, ordered by
+        (min_dist ASC, doc_id ASC) — the same vectorized kernel as the
+        distributed ``pair_proximity`` path (they cannot drift)."""
+        ta = tokenize_positions(term_a)
+        tb = tokenize_positions(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            return []
+        hits = proximity_pair_core(self._by_term, ta[0], tb[0], max_dist)
+        hits.sort(key=lambda r: (r[1], r[0]))
+        return [{"doc_id": d, "min_dist": m} for d, m in hits[:limit]]

@@ -297,3 +297,27 @@ def test_vectorized_matcher_equals_scalar_on_random_corpora():
             a = sorted(match_one_phrase(with_n, ph))
             b = sorted(match_one_phrase(without, ph))
             assert a == b, (trial, ph)
+
+
+def test_phrase_engine_near_matches_distributed(pos_index):
+    """PhraseEngine.near == pair_proximity on the same index, ordered by
+    (min_dist ASC, doc_id ASC); non-single-token inputs return []."""
+    from search_engine_ray.stages.positions import pair_proximity
+    from search_engine_ray.state.phrase_engine import PhraseEngine
+
+    idx, _ = pos_index
+    eng = PhraseEngine(idx)
+    pairs = [("sort", "merge"), ("the", "end"), ("absent", "batch"),
+             ("part", "batch")]
+    dist = 3
+    distributed = {}
+    for r in pair_proximity(idx, pairs, max_dist=dist).take_all():
+        distributed.setdefault((r["term_a"], r["term_b"]), []).append(
+            (r["min_dist"], r["doc_id"]))
+    for ta, tb in pairs:
+        exp = sorted(distributed.get((ta, tb), []))
+        got = [(r["min_dist"], r["doc_id"])
+               for r in eng.near(ta, tb, max_dist=dist, limit=100)]
+        assert got == exp, (ta, tb)
+    assert eng.near("two words", "x") == []
+    assert eng.near("", "x") == []

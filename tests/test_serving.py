@@ -338,3 +338,48 @@ def test_facets_endpoint(server):
         raise AssertionError("expected 422")
     except urllib.error.HTTPError as e:
         assert e.code == 422
+
+
+def test_near_endpoint(server):
+    srv, cfg = server
+    # build a phrase-engine-backed server on a tiny positional index
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.serving.http import SearchServer
+    from search_engine_ray.stages.positions import (build_positional_index,
+                                                    pair_proximity)
+    from search_engine_ray.state.phrase_engine import PhraseEngine
+
+    class _NoEngine:
+        def search(self, *a, **k):
+            return []
+
+        def search_with_count(self, *a, **k):
+            return [], 0
+
+    with tempfile.TemporaryDirectory() as idx:
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha beta gamma", "alpha gamma beta alpha",
+                              "beta delta"], pa.string()),
+        }))
+        build_positional_index(ds, idx, docs_per_bucket=2)
+        exp = sorted(
+            ((r["min_dist"], r["doc_id"]) for r in pair_proximity(
+                idx, [("alpha", "beta")], max_dist=2).take_all()))
+        with SearchServer(_NoEngine(), phrase_engine=PhraseEngine(idx)) as s:
+            status, body = _get(s.port, "/search/near?a=alpha&b=beta&dist=2")
+            assert status == 200
+            assert [(r["min_dist"], r["doc_id"]) for r in body["results"]] \
+                == exp
+            assert body["count"] == len(exp)
+            for bad in ("/search/near?a=alpha", "/search/near?a=a&b=b&dist=x",
+                        "/search/near?a=a&b=b&limit=0"):
+                try:
+                    _get(s.port, bad)
+                    raise AssertionError("expected 422")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 422, bad
