@@ -143,11 +143,25 @@ def main_chunked(chunk: int = 25) -> int:
             total_rows += int(m.group(2))
             total_fail += int(m.group(3))
         else:
+            # Chunk died mid-run (native crash): credit the PASS/FAIL lines
+            # it already printed and count only the unreported remainder as
+            # failures, so the TOTAL agrees with the per-entry lines above.
+            seen_pass = sum(1 for ln in r.stdout.splitlines()
+                            if ln.startswith("PASS"))
+            seen_rows = sum(1 for ln in r.stdout.splitlines()
+                            if ln.startswith("rows"))
+            seen_fail = sum(1 for ln in r.stdout.splitlines()
+                            if ln.startswith("FAIL"))
+            unreported = len(part) - seen_pass - seen_rows - seen_fail
             print(f"CHUNK {i // chunk} died (rc={r.returncode}) — "
-                  f"entries {part[0]}..{part[-1]}; stderr tail:",
+                  f"entries {part[0]}..{part[-1]}; {seen_pass} pass/"
+                  f"{seen_rows} rows-only/{seen_fail} fail already printed, "
+                  f"{unreported} unreported counted as fail; stderr tail:",
                   flush=True)
             print("\n".join(r.stderr.splitlines()[-3:]), flush=True)
-            total_fail += len(part)
+            total_pass += seen_pass
+            total_rows += seen_rows
+            total_fail += seen_fail + max(0, unreported)
     print(f"\nTOTAL: {total_pass} pass, {total_rows} rows-only, "
           f"{total_fail} fail of {len(names)}")
     return 1 if total_fail else 0

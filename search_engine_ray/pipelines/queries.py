@@ -1527,9 +1527,9 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
             keys_col.combine_chunks() if isinstance(keys_col, pa.ChunkedArray)
             else keys_col)})
 
-    keys = set(orders.map_batches(qualifying_keys,
-                                  batch_format="pyarrow").unique("o_custkey"))
-    ref = _ray.put(keys)
+    keys = sorted(set(orders.map_batches(
+        qualifying_keys, batch_format="pyarrow").unique("o_custkey")))
+    ref = _ray.put(pa.array(keys, pa.int64()))
 
     class AntiJoin:
         def __init__(self, ref):
@@ -1537,9 +1537,9 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
                 else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [k not in self._keys
-                    for k in batch.column("c_custkey").to_pylist()]
-            return batch.filter(pa.array(mask)).select(["c_custkey", "c_name"])
+            mask = pc.invert(pc.is_in(batch.column("c_custkey"),
+                                      value_set=self._keys))
+            return batch.filter(mask).select(["c_custkey", "c_name"])
 
     cust = read_parquet_clean(os.path.join(sf_dir, "customer.parquet"),
                                  columns=["c_custkey", "c_name"])

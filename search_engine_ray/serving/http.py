@@ -443,12 +443,16 @@ def make_handler(engine, lexicon=None, *,
                     if not q:
                         self._json(422, {"detail": "q required"})
                         return
+                    if not hasattr(engine, "facet_counts"):
+                        self._json(404, {"detail": "facets unsupported"})
+                        return
                     try:
                         with lock:
                             facets, count = engine.facet_counts(q)
-                    except (AttributeError, RuntimeError):
-                        # engine without facets (or built load_docs=False,
-                        # which raises RuntimeError from facet_counts)
+                    except RuntimeError:
+                        # built load_docs=False: facet_counts raises
+                        # RuntimeError (documented); other exceptions
+                        # surface as 500 rather than masking bugs as 404
                         self._json(404, {"detail": "facets unsupported"})
                         return
                     self._json(200, {"facets": facets, "count": count})

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Min
@@ -45,15 +46,26 @@ def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     == 2 * sum(bits over the raw stream) - stream length."""
     import pandas as pd
 
-    texts = batch.column("text").to_pylist()
-    tok_lists = [(t or "").split() for t in texts]
-    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                         count=len(tok_lists))
-    fps = np.zeros(len(texts), dtype=np.int64)
-    flat = [w for toks in tok_lists for w in toks]
-    if flat:
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
-                                      sort=False)
+    # Arrow whitespace split + empty-token filter == Python str.split():
+    # Arrow splits on each whitespace char (runs yield "" tokens); dropping
+    # the empties leaves exactly the maximal non-whitespace runs.
+    text_col = pc.fill_null(batch.column("text"), "").combine_chunks()
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    split = pc.utf8_split_whitespace(text_col)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = split.flatten()
+    nonempty = pc.not_equal(values, "")
+    ne = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(ne)))
+    counts = csum[offsets[1:] - offsets[0]] - csum[offsets[:-1] - offsets[0]]
+    fps = np.zeros(batch.num_rows, dtype=np.int64)
+    flat = values.filter(nonempty)
+    if len(flat):
+        codes, uniques = pd.factorize(
+            flat.to_numpy(zero_copy_only=False), sort=False)
         hashes = md5_hash64_column(list(uniques))[codes]      # (T,)
         bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8),
                              axis=1, bitorder="little").astype(np.int32)

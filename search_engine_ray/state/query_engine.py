@@ -637,7 +637,13 @@ class QueryEngine:
         out: dict = {}
         for f in fields:
             if len(ids):
-                vals, counts = np.unique(d[f][ids], return_counts=True)
+                col = d[f][ids]
+                if col.dtype == object:
+                    # coalesce None -> "" (doc_meta's `or ""` convention);
+                    # np.unique would raise sorting None against str, and
+                    # str(None) would diverge from the SQL mirror's NULL.
+                    col = np.where(np.equal(col, None), "", col)
+                vals, counts = np.unique(col, return_counts=True)
                 out[f] = {str(v): int(c)
                           for v, c in zip(vals.tolist(), counts.tolist())}
             else:

@@ -48,17 +48,18 @@ def hash_join(left, right, join_type: str, num_partitions: int, **kwargs):
         cpus = None
         try:
             import ray
-            if ray.is_initialized():
-                cpus = float(ray.cluster_resources().get("CPU", 0)) or None
+            if not ray.is_initialized():
+                # The join would auto-init Ray anyway; doing the (guarded)
+                # init here first means the aggregator sizing below always
+                # sees the REAL cluster size — so the <=8-CPU deadlock fix
+                # applies on library-use paths too, not only when a driver
+                # pre-initialized Ray.
+                ray.init(ignore_reinit_error=True,
+                         include_dashboard=False, logging_level="error")
+            cpus = float(ray.cluster_resources().get("CPU", 0)) or None
         except Exception:
             pass
         if cpus is not None:
-            # Ray not initialized yet -> leave stock defaults: the join
-            # will auto-init with the REAL cluster size, and sizing from a
-            # guessed CPU count here would hand a big cluster num_cpus=0
-            # aggregators (dropping the placement-pressure reservation).
-            # Every driver-contract / bench / test path initializes Ray
-            # first, so the <=8-cpu deadlock fix still always applies.
             n_agg = max(1, min(num_partitions, 64))
             per = 0.0 if cpus <= 8 \
                 else min(1.0, max(0.05, (cpus / 4.0) / n_agg))

@@ -2139,9 +2139,11 @@ def test_hash_join_aggregator_reservation_policy():
     hash_join(FakeDS(), None, "inner", 8,
               aggregator_ray_remote_args={"num_cpus": 0.5})
     assert captured["aggregator_ray_remote_args"] == {"num_cpus": 0.5}
-    # Ray not initialized: no override — stock defaults size from the REAL
-    # cluster after auto-init instead of a guessed CPU count
+    # Ray not initialized: hash_join lazily (guarded) inits so the sizing
+    # sees the REAL cluster — the <=8-cpu fix applies on library paths too.
+    # (Here the guarded init is a no-op against the live 4-cpu session, so
+    # the reservation must come out zero, not absent.)
     captured.clear()
     with mock.patch("ray.is_initialized", return_value=False):
         hash_join(FakeDS(), None, "inner", 8, on=("k",))
-    assert "aggregator_ray_remote_args" not in captured
+    assert captured["aggregator_ray_remote_args"]["num_cpus"] == 0.0
