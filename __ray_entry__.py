@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": Q.domain_stats,
         # -- new this round: positional postings + phrase search --------------
         "search_phrase": Q.search_phrase,
+        # -- round 5: one-scan fused build (BM25 segments + positional
+        #    artifact from the SAME tokenize pass); same oracle as
+        #    search_phrase -> externally pins fused == standalone
+        "search_phrase_fused": Q.search_phrase_fused,
         "term_positions": Q.term_positions,
         # -- new this round: CCNet-style NB quality classifier -----------------
         "quality_classifier": Q.quality_classifier,
@@ -2921,6 +2925,9 @@ def oracle_sql() -> dict[str, str]:
       ON j.toks LIKE '% ' || p.phrase || ' %'
     ORDER BY p.phrase, j.doc_id
     """
+    # fused-build mirror: the engine side answers from the ONE-SCAN fused
+    # artifact (build_index(build_positions=True)); the truth is the same
+    sql["search_phrase_fused"] = sql["search_phrase"]
 
     # Positional-index CONTENTS check: npos per (term, doc) must equal the
     # surface token count recomputed from text.

@@ -104,3 +104,11 @@ class EngineConfig:
     # conv_id -> base-offset broadcast cap; beyond this the dense-id assigner
     # must switch to the distributed join path (stages/doc_ids.py docstring).
     max_broadcast_convs: int = 5_000_000
+    # True: the SAME tokenize pass that feeds the segment shuffle also
+    # side-writes positional (term, doc, positions) fragments; a
+    # postings-volume compaction then publishes index_dir/positions/ (the
+    # phrase/NEAR artifact) — one corpus scan for both artifacts instead of
+    # the standalone builder's second scan (stages/positions.py).
+    build_positions: bool = False
+    positions_docs_per_bucket: int = 65536
+    positions_row_group_size: int = 4096

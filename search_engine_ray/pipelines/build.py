@@ -83,6 +83,10 @@ def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
     key = (f"v{_LAYOUT_VERSION}|{source_desc}|stem={int(cfg.do_stem)}|"
            f"stop={int(cfg.drop_stopwords)}|P={cfg.num_partitions}|"
            f"R={cfg.range_splits}|block={cfg.block_size}")
+    if cfg.build_positions:
+        # a fused build is NOT resume-compatible with a plain one: a plain
+        # full-skip would leave the positional artifact unbuilt
+        key += f"|pos=dpb{cfg.positions_docs_per_bucket}"
     return f"{hash64(key):016x}"
 
 
@@ -106,7 +110,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         # triples, tombstones, extend marker) — a rebuild with fewer
         # partitions or a smaller corpus would otherwise leave stale
         # files that double-count df or index-error doclen assignment
-        for sub in ("segments", "doclens", "docs", "triples"):
+        for sub in ("segments", "doclens", "docs", "triples", "positions"):
             shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
         for f in ("tombstones.parquet", "extend.inprogress"):
             try:
@@ -179,6 +183,13 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         write_stats(index_dir, stats)
         manifest["docs_fingerprint"] = fp
         save_manifest(index_dir, manifest)
+        if cfg.build_positions:
+            from ..stages.positions import compact_position_fragments
+            os.makedirs(os.path.join(index_dir, "positions"), exist_ok=True)
+            compact_position_fragments(
+                os.path.join(index_dir, "positions"),
+                docs_per_bucket=cfg.positions_docs_per_bucket,
+                input_fingerprint=fp)
         return {"index_dir": index_dir, "doc_total": 0, "stats": stats,
                 "manifest": manifest}
 
@@ -266,6 +277,17 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             num_partitions=cfg.num_partitions, salt=cfg.salt,
             block_size=cfg.block_size, input_fingerprint=fp, resume=resume,
             range_splits=cfg.range_splits)
+        if cfg.build_positions:
+            # checkpoint mode tokenizes from the triples artifact, which
+            # has no surface positions — the positional artifact needs its
+            # own (doc-store) scan here; the FUSED default path below is
+            # the one-scan plan
+            from ..stages.positions import build_positional_index
+            build_positional_index(
+                ray.data.read_parquet(docs_dir, columns=["doc_id", "text"]),
+                os.path.join(index_dir, "positions"),
+                docs_per_bucket=cfg.positions_docs_per_bucket,
+                row_group_size=cfg.positions_row_group_size)
     else:
         # 2b) FUSED: the doc-store write runs on a side thread while the
         # main thread streams tokenize -> combiner -> one shuffle -> writer
@@ -292,17 +314,35 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         # triples never hit the object store, so the Sort barrier only holds
         # compact runs and the combiner can't be reservation-throttled
         # behind its own input queue (the 38.4M-turn / 4-CPU serialization)
+        pos_dir = os.path.join(index_dir, "positions")
+        if cfg.build_positions:
+            # one-scan fusion: the SAME pre_map tokenize side-writes
+            # positional fragments while feeding the segment shuffle
+            from ..stages.positions import (compact_position_fragments,
+                                            make_fused_pos_tokenize_fn)
+            pre_map = make_fused_pos_tokenize_fn(
+                os.path.join(pos_dir, "fragments"),
+                docs_per_bucket=cfg.positions_docs_per_bucket,
+                do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
+        else:
+            pre_map = make_tokenize_fn(do_stem=cfg.do_stem,
+                                       drop_stopwords=cfg.drop_stopwords)
         seg_manifest = build_segments(
             with_ids.select_columns(["doc_id", "text"]),
             index_dir=index_dir, doc_total=n,
             num_partitions=cfg.num_partitions, salt=cfg.salt,
             block_size=cfg.block_size, input_fingerprint=fp, resume=resume,
             with_doclens=True, range_splits=cfg.range_splits,
-            pre_map=make_tokenize_fn(do_stem=cfg.do_stem,
-                                     drop_stopwords=cfg.drop_stopwords),
+            pre_map=pre_map,
             pre_batch_size=cfg.fused_batch_size,
             pre_concurrency=cfg.tokenize_concurrency)
         _mark("segments_pipeline")
+        if cfg.build_positions:
+            compact_position_fragments(
+                pos_dir, docs_per_bucket=cfg.positions_docs_per_bucket,
+                row_group_size=cfg.positions_row_group_size,
+                input_fingerprint=fp)
+            _mark("positions_compact")
 
         if t is not None:
             t.join()
@@ -431,10 +471,28 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         idx_src, offsets_ref).select_columns(["doc_id", "text"])
     rs = int(manifest.get("range_splits", 1))
     rbase = int(manifest.get("range_base_n", max(n0, 1)))
+    # keep the positional artifact LIVE across incremental ingest: when the
+    # base build published one, the extend's tokenize pass side-writes
+    # positional fragments for the new docs and the tail compaction merges
+    # them into the existing bucket files (same one-scan fusion as the base
+    # build; recrawled victims are already tombstoned above and filtered at
+    # query time by the positional readers)
+    pos_dir = os.path.join(index_dir, "positions")
+    pos_live = os.path.exists(os.path.join(pos_dir, "manifest.json"))
+    if pos_live:
+        from ..stages.positions import (compact_position_fragments,
+                                        load_manifest as load_pos_manifest,
+                                        make_fused_pos_tokenize_fn)
+        pos_dpb = int(load_pos_manifest(pos_dir)["docs_per_bucket"])
+        ext_pre_map = make_fused_pos_tokenize_fn(
+            os.path.join(pos_dir, "fragments"), docs_per_bucket=pos_dpb,
+            do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
+    else:
+        ext_pre_map = make_tokenize_fn(do_stem=cfg.do_stem,
+                                       drop_stopwords=cfg.drop_stopwords)
     seg_manifest = build_segments(
         combined, index_dir=index_dir, doc_total=n,
-        pre_map=make_tokenize_fn(do_stem=cfg.do_stem,
-                                 drop_stopwords=cfg.drop_stopwords),
+        pre_map=ext_pre_map,
         pre_batch_size=cfg.fused_batch_size,
         pre_concurrency=cfg.tokenize_concurrency,
         num_partitions=num_partitions, salt=cfg.salt,
@@ -445,6 +503,12 @@ def extend_index(new_transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         # so a retried reducer can drop its own prior output from the
         # existing segment before re-merging (at-least-once task safety)
         new_doc_base=n0)
+
+    if pos_live:
+        compact_position_fragments(
+            pos_dir, docs_per_bucket=pos_dpb,
+            row_group_size=cfg.positions_row_group_size,
+            input_fingerprint=fp)
 
     total_tokens = _reserved_total_tokens(
         seg_manifest, num_partitions * rs)

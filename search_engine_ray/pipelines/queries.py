@@ -953,6 +953,36 @@ def search_phrase(sf_dir: str) -> "ray.data.Dataset":
         ["phrase", "doc_id"])
 
 
+def get_fused_index(sf_dir: str) -> str:
+    """Build (once per process) the FUSED index — BM25 segments and the
+    positional artifact from ONE corpus scan (build_index with
+    cfg.build_positions; the tokenize pre_map side-writes positional
+    fragments, a postings-volume compaction publishes
+    ``<index>/positions``).  Returns the index dir."""
+    key = (os.path.abspath(sf_dir), "fusedpos")
+    got = _pos_indexes.get(key)
+    if got is not None:
+        return got
+    tag = f"{hash64(key[0]):08x}-fusedpos"
+    cfg = EngineConfig(index_dir=os.path.join(_CACHE_ROOT, tag),
+                      num_partitions=16, build_positions=True,
+                      positions_docs_per_bucket=256)
+    build_index(transcripts_from_documents(sf_dir), cfg,
+                source_desc=f"{sf_dir}:fusedpos", resume=True)
+    _pos_indexes[key] = cfg.index_dir
+    return cfg.index_dir
+
+
+def search_phrase_fused(sf_dir: str) -> "ray.data.Dataset":
+    """`search_phrase` evaluated over the FUSED artifact (one-scan build):
+    same phrase list, same oracle — externally pins that the fused
+    positional index answers identically to the standalone one."""
+    from ..stages.positions import phrase_match
+    idx = os.path.join(get_fused_index(sf_dir), "positions")
+    return phrase_match(idx, POS_PHRASES).select_columns(
+        ["phrase", "doc_id"])
+
+
 def term_positions(sf_dir: str) -> "ray.data.Dataset":
     """(term, doc_id, npos) straight from the positional index artifact —
     externally oracles the index CONTENTS (npos == surface token count)."""

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -205,6 +206,260 @@ def load_manifest(index_dir: str) -> dict:
         return json.load(f)
 
 
+# -- fused build: fragments + compaction --------------------------------------
+#
+# The standalone builder above pays its own corpus scan.  The FUSED path
+# (pipelines/build.py, cfg.build_positions=True) instead derives the
+# positional rows inside the main build's tokenize task (ONE corpus scan for
+# BM25 segments AND positions) and side-writes them as per-bucket FRAGMENT
+# files; a postings-volume compaction pass then merges each bucket's
+# fragments into the final sorted bucket file.  Task retries are safe:
+# fragment names are content-derived (identical batch -> same file, atomic
+# replace) and compaction drops duplicate (term, doc_id) keys — positional
+# rows are deterministic per doc, so duplicates are exact copies.
+
+def write_position_fragments(pos_tbl: pa.Table, frag_root: str) -> None:
+    """Side-write one positional batch as per-bucket fragment files."""
+    if pos_tbl.num_rows == 0:
+        return
+    from ..functions.hashing import hash64
+    buckets = pos_tbl.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind="stable")
+    sb = buckets[order]
+    starts = np.flatnonzero(np.concatenate(([True], sb[1:] != sb[:-1])))
+    ends = np.concatenate((starts[1:], [len(sb)]))
+    tbl = pos_tbl.take(pa.array(order)) if len(starts) > 1 else pos_tbl
+    for a, b in zip(starts, ends):
+        part = tbl.slice(a, b - a) if len(starts) > 1 else pos_tbl
+        bucket = int(sb[a])
+        d = os.path.join(frag_root, f"bucket={bucket:06d}")
+        os.makedirs(d, exist_ok=True)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        h = hash64(f"{bucket}|{ids[0]}|{ids[-1]}|{part.num_rows}|"
+                   f"{int(ids.sum())}")
+        path = os.path.join(d, f"frag-{h:016x}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(part, tmp, compression="zstd")
+        os.replace(tmp, path)
+
+
+def _dedup_sorted_term_doc(t: pa.Table) -> pa.Table:
+    """Drop consecutive duplicate (term, doc_id) rows of a sorted table."""
+    import pyarrow.compute as pc
+    if t.num_rows < 2:
+        return t
+    terms = t.column("term").combine_chunks()
+    docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+    same_doc = docs[1:] == docs[:-1]
+    same_term = pc.equal(terms.slice(1), terms.slice(0, len(terms) - 1))
+    same_term = same_term.to_numpy(zero_copy_only=False)
+    keep = np.concatenate(([True], ~(same_doc & same_term)))
+    if keep.all():
+        return t
+    return t.filter(pa.array(keep))
+
+
+def _compact_one_bucket(batch: pa.Table, *, pos_dir: str,
+                        row_group_size: int) -> pa.Table:
+    """One task per bucket: fragments (+ any existing bucket file) ->
+    final sorted deduped bucket file.  Reads/writes postings volume only."""
+    out_b, out_rows, out_path = [], [], []
+    for bucket in batch.column("bucket").to_pylist():
+        bucket = int(bucket)
+        frag_dir = os.path.join(pos_dir, "fragments", f"bucket={bucket:06d}")
+        frags = sorted(
+            os.path.join(frag_dir, f) for f in os.listdir(frag_dir)
+            if f.endswith(".parquet")) if os.path.isdir(frag_dir) else []
+        path = os.path.join(pos_dir, f"bucket-{bucket:06d}.parquet")
+        tabs = [pq.read_table(f, schema=POSITIONS_SCHEMA) for f in frags]
+        if os.path.exists(path):
+            tabs.append(pq.read_table(path, schema=POSITIONS_SCHEMA))
+        if not tabs:
+            continue
+        t = pa.concat_tables(tabs).sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")])
+        t = _dedup_sorted_term_doc(t.combine_chunks())
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp, row_group_size=row_group_size,
+                       compression="zstd")
+        os.replace(tmp, path)
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        out_b.append(bucket)
+        out_rows.append(t.num_rows)
+        out_path.append(os.path.basename(path))
+    return pa.table({
+        "bucket": pa.array(out_b, pa.int32()),
+        "rows": pa.array(out_rows, pa.int64()),
+        "path": pa.array(out_path, pa.string()),
+    })
+
+
+def compact_position_fragments(pos_dir: str, *, docs_per_bucket: int,
+                               row_group_size: int = 4096,
+                               input_fingerprint: str = "") -> dict:
+    """Fold ``pos_dir/fragments`` into final bucket files + manifest.
+
+    Merge semantics: an existing ``bucket-NNNNNN.parquet`` is concatenated
+    with the new fragments (extend_index appends new-doc fragments to tail
+    buckets), so incremental ingest keeps the positional artifact live.
+    Untouched buckets keep their files and manifest rows."""
+    import functools
+
+    frag_root = os.path.join(pos_dir, "fragments")
+    touched = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(frag_root)
+        if d.startswith("bucket=")) if os.path.isdir(frag_root) else []
+    old: dict = {}
+    if os.path.exists(os.path.join(pos_dir, "manifest.json")):
+        m = load_manifest(pos_dir)
+        if m.get("docs_per_bucket") == docs_per_bucket:
+            old = {int(b): r for b, r in
+                   zip(m["buckets"], m.get("bucket_rows",
+                                           [0] * len(m["buckets"])))}
+    rows_by_bucket = dict(old)
+    if touched:
+        fn = functools.partial(_compact_one_bucket, pos_dir=pos_dir,
+                               row_group_size=row_group_size)
+        stats = ray.data.from_items(
+            [{"bucket": b} for b in touched],
+            override_num_blocks=len(touched)).map_batches(
+            fn, batch_format="pyarrow").take_all()
+        for r in stats:
+            rows_by_bucket[int(r["bucket"])] = int(r["rows"])
+    shutil.rmtree(frag_root, ignore_errors=True)
+    manifest = {
+        "docs_per_bucket": docs_per_bucket,
+        "buckets": sorted(rows_by_bucket),
+        "bucket_rows": [rows_by_bucket[b] for b in sorted(rows_by_bucket)],
+        "rows": int(sum(rows_by_bucket.values())),
+        "files": [f"bucket-{b:06d}.parquet" for b in sorted(rows_by_bucket)],
+        "input_fingerprint": input_fingerprint,
+    }
+    tmp = os.path.join(pos_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(pos_dir, "manifest.json"))
+    return manifest
+
+
+# per-process memoized (do_stem, drop_stopwords) -> surface-term mapper
+_FUSED_STEM_STATE: dict = {}
+
+
+def _fused_pos_task(batch: pa.Table, *, frag_root: str, docs_per_bucket: int,
+                    do_stem: bool, drop_stopwords: bool) -> pa.Table:
+    """ONE tokenize pass -> positional fragments (side write) + the BM25
+    combined triples/doclen batch the segment shuffle consumes.
+
+    The surface token stream is computed once (`_tok_positions_task`); the
+    BM25 view derives from the positional rows: tf(doc, stem) = Σ npos over
+    surface terms stemming to ``stem`` (stopwords dropped first), doc_len =
+    Σ npos over non-stop surface terms — exactly the reference tokenizer's
+    per-token pipeline (tokenizer.py:32-40) evaluated per DISTINCT surface
+    term instead of per occurrence.  Pinned equal to ``TokenizeBatcher`` by
+    ``test_fused_pos_tokenize_parity``."""
+    from ..functions.text import STOPWORDS, StemCache
+    from .tokenize import COMBINED_SCHEMA
+
+    pos_tbl = _tok_positions_task(batch, docs_per_bucket=docs_per_bucket)
+    write_position_fragments(pos_tbl, frag_root)
+
+    batch_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n_docs = len(batch_ids)
+    dl = np.zeros(n_docs, dtype=np.int64)
+    tables = []
+    if pos_tbl.num_rows:
+        stemmer = _FUSED_STEM_STATE.get("stem")
+        if stemmer is None:
+            stemmer = _FUSED_STEM_STATE["stem"] = StemCache()
+
+        enc = pos_tbl.column("term").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        # per-unique-surface-term mapping: -1 = stopword-dropped
+        stem_of: list[str] = []
+        stem_code_of_tok = np.empty(len(vocab), dtype=np.int64)
+        stem_ids: dict[str, int] = {}
+        for i, tok in enumerate(vocab):
+            if drop_stopwords and tok in STOPWORDS:
+                stem_code_of_tok[i] = -1
+                continue
+            s = stemmer.stem(tok) if do_stem else tok
+            c = stem_ids.get(s)
+            if c is None:
+                c = stem_ids[s] = len(stem_of)
+                stem_of.append(s)
+            stem_code_of_tok[i] = c
+
+        npos = pos_tbl.column("npos").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_doc = pos_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        # map positional rows back to batch slots (batch doc ids unique)
+        order = np.argsort(batch_ids, kind="stable")
+        bi = order[np.searchsorted(batch_ids[order], row_doc)]
+        stem_code = stem_code_of_tok[codes]
+        kept = stem_code >= 0
+        dl = np.bincount(bi[kept], weights=npos[kept],
+                         minlength=n_docs).astype(np.int64)
+        if kept.any():
+            kb, kc, kn = bi[kept], stem_code[kept], npos[kept]
+            g = np.lexsort((kc, kb))
+            gb, gc, gn = kb[g], kc[g], kn[g]
+            new = np.concatenate(
+                ([True], (gb[1:] != gb[:-1]) | (gc[1:] != gc[:-1])))
+            starts = np.flatnonzero(new)
+            tf = np.add.reduceat(gn, starts)
+            tables.append(pa.table({
+                "kind": pa.array(np.zeros(len(starts), dtype=np.int8)),
+                "term": pa.array([stem_of[c] for c in gc[starts]],
+                                 pa.string()),
+                "doc_id": pa.array(batch_ids[gb[starts]], pa.int64()),
+                "tf": pa.array(tf.astype(np.int32)),
+            }))
+    tables.append(pa.table({
+        "kind": pa.array(np.ones(n_docs, dtype=np.int8)),
+        "term": pa.array([""] * n_docs, pa.string()),
+        "doc_id": pa.array(batch_ids, pa.int64()),
+        "tf": pa.array(dl.astype(np.int32)),
+    }))
+    out = pa.concat_tables(tables)
+    return out.cast(COMBINED_SCHEMA)
+
+
+def make_fused_pos_tokenize_fn(frag_root: str, *, docs_per_bucket: int,
+                               do_stem: bool = True,
+                               drop_stopwords: bool = True):
+    """Picklable pre_map for ``build_segments``: tokenize once, feed the
+    segment shuffle AND side-write positional fragments."""
+    import functools
+    os.makedirs(frag_root, exist_ok=True)
+    return functools.partial(_fused_pos_task, frag_root=frag_root,
+                             docs_per_bucket=docs_per_bucket,
+                             do_stem=do_stem, drop_stopwords=drop_stopwords)
+
+
+def _tombstone_filter(index_dir: str):
+    """Keep-mask fn for a FUSED positional artifact whose parent index has
+    tombstoned doc ranges (recrawl / delete_conversations), or None.
+
+    Only an ``<index_dir>/positions`` artifact inherits its parent's
+    tombstones; a standalone positional index has none.  The (lo, hi)
+    range arrays are a tiny control artifact, shipped in the task
+    closure (same broadcast shape as compact_index's filter)."""
+    p = os.path.abspath(index_dir.rstrip("/"))
+    if os.path.basename(p) != "positions":
+        return None
+    from ..state.tombstones import load_tombstones, mask_tombstoned
+    lo, hi = load_tombstones(os.path.dirname(p))
+    if not len(lo):
+        return None
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(mask_tombstoned(ids, lo, hi)))
+    return keep
+
+
 def read_term_rows(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
     """Stream (bucket, term, doc_id, npos, pos_buf) rows for ``terms`` only.
 
@@ -217,9 +472,13 @@ def read_term_rows(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
     # explicit schema: filtered fragments can yield EMPTY blocks, which Ray
     # would otherwise emit schema-less (cosmetic "different schema" warnings,
     # and poison for any downstream join — see util.coalesce_blocks)
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         paths, schema=POSITIONS_SCHEMA,
         filter=pads.field("term").isin(sorted(set(terms))))
+    keep = _tombstone_filter(index_dir)
+    if keep is not None:
+        ds = ds.map_batches(keep, batch_format="pyarrow")
+    return ds
 
 
 def decode_positions_many(bufs: list[bytes],
@@ -378,6 +637,7 @@ def _map_bucket_files(index_dir: str, terms: list[str], row_fn,
     manifest = load_manifest(index_dir)
     paths = manifest["files"]
     want = sorted(set(terms))
+    keep = _tombstone_filter(index_dir)
 
     def per_file(batch: pa.Table) -> pa.Table:
         outs = []
@@ -385,6 +645,8 @@ def _map_bucket_files(index_dir: str, terms: list[str], row_fn,
             t = pq.read_table(os.path.join(index_dir, rel),
                               columns=["term", "doc_id", "npos", "pos_buf"],
                               filters=[("term", "in", want)])
+            if keep is not None and t.num_rows:
+                t = keep(t)
             if t.num_rows:
                 r = row_fn(t)
                 if r.num_rows:

@@ -321,3 +321,160 @@ def test_phrase_engine_near_matches_distributed(pos_index):
         assert got == exp, (ta, tb)
     assert eng.near("two words", "x") == []
     assert eng.near("", "x") == []
+
+
+# -- fused build + extend/tombstone lifecycle ---------------------------------
+
+def _phrase_urls(index_dir: str, phrases) -> set:
+    """(phrase, url, n_matches) set for a FUSED index — url-keyed so id
+    remapping across recrawl generations doesn't affect the comparison."""
+    import pyarrow.parquet as pq
+
+    hits = phrase_match(os.path.join(index_dir, "positions"),
+                        phrases).take_all()
+    docs = pq.read_table(os.path.join(index_dir, "docs"),
+                         columns=["doc_id", "conv_id", "turn_idx"])
+    url = {d: f"{c}#{t}" for d, c, t in zip(
+        docs.column("doc_id").to_pylist(),
+        docs.column("conv_id").to_pylist(),
+        docs.column("turn_idx").to_pylist())}
+    return {(r["phrase"], url[r["doc_id"]], r["n_matches"]) for r in hits}
+
+
+def test_fused_positions_extend_and_recrawl_match_clean_rebuild(tmp_path):
+    """build_index(build_positions=True) + extend_index (append, then an
+    out-of-order RECRAWL) keeps the positional artifact live: phrase hits
+    over the extended index equal a clean fused rebuild of the final
+    corpus — tombstoned recrawl victims are filtered, new docs findable."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index, extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(60, seed=21)
+    mask_a = pc.less(full.column("conv_id"), "conv-000040")
+    part_a, part_b = full.filter(mask_a), full.filter(pc.invert(mask_a))
+    phrases = ["word0001 word0002", "the word0003", "word0004",
+               "zzfresh phrase body", "absent thing"]
+
+    cfg = EngineConfig(index_dir=str(tmp_path / "inc"), num_partitions=4,
+                       build_positions=True, positions_docs_per_bucket=64)
+    build_index(ray.data.from_arrow(part_a).repartition(3), cfg,
+                source_desc="pos-a")
+    extend_index(ray.data.from_arrow(part_b).repartition(2), cfg,
+                 source_desc="pos-b")
+
+    cfg_full = EngineConfig(index_dir=str(tmp_path / "full"),
+                            num_partitions=4, build_positions=True,
+                            positions_docs_per_bucket=64)
+    build_index(ray.data.from_arrow(full).repartition(4), cfg_full,
+                source_desc="pos-full")
+    assert _phrase_urls(cfg.index_dir, phrases) == \
+        _phrase_urls(cfg_full.index_dir, phrases)
+
+    # recrawl one conversation with entirely new text: old version must
+    # drop out of phrase results (tombstone filter), new text findable
+    reconv = full.filter(pc.equal(full.column("conv_id"), "conv-000010"))
+    assert reconv.num_rows
+    recrawl = reconv.set_column(
+        reconv.schema.get_field_index("text"), "text",
+        pa.array(["zzfresh phrase body here"] * reconv.num_rows,
+                 pa.string()))
+    extend_index(ray.data.from_arrow(recrawl), cfg,
+                 source_desc="pos-recrawl", allow_out_of_order=True)
+
+    final = pa.concat_tables([
+        full.filter(pc.not_equal(full.column("conv_id"), "conv-000010")),
+        recrawl]).sort_by("conv_id")
+    cfg_f2 = EngineConfig(index_dir=str(tmp_path / "full2"),
+                          num_partitions=4, build_positions=True,
+                          positions_docs_per_bucket=64)
+    build_index(ray.data.from_arrow(final).repartition(4), cfg_f2,
+                source_desc="pos-full2")
+    got, want = _phrase_urls(cfg.index_dir, phrases), \
+        _phrase_urls(cfg_f2.index_dir, phrases)
+    assert got == want
+    assert any(p == "zzfresh phrase body" for p, _, _ in got)
+
+
+def test_fused_pos_tokenize_parity(tmp_path):
+    """_fused_pos_task's combined (BM25) output is row-set identical to
+    TokenizeBatcher for every (do_stem, drop_stopwords) combination —
+    empty, None, stop-only and repeated-token docs included."""
+    import shutil
+
+    from search_engine_ray.stages.positions import _fused_pos_task
+    from search_engine_ray.stages.tokenize import TokenizeBatcher
+
+    rng = random.Random(31)
+    vocab = ["the", "batch", "running", "runs", "tables", "of", "data2",
+             "a", "xy", "sorting"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+             for _ in range(40)]
+    texts += ["", "the of a to", None, "THE Batch RUNNING!"]
+    ids = list(range(500, 500 + len(texts)))
+    rng.shuffle(ids)
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+
+    def norm(t):
+        return sorted(zip(t.column("kind").to_pylist(),
+                          t.column("term").to_pylist(),
+                          t.column("doc_id").to_pylist(),
+                          t.column("tf").to_pylist()))
+
+    for do_stem in (True, False):
+        for drop in (True, False):
+            frag = str(tmp_path / f"frag-{do_stem}-{drop}")
+            shutil.rmtree(frag, ignore_errors=True)
+            old = TokenizeBatcher(do_stem=do_stem, drop_stopwords=drop)(
+                batch)
+            new = _fused_pos_task(batch, frag_root=frag, docs_per_bucket=16,
+                                  do_stem=do_stem, drop_stopwords=drop)
+            assert norm(old) == norm(new), (do_stem, drop)
+
+
+def test_fused_build_artifact_equals_standalone(tmp_path):
+    """build_index(build_positions=True): (a) BM25 segments are
+    byte-identical to a plain build (fusion is invisible to the main
+    artifact), (b) positional bucket files are table-identical to the
+    standalone build_positional_index over the same doc store."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    table = generate_transcripts(40, seed=17)
+    cfg = EngineConfig(index_dir=str(tmp_path / "fused"), num_partitions=4,
+                       build_positions=True, positions_docs_per_bucket=64)
+    build_index(ray.data.from_arrow(table).repartition(3), cfg,
+                source_desc="par")
+    cfg2 = EngineConfig(index_dir=str(tmp_path / "plain"), num_partitions=4)
+    build_index(ray.data.from_arrow(table).repartition(3), cfg2,
+                source_desc="par")
+
+    def segdigest(d):
+        h = hashlib.md5()
+        for s in sorted(os.listdir(os.path.join(d, "segments"))):
+            h.update(s.encode())
+            with open(os.path.join(d, "segments", s), "rb") as f:
+                h.update(f.read())
+        return h.hexdigest()
+
+    assert segdigest(cfg.index_dir) == segdigest(cfg2.index_dir)
+
+    docs = ray.data.read_parquet(os.path.join(cfg.index_dir, "docs"),
+                                 columns=["doc_id", "text"])
+    standalone = str(tmp_path / "standalone")
+    build_positional_index(docs, standalone, docs_per_bucket=64)
+    ma = load_manifest(os.path.join(cfg.index_dir, "positions"))
+    mb = load_manifest(standalone)
+    assert ma["files"] == mb["files"] and ma["rows"] == mb["rows"]
+    for f in ma["files"]:
+        ta = pq.read_table(os.path.join(cfg.index_dir, "positions", f))
+        tb = pq.read_table(os.path.join(standalone, f))
+        assert ta.equals(tb), f
