@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    artifact from the SAME tokenize pass); same oracle as
         #    search_phrase -> externally pins fused == standalone
         "search_phrase_fused": Q.search_phrase_fused,
+        # -- round 5: SHARDED serving path (doc-range shard actors + k-way
+        #    merge) against the search_reference SQL mirror
+        "search_sharded": Q.search_sharded,
         "term_positions": Q.term_positions,
         # -- new this round: CCNet-style NB quality classifier -----------------
         "quality_classifier": Q.quality_classifier,
@@ -1174,6 +1177,9 @@ def oracle_sql() -> dict[str, str]:
     # candidate cut at 220, intent re-rank / rank assignment — the last two
     # previously rows-only entries are now fully oracled.
     sql["search_reference"] = _topk_search_sql("reference")
+    # sharded-path mirror: doc-range shard actors + k-way merge must equal
+    # the single-engine ranking, so the truth is the same top-k SQL
+    sql["search_sharded"] = _topk_search_sql("reference")
     sql["search_bm25"] = _topk_search_sql("bm25")
 
     sql["search_bm25_stemmed"] = f"""

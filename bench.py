@@ -140,6 +140,24 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
             "effective_cores_probe": eff_pre,
         }
 
+    # FUSED build: same corpus, ONE tokenize pass also emits the positional
+    # phrase/NEAR artifact (cfg.build_positions).  Recorded as its own wall
+    # so the record carries the combined-vs-plain overhead (target: <= plain
+    # + ~20%, vs ~2x for the old separate positional scan).
+    from dataclasses import replace as dc_replace
+    fused_dir = os.path.join(CACHE, f"idx-fused-{num_turns}-{num_cpus}")
+    shutil.rmtree(fused_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(ray.data.read_parquet(corpus_path),
+                dc_replace(cfg, index_dir=fused_dir, build_positions=True),
+                source_desc=f"bench-fused-{num_turns}",
+                transcripts_path=corpus_path)
+    fused_sec = time.time() - t0
+    queries["index_build_fused"] = round(fused_sec, 3)
+    queries["fused_overhead_pct"] = round(100 * (fused_sec / build_sec - 1),
+                                          1)
+    shutil.rmtree(fused_dir, ignore_errors=True)
+
     t0 = time.time()
     qe = QueryEngine(index_dir)
     queries["engine_load"] = round(time.time() - t0, 3)

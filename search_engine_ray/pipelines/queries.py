@@ -184,6 +184,34 @@ def search_reference(sf_dir: str) -> pa.Table:
     })
 
 
+def search_sharded(sf_dir: str) -> pa.Table:
+    """``search_reference`` evaluated through the SHARDED serving path:
+    doc-range shard actors + driver k-way merge (state/sharded.py), same
+    query set, same SQL mirror — externally pins that the shard fan-out and
+    merge reproduce the single-engine ranking, not just the pytest
+    rank-identity property (tests/test_build_and_search.py)."""
+    from ..state.sharded import ShardedQueryEngine
+    eng = get_engine(sf_dir, stem=True)      # builds/loads the same index
+    sh = ShardedQueryEngine(eng.index_dir, num_shards=4)
+    try:
+        out = []
+        for qid, q in enumerate(("merge sort", "window batch stream",
+                                 "customer filter", "vector join")):
+            for rank, r in enumerate(sh.search(q, limit=20), start=1):
+                out.append((qid, rank, r["conv_id"], r["turn_idx"],
+                            round(r["score"], 6), r["matched_terms"]))
+    finally:
+        sh.shutdown()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in out], pa.int64()),
+        "rank": pa.array([r[1] for r in out], pa.int64()),
+        "conv_id": pa.array([r[2] for r in out], pa.string()),
+        "turn_idx": pa.array([r[3] for r in out], pa.int32()),
+        "score": pa.array([r[4] for r in out], pa.float64()),
+        "matched_terms": pa.array([r[5] for r in out], pa.int64()),
+    })
+
+
 SEARCH_PLAIN_QUERY = "merge sort"
 
 
@@ -1000,7 +1028,11 @@ def search_snippets(sf_dir: str) -> "ray.data.Dataset":
     idx = get_positional_index(sf_dir)
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                               columns=["doc_id", "text"])
-    return term_snippets(idx, docs, SNIPPET_TERMS, window=2)
+    # max_broadcast_rows=0 forces the DISTRIBUTED hash-join plan (the
+    # head-term / corpus-wide shape) so the driver oracles the scale path;
+    # broadcast==join is pinned by test_term_snippets_join_path_equals_*
+    return term_snippets(idx, docs, SNIPPET_TERMS, window=2,
+                         max_broadcast_rows=0)
 
 
 # -- dictionary prefix (wildcard) queries -------------------------------------

@@ -694,24 +694,85 @@ def term_positions(index_dir: str, terms: list[str]) -> "ray.data.Dataset":
         batch_format="pyarrow")
 
 
+def _first_positions_batch(batch: pa.Table) -> pa.Table:
+    """(term, doc_id, npos, pos_buf) rows -> (term, doc_id, p0): the first
+    occurrence position, batch-decoded (one varbyte pass per batch)."""
+    counts = batch.column("npos").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    bufs = batch.column("pos_buf").to_pylist()
+    pos = decode_positions_many(bufs, counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    return pa.table({
+        "term": batch.column("term"),
+        "doc_id": batch.column("doc_id"),
+        "p0": pa.array(pos[starts] if len(pos) else
+                       np.zeros(0, dtype=np.int64), pa.int64()),
+    })
+
+
+def _snippet_rows(batch: pa.Table, *, window: int) -> pa.Table:
+    """(doc_id, text, term, p0) joined rows -> (term, doc_id, snippet)."""
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_pylist()
+    terms = batch.column("term").to_pylist()
+    p0s = batch.column("p0").to_pylist()
+    out_t: list[str] = []
+    out_d: list[int] = []
+    out_s: list[str] = []
+    tok_cache: dict[int, list[str]] = {}
+    for text, d, term, p0 in zip(texts, doc_ids, terms, p0s):
+        toks = tok_cache.get(d)
+        if toks is None:
+            toks = tok_cache[d] = tokenize_positions(text)
+        lo = max(0, int(p0) - window)
+        out_t.append(term)
+        out_d.append(int(d))
+        out_s.append(" ".join(toks[lo:int(p0) + window + 1]))
+    return pa.table({
+        "term": pa.array(out_t, pa.string()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "snippet": pa.array(out_s, pa.string()),
+    })
+
+
 def term_snippets(index_dir: str, docs: "ray.data.Dataset",
                   terms: list[str], *, window: int = 2,
-                  batch_size: int = 1024) -> "ray.data.Dataset":
+                  batch_size: int = 1024,
+                  max_broadcast_rows: int = 100_000) -> "ray.data.Dataset":
     """KWIC snippets: (term, doc_id, snippet) — the ±``window`` token
     context around the FIRST occurrence of each query term, resolved from
     the positional index (no corpus rescan to FIND the occurrence; one
     filtered read gives (doc, first_position) per term).
 
-    Matched (doc, term, pos) triples are collected and shipped in the task
-    closure of a single streaming pass over ``docs`` that tokenizes only
-    matched docs and slices the window.  Driver/closure state is bounded by
-    Σ df(term) over the query terms — snippets are a query-time operation
-    over a result PAGE (k ≤ 100 docs) in real serving, where that bound is
-    trivial; this corpus-wide entry exists to oracle the mechanics.  For a
-    head-term corpus-wide run, swap the broadcast for the distributed
-    hash-join used by the dedup verify path."""
-    rows = read_term_rows(index_dir, terms).select_columns(
-        ["term", "doc_id", "pos_buf"]).take_all()
+    Two physical plans with an AUTOMATIC cutover (same pattern as the
+    build's conv-offset broadcast -> join mode):
+
+    * Σ df(term) ≤ ``max_broadcast_rows``: the matched (doc, term, p0)
+      triples are collected and shipped in the task closure of a single
+      streaming pass over ``docs`` — right for the serving case (snippets
+      over a result page, k ≤ 100 docs).
+    * beyond the bound (head-term corpus-wide runs): driver state stays
+      BOUNDED — the triples become a Dataset hash-joined against ``docs``
+      on doc_id, and the window slicing runs inside the joined batches.
+      Property-pinned equal to the broadcast path by
+      ``test_term_snippets_join_path_equals_broadcast``."""
+    rows_ds = read_term_rows(index_dir, terms).select_columns(
+        ["term", "doc_id", "npos", "pos_buf"])
+    n_rows = rows_ds.count()
+    import functools
+    if n_rows > max_broadcast_rows:
+        from ..util import coalesce_blocks, hash_join
+        firsts_ds = coalesce_blocks(
+            rows_ds.map_batches(_first_positions_batch,
+                                batch_format="pyarrow"))
+        joined = hash_join(
+            docs.select_columns(["doc_id", "text"]), firsts_ds,
+            "inner", 16, on=("doc_id",))
+        return joined.map_batches(
+            functools.partial(_snippet_rows, window=window),
+            batch_format="pyarrow", batch_size=batch_size)
+
+    rows = rows_ds.take_all()
     firsts: dict[int, list[tuple[str, int]]] = {}
     for r in rows:
         p0 = int(decode_positions(r["pos_buf"])[0])

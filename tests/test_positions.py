@@ -478,3 +478,25 @@ def test_fused_build_artifact_equals_standalone(tmp_path):
         ta = pq.read_table(os.path.join(cfg.index_dir, "positions", f))
         tb = pq.read_table(os.path.join(standalone, f))
         assert ta.equals(tb), f
+
+
+def test_term_snippets_join_path_equals_broadcast(pos_index):
+    """The distributed hash-join snippet plan (auto-cutover when Σ df over
+    the query terms exceeds max_broadcast_rows) returns exactly the
+    broadcast plan's rows — driver state stays bounded on head terms."""
+    from search_engine_ray.stages.positions import term_snippets
+
+    idx, _ = pos_index
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in DOCS], pa.int64()),
+        "text": pa.array([d[1] for d in DOCS], pa.string()),
+    }))
+    terms = ["batch", "merge", "the", "end"]
+    broadcast = sorted(
+        (r["term"], r["doc_id"], r["snippet"])
+        for r in term_snippets(idx, docs, terms, window=2).take_all())
+    joined = sorted(
+        (r["term"], r["doc_id"], r["snippet"])
+        for r in term_snippets(idx, docs, terms, window=2,
+                               max_broadcast_rows=0).take_all())
+    assert broadcast and joined == broadcast
