@@ -252,11 +252,14 @@ def _ann_scan_fractions(sf_dir: str) -> dict:
     if not os.path.exists(emb_path):
         return out
     qv = _normalize(_query_vecs(sf_dir))
-    n_probe, probe_hamming, bucket_bits = 4, 2, 6
+    n_probe, probe_hamming = 4, 2
 
+    # AUTO (√N) partition counts — the scale-aware defaults; the oracled
+    # driver entries stay pinned to the SQL mirror's constants
     idx = tempfile.mkdtemp(prefix="bench_ivf_")
     try:
         cents = ivf_build(read_parquet_clean(emb_path), idx)
+        out["ivf_n_lists"] = int(cents.shape[0])
         probe = np.argsort(-(qv @ cents.T), axis=1)[:, :n_probe]
         out["ivf_scan_fraction"] = ivf_scan_stats(idx, probe)[
             "scan_fraction"]
@@ -265,8 +268,11 @@ def _ann_scan_fractions(sf_dir: str) -> dict:
 
     idx = tempfile.mkdtemp(prefix="bench_lsh_")
     try:
-        planes = lsh_build(read_parquet_clean(emb_path), idx,
-                           bucket_bits=bucket_bits)
+        import json as _json
+        planes = lsh_build(read_parquet_clean(emb_path), idx)
+        with open(os.path.join(idx, "meta.json")) as f:
+            bucket_bits = _json.load(f)["bucket_bits"]
+        out["lsh_bucket_bits"] = int(bucket_bits)
         qtops = _signatures(qv, planes) >> np.uint64(
             planes.shape[0] - bucket_bits)
         all_b = np.arange(1 << bucket_bits, dtype=np.uint64)

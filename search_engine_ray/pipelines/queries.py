@@ -1449,7 +1449,8 @@ def ann_lsh_topk(sf_dir: str) -> pa.Table:
     emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     idx = tempfile.mkdtemp(prefix="lsh_idx_")
     try:
-        lsh_build(emb, idx)
+        # pinned (not auto-√N): the SQL mirror hard-codes this layout
+        lsh_build(emb, idx, bucket_bits=6)
         t = lsh_search(idx, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
                        k=ANN_K + 10)
     finally:
@@ -1470,7 +1471,9 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
     emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     idx = tempfile.mkdtemp(prefix="ivf_idx_")
     try:
-        ivf_build(emb, idx)
+        # pinned (not auto-√N): the SQL mirror hard-codes the 16-centroid
+        # quantizer chain
+        ivf_build(emb, idx, n_lists=16)
         t = ivf_search(idx, list(ANN_QUERY_IDS), _query_vecs(sf_dir),
                        k=ANN_K + 10)
     finally:

@@ -196,15 +196,38 @@ def lsh_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
 # bucket count stays bounded (2^bucket_bits directories) independent of
 # n_bits.
 
+def auto_n_lists(n_vectors: int) -> int:
+    """√N heuristic for coarse-partition counts (IVF lists / LSH buckets /
+    SemDeDup clusters): lists ≈ √N keeps per-list size ≈ √N, so probed scan
+    bytes shrink as n_probe/√N while per-list work stays bounded — the
+    published IVF/SemDeDup sizing (the SemDeDup paper runs 50k clusters for
+    100M+ docs ≈ √N·5).  Rounded to a power of two, clamped [16, 65536]."""
+    import math
+    if n_vectors <= 0:
+        return 16
+    return int(min(65536, max(
+        16, 2 ** math.ceil(math.log2(max(1.0, math.sqrt(n_vectors)))))))
+
+
 def lsh_build(embeddings: "ray.data.Dataset", index_dir: str, *,
-              n_bits: int = 12, bucket_bits: int = 6,
+              n_bits: int = 12, bucket_bits: int | None = None,
               seed: int = 42) -> np.ndarray:
     """Write the embedding table hive-partitioned by signature bucket
     (``bucket = sig >> (n_bits - bucket_bits)``), storing the full signature
     per row so search masks on the STORED bits (bit-identical to the
-    in-stream path, no recompute drift).  Returns the hyperplanes."""
+    in-stream path, no recompute drift).  Returns the hyperplanes.
+
+    ``bucket_bits=None`` derives from corpus size: log2(auto_n_lists(N)) + 2
+    (clamped to n_bits) — bucket count grows ~√N·4 so a Hamming-≤2 probe's
+    scan fraction keeps SHRINKING with N instead of being pinned by a
+    small-scale constant."""
     import json
     import os
+
+    if bucket_bits is None:
+        import math
+        bucket_bits = min(
+            n_bits, int(math.log2(auto_n_lists(embeddings.count()))) + 2)
 
     dim = _train_sample(embeddings, 1).shape[1]
     planes = _hyperplanes(dim, n_bits, seed)
@@ -431,16 +454,24 @@ def ivf_topk(embeddings: "ray.data.Dataset", query_ids: list[int],
 # streaming the whole table and masking.
 
 def ivf_build(embeddings: "ray.data.Dataset", index_dir: str, *,
-              n_lists: int = 16, train_sample: int = 2048,
+              n_lists: int | None = None, train_sample: int = 2048,
               seed: int = 42) -> np.ndarray:
     """Train the coarse quantizer (same deterministic _kmeans contract as
     ivf_topk) and write the embedding table partitioned by ``list_id``
     (hive layout, one directory per inverted list) plus the centroids.
     Assignment is identical to the in-stream path: _normalize + argmax
     against the 6-dp-rounded centroids, so a partitioned search returns
-    exactly what ivf_topk returns.  Returns the (n_lists, dim) centroids."""
+    exactly what ivf_topk returns.  Returns the (n_lists, dim) centroids.
+
+    ``n_lists=None`` derives ``auto_n_lists(N)`` (√N) and widens the
+    training sample to ≥16 vectors per centroid — scan bytes per query then
+    shrink as n_probe/√N instead of being pinned by a small-scale constant.
+    Oracled entries pass an EXPLICIT n_lists (the SQL mirror pins it)."""
     import os
 
+    if n_lists is None:
+        n_lists = auto_n_lists(embeddings.count())
+        train_sample = max(train_sample, 16 * n_lists)
     train = _train_sample(embeddings, train_sample)
     cents = _kmeans(train, n_lists, seed=seed)
     cref = ray.put(cents)
@@ -778,7 +809,7 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", *,
 
 # -- SemDeDup: semantic deduplication via k-means + intra-cluster cosine ------
 
-def semdedup(embeddings: "ray.data.Dataset", *, n_lists: int = 16,
+def semdedup(embeddings: "ray.data.Dataset", *, n_lists: int | None = 16,
              tau: float = 0.95, train_sample: int = 2048
              ) -> "ray.data.Dataset":
     """SemDeDup (Abbas et al. 2023): cluster embeddings with the IVF coarse
@@ -798,7 +829,15 @@ def semdedup(embeddings: "ray.data.Dataset", *, n_lists: int = 16,
     cluster id is the partition key, exactly how the published recipe
     shards (at 100 TB use enough clusters that m^2 per cluster is bounded;
     the paper runs 50k clusters for 100M+ docs).  Cosines and centroid
-    dots round to 6 dp before any compare, the shared oracle contract."""
+    dots round to 6 dp before any compare, the shared oracle contract.
+
+    ``n_lists=None`` derives ``auto_n_lists(N)`` (√N, the paper's sizing)
+    so max cluster size stays bounded as the corpus grows; the oracled
+    entry pins n_lists=16 because the SQL mirror hard-codes the quantizer
+    chain."""
+    if n_lists is None:
+        n_lists = auto_n_lists(embeddings.count())
+        train_sample = max(train_sample, 16 * n_lists)
     train = _train_sample(embeddings, train_sample)
     cents = _kmeans(train, n_lists)
     ref = ray.put(cents)

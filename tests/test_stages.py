@@ -2147,3 +2147,32 @@ def test_hash_join_aggregator_reservation_policy():
     with mock.patch("ray.is_initialized", return_value=False):
         hash_join(FakeDS(), None, "inner", 8, on=("k",))
     assert captured["aggregator_ray_remote_args"]["num_cpus"] == 0.0
+
+
+def test_semdedup_auto_n_lists_scaled_flag_parity():
+    """Scale-aware SemDeDup sizing (n_lists=None -> auto_n_lists ~ √N): at
+    sf0.1 the √N configuration must (a) bound max cluster size well below
+    the small-n_lists config's, (b) flag EXACTLY the injected near-dup set
+    — cluster granularity changes the partitioning, not the verdicts."""
+    import os
+
+    from search_engine_ray.pipelines.queries import _aug_embeddings
+    from search_engine_ray.stages.ann import auto_n_lists, semdedup
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        import pytest as _p
+        _p.skip("sf0.1 testdata not present")
+    emb = _aug_embeddings(sf_dir).materialize()
+    n = emb.count()
+    assert auto_n_lists(n) >= 4 * 16       # √N grew past the legacy 16
+    injected = {v + 100000 for v in range(25)}
+
+    small = semdedup(emb, n_lists=16, tau=0.95).to_pandas()
+    auto = semdedup(emb, n_lists=None, tau=0.95).to_pandas()
+    flags_small = set(small[small.is_dup == 1].vec_id)
+    flags_auto = set(auto[auto.is_dup == 1].vec_id)
+    assert flags_small == flags_auto == injected
+    max_small = small.groupby("cluster_id").size().max()
+    max_auto = auto.groupby("cluster_id").size().max()
+    assert max_auto < max_small / 2        # measured 139 -> 43 at sf0.1
