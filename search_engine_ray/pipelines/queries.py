@@ -138,12 +138,12 @@ def corpus_stats(sf_dir: str) -> pa.Table:
 def term_stats(sf_dir: str) -> pa.Table:
     eng = get_engine(sf_dir, stem=False)
     terms = sorted(eng._dict)
+    stats = [eng.term_stats(t) for t in terms]   # vocab pass, no posting IO
     return pa.table({
         "term": pa.array(terms, pa.string()),
-        "df": pa.array([eng._dict[t][0] for t in terms], pa.int64()),
-        "cf": pa.array([eng._dict[t][1] for t in terms], pa.int64()),
-        "idf": pa.array([round(eng._dict[t][2], 6) for t in terms],
-                        pa.float64()),
+        "df": pa.array([s[0] for s in stats], pa.int64()),
+        "cf": pa.array([s[1] for s in stats], pa.int64()),
+        "idf": pa.array([round(s[2], 6) for s in stats], pa.float64()),
     })
 
 

@@ -533,7 +533,10 @@ def _write_segment_group(group: pa.Table, *, index_dir: str, doc_total: int,
     # atomic publish: temp file in same dir + rename
     fd, tmp = tempfile.mkstemp(prefix=fname + ".", dir=seg_dir)
     os.close(fd)
-    pq.write_table(seg, tmp, compression="zstd")
+    # small row groups (term-sorted rows): the LAZY engine load reads one
+    # term's postings via a term-equality filter, and row-group min/max
+    # stats on `term` bound the decompressed bytes to ~32 rows, not the file
+    pq.write_table(seg, tmp, compression="zstd", row_group_size=32)
     os.replace(tmp, fpath)
 
     elapsed = round(_time.time() - t_start, 4)

@@ -134,10 +134,58 @@ class _TermIter:
         self.cur_tf = int(self.tfs[pos])
 
 
+class _LazyTermDict:
+    """Mapping facade over the engine's term dictionary: keys (the full
+    vocabulary) are known from the eager (term, df, cf) pass; a term's
+    posting record (buffers + block meta) materializes on FIRST access via
+    ``engine._materialize`` and is memoized.  Cold engine start therefore
+    reads ~vocabulary bytes, not corpus postings bytes."""
+
+    __slots__ = ("_eng",)
+
+    def __init__(self, eng):
+        self._eng = eng
+
+    def __contains__(self, term):
+        return term in self._eng._locators
+
+    def __iter__(self):
+        return iter(self._eng._locators)
+
+    def __len__(self):
+        return len(self._eng._locators)
+
+    def keys(self):
+        return self._eng._locators.keys()
+
+    def __getitem__(self, term):
+        rec = self._eng._records.get(term)
+        if rec is None:
+            if term not in self._eng._locators:
+                raise KeyError(term)
+            rec = self._eng._materialize(term)
+        return rec
+
+    def get(self, term, default=None):
+        rec = self._eng._records.get(term)
+        if rec is None:
+            if term not in self._eng._locators:
+                return default
+            rec = self._eng._materialize(term)
+        return rec
+
+    def values(self):
+        return (self[t] for t in self)
+
+    def items(self):
+        return ((t, self[t]) for t in self)
+
+
 class QueryEngine:
     def __init__(self, index_dir: str, *, scoring: str = "reference",
                  k1: float = 1.2, b: float = 0.75, load_docs: bool = True,
-                 doc_range: tuple[int, int] | None = None):
+                 doc_range: tuple[int, int] | None = None,
+                 eager: bool = False):
         """``doc_range=(lo, hi)``: range-sliced serving load.  Blocks are
         independently decodable (delta restarts per block,
         functions/varbyte.py encode_postings_blocked), so a shard keeps only
@@ -159,109 +207,55 @@ class QueryEngine:
         self._range_hi = range_hi
 
         # term dictionary: term -> (df, cf, idf, doc_buf, tf_buf, block_meta)
-        # Built via per-term CHUNK accumulation: with range_splits > 1 a
-        # term's postings live in several physical-part files (rb-ascending
-        # doc ranges).  Block starts are absolute (varbyte.py), so merging
-        # chunks is byte concat + block-offset shifts — no re-encode.
-        # File-name order == physical part order == rb-ascending per term.
-        self._dict: dict[str, tuple] = {}
-        chunks: dict[str, list] = {}
+        # LAZY by default: the eager pass reads only the (term, df, cf)
+        # columns of every segment file — vocabulary-sized, so cold start is
+        # ~10x faster than decompressing all posting buffers — and records
+        # per-term (file, row) locators.  A term's buffers + block meta load
+        # on FIRST access (row-group-pruned term-filtered read; segments are
+        # term-sorted with 32-row groups) and memoize.  ``eager=True``
+        # restores the all-resident load (serving shards that want warm
+        # latency + the resident-bytes evidence tests).
+        #
         # df/cf accumulate over ALL of a term's chunks — including chunks
-        # whose postings lie entirely outside this shard's doc range and
-        # are skipped below.  With range_splits > 1 a term's global df is
-        # split across rb-chunk files; dropping out-of-range chunks from
-        # the df sum would give each shard a partial (per-range) df and an
-        # inflated idf, breaking the invariant that sharded scores equal
-        # the full engine's (postings may be range-sliced, stats may not).
+        # whose postings lie entirely outside this shard's doc range (the
+        # range slicing happens at materialization).  With range_splits > 1
+        # a term's global df is split across rb-chunk files; dropping
+        # out-of-range chunks from the df sum would give each shard a
+        # partial df and an inflated idf, breaking the invariant that
+        # sharded scores equal the full engine's.
+        self._records: dict[str, tuple] = {}
+        self._locators: dict[str, list[tuple[int, int]]] = {}
+        self._seg_files = sorted(glob.glob(
+            os.path.join(index_dir, "segments", "segment-p*.parquet")))
         df_glob: dict[str, int] = {}
         cf_glob: dict[str, int] = {}
-        for f in sorted(glob.glob(os.path.join(index_dir, "segments", "segment-p*.parquet"))):
-            t = pq.read_table(f)
+        # parallel footer+column reads: per-file pq.read_table fixed cost
+        # (~5-15 ms) dominates the vocabulary pass at 100+ segment files;
+        # pyarrow releases the GIL, so a thread pool turns 256 serial reads
+        # into ~wall/16 (eager mode reads the FULL tables here once and
+        # reuses them below — no second pass)
+        from concurrent.futures import ThreadPoolExecutor
+        vocab_cols = None if eager else ["term", "df", "cf"]
+        tables: list = []
+        if self._seg_files:
+            with ThreadPoolExecutor(
+                    min(16, len(self._seg_files))) as ex:
+                tables = list(ex.map(
+                    lambda f: pq.read_table(f, columns=vocab_cols),
+                    self._seg_files))
+        for fidx, t in enumerate(tables):
             terms = t.column("term").to_pylist()
             dfs = t.column("df").to_pylist()
             cfs = t.column("cf").to_pylist()
-            dbufs = t.column("doc_ids_enc").to_pylist()
-            tbufs = t.column("tfs_enc").to_pylist()
-            blds = t.column("block_last_doc").to_pylist()
-            bmts = t.column("block_max_tf").to_pylist()
-            bdos = t.column("block_doc_off").to_pylist()
-            btos = t.column("block_tf_off").to_pylist()
-            bcts = t.column("block_count").to_pylist()
             for i, term in enumerate(terms):
-                dbuf, tbuf = dbufs[i], tbufs[i]
-                bld, bmt, bdo, bto, bct = (blds[i], bmts[i], bdos[i],
-                                           btos[i], bcts[i])
                 df_glob[term] = df_glob.get(term, 0) + dfs[i]
                 cf_glob[term] = cf_glob.get(term, 0) + cfs[i]
-                if doc_range is not None:
-                    # blocks fully below lo have last_doc < lo; blocks after
-                    # the one containing hi-1 start past it (docs sorted)
-                    b0 = bisect.bisect_left(bld, self._base)
-                    b1 = min(bisect.bisect_left(bld, range_hi - 1) + 1,
-                             len(bld))
-                    if b0 >= b1:
-                        continue                     # no postings in range
-                    d0, d1 = bdo[b0], bdo[b1]
-                    t0, t1 = bto[b0], bto[b1]
-                    dbuf, tbuf = dbuf[d0:d1], tbuf[t0:t1]
-                    bld, bmt, bct = bld[b0:b1], bmt[b0:b1], bct[b0:b1]
-                    bdo = [x - d0 for x in bdo[b0:b1 + 1]]
-                    bto = [x - t0 for x in bto[b0:b1 + 1]]
-                    # boundary blocks can straddle the range: trim them by
-                    # decode -> filter -> re-encode so resident bytes equal
-                    # the TRUE range fraction (tail terms' single block would
-                    # otherwise stay fully resident in every shard).  Skipped
-                    # when the slice provably starts at 0 and ends in range.
-                    if self._base > 0 or bld[-1] > range_hi - 1:
-                        meta0 = {"last_doc": bld, "doc_off": bdo,
-                                 "tf_off": bto, "count": bct}
-                        d_all, t_all = decode_postings_blocked(
-                            dbuf, tbuf, meta0)
-                        keep = ((d_all >= np.uint64(self._base))
-                                & (d_all < np.uint64(range_hi)))
-                        if not keep.any():
-                            continue
-                        if not keep.all():
-                            from ..functions.varbyte import \
-                                encode_postings_blocked
-                            bs = max(bct) if bct else 128
-                            dbuf, tbuf, m2 = encode_postings_blocked(
-                                d_all[keep], t_all[keep], bs)
-                            bld, bmt = m2["last_doc"], m2["max_tf"]
-                            bdo, bto = m2["doc_off"], m2["tf_off"]
-                            bct = m2["count"]
-                chunks.setdefault(term, []).append(
-                    (dfs[i], cfs[i], dbuf, tbuf, bld, bmt, bdo, bto, bct))
-
-        for term, ch in chunks.items():
-            df_t, cf_t = df_glob[term], cf_glob[term]
-            if len(ch) == 1:
-                _, _, dbuf, tbuf, bld, bmt, bdo, bto, bct = ch[0]
-            else:
-                dbuf = b"".join(c[2] for c in ch)
-                tbuf = b"".join(c[3] for c in ch)
-                bld, bmt, bct = [], [], []
-                bdo, bto = [0], [0]
-                d_base = t_base = 0
-                for c in ch:
-                    bld.extend(c[4])
-                    bmt.extend(c[5])
-                    bct.extend(c[8])
-                    bdo.extend(x + d_base for x in c[6][1:])
-                    bto.extend(x + t_base for x in c[7][1:])
-                    d_base += len(c[2])
-                    t_base += len(c[3])
-            meta = {"last_doc": bld, "max_tf": bmt,
-                    "doc_off": bdo, "tf_off": bto,
-                    "count": bct}
-            # idf is recomputed from df + the LIVE corpus size: after an
-            # incremental extend, stored idf values in untouched parts
-            # reflect the N at their write time (stats.json is
-            # authoritative; same float expression as build, so a clean
-            # build's stored idf matches bit-for-bit)
-            self._dict[term] = (df_t, cf_t,
-                                idf_fn(self.doc_total, df_t), dbuf,
-                                tbuf, meta)
+                self._locators.setdefault(term, []).append((fidx, i))
+        self._df_glob, self._cf_glob = df_glob, cf_glob
+        self._dict = _LazyTermDict(self)
+        if eager:
+            for t in tables:
+                self._materialize_from_table(t)
 
         # tombstone mask (delete support over immutable artifacts;
         # state/tombstones.py) — empty arrays when no deletes exist
@@ -282,27 +276,178 @@ class QueryEngine:
 
         # doc metadata for stage-2 re-rank + result assembly (range mode
         # reads only this shard's row groups: parquet row-group pruning on
-        # the doc_id filter)
-        self._docs: dict[str, np.ndarray] | None = None
-        if load_docs:
-            docs = pq.read_table(
-                os.path.join(index_dir, "docs"),
-                columns=["doc_id", "conv_id", "turn_idx", "role", "text", "tool"],
-                filters=rng_filters,
-            )
-            ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
-            order = np.argsort(ids)
-            self._docs = {
-                name: np.asarray(docs.column(name).to_pylist(), dtype=object)[order]
-                for name in ("conv_id", "role", "text", "tool")
-            }
-            self._docs["turn_idx"] = docs.column("turn_idx").to_numpy(
-                zero_copy_only=False)[order]
+        # the doc_id filter).  LAZY like the postings: the store loads on
+        # first doc_meta/facet access (Arrow string arrays, no per-row
+        # Python conversion) so cold engine start reads ~vocabulary bytes;
+        # eager engines preload for warm first-query latency.
+        self._docs: dict | None = None
+        self._docs_enabled = load_docs
+        self._rng_filters = rng_filters
+        if eager and load_docs:
+            self._ensure_docs()
+
+    def _ensure_docs(self) -> dict:
+        """Load + doc_id-sort the doc store as ARROW arrays (string columns
+        stay Arrow — ~10x faster than object-array conversion; doc_meta
+        converts per ACCESSED row only)."""
+        if self._docs is not None:
+            return self._docs
+        if not self._docs_enabled:
+            raise RuntimeError(
+                "doc_meta/search need document metadata but this engine "
+                "was constructed with load_docs=False (stage-1 scoring "
+                "only); rebuild it with load_docs=True")
+        docs = pq.read_table(
+            os.path.join(self.index_dir, "docs"),
+            columns=["doc_id", "conv_id", "turn_idx", "role", "text",
+                     "tool"],
+            filters=self._rng_filters,
+        )
+        ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        take = pa.array(order)
+        self._docs = {
+            name: docs.column(name).combine_chunks().take(take)
+            for name in ("conv_id", "role", "text", "tool")
+        }
+        self._docs["turn_idx"] = docs.column("turn_idx").to_numpy(
+            zero_copy_only=False)[order]
+        return self._docs
+
+    def _slice_chunk(self, dbuf, tbuf, bld, bmt, bdo, bto, bct):
+        """Apply this engine's doc-range slice to one term chunk; returns
+        the (possibly trimmed) chunk pieces or None when out of range."""
+        range_hi = self._range_hi
+        # blocks fully below lo have last_doc < lo; blocks after
+        # the one containing hi-1 start past it (docs sorted)
+        b0 = bisect.bisect_left(bld, self._base)
+        b1 = min(bisect.bisect_left(bld, range_hi - 1) + 1, len(bld))
+        if b0 >= b1:
+            return None                          # no postings in range
+        d0, d1 = bdo[b0], bdo[b1]
+        t0, t1 = bto[b0], bto[b1]
+        dbuf, tbuf = dbuf[d0:d1], tbuf[t0:t1]
+        bld, bmt, bct = bld[b0:b1], bmt[b0:b1], bct[b0:b1]
+        bdo = [x - d0 for x in bdo[b0:b1 + 1]]
+        bto = [x - t0 for x in bto[b0:b1 + 1]]
+        # boundary blocks can straddle the range: trim them by
+        # decode -> filter -> re-encode so resident bytes equal
+        # the TRUE range fraction (tail terms' single block would
+        # otherwise stay fully resident in every shard).  Skipped
+        # when the slice provably starts at 0 and ends in range.
+        if self._base > 0 or bld[-1] > range_hi - 1:
+            meta0 = {"last_doc": bld, "doc_off": bdo,
+                     "tf_off": bto, "count": bct}
+            d_all, t_all = decode_postings_blocked(dbuf, tbuf, meta0)
+            keep = ((d_all >= np.uint64(self._base))
+                    & (d_all < np.uint64(range_hi)))
+            if not keep.any():
+                return None
+            if not keep.all():
+                from ..functions.varbyte import encode_postings_blocked
+                bs = max(bct) if bct else 128
+                dbuf, tbuf, m2 = encode_postings_blocked(
+                    d_all[keep], t_all[keep], bs)
+                bld, bmt = m2["last_doc"], m2["max_tf"]
+                bdo, bto = m2["doc_off"], m2["tf_off"]
+                bct = m2["count"]
+        return dbuf, tbuf, bld, bmt, bdo, bto, bct
+
+    def _record_from_chunks(self, term: str, ch: list) -> tuple:
+        """Merge a term's rb-ascending chunks into one record and memoize.
+
+        Block starts are absolute (varbyte.py), so merging chunks is byte
+        concat + block-offset shifts — no re-encode.  File-name order ==
+        physical part order == rb-ascending per term."""
+        if len(ch) == 1:
+            dbuf, tbuf, bld, bmt, bdo, bto, bct = ch[0]
+        else:
+            dbuf = b"".join(c[0] for c in ch)
+            tbuf = b"".join(c[1] for c in ch)
+            bld, bmt, bct = [], [], []
+            bdo, bto = [0], [0]
+            d_base = t_base = 0
+            for c in ch:
+                bld.extend(c[2])
+                bmt.extend(c[3])
+                bct.extend(c[6])
+                bdo.extend(x + d_base for x in c[4][1:])
+                bto.extend(x + t_base for x in c[5][1:])
+                d_base += len(c[0])
+                t_base += len(c[1])
+        meta = {"last_doc": bld, "max_tf": bmt,
+                "doc_off": bdo, "tf_off": bto, "count": bct}
+        # idf is recomputed from df + the LIVE corpus size: after an
+        # incremental extend, stored idf values in untouched parts
+        # reflect the N at their write time (stats.json is
+        # authoritative; same float expression as build, so a clean
+        # build's stored idf matches bit-for-bit)
+        df_t = self._df_glob[term]
+        rec = (df_t, self._cf_glob[term],
+               idf_fn(self.doc_total, df_t), dbuf, tbuf, meta)
+        self._records[term] = rec
+        return rec
+
+    def _chunks_from_rows(self, t: "pa.Table", out: dict) -> None:
+        """Accumulate term -> chunk list from segment rows (range-sliced)."""
+        terms = t.column("term").to_pylist()
+        dbufs = t.column("doc_ids_enc").to_pylist()
+        tbufs = t.column("tfs_enc").to_pylist()
+        blds = t.column("block_last_doc").to_pylist()
+        bmts = t.column("block_max_tf").to_pylist()
+        bdos = t.column("block_doc_off").to_pylist()
+        btos = t.column("block_tf_off").to_pylist()
+        bcts = t.column("block_count").to_pylist()
+        for i, term in enumerate(terms):
+            chunk = (dbufs[i], tbufs[i], blds[i], bmts[i], bdos[i],
+                     btos[i], bcts[i])
+            if self._range is not None:
+                chunk = self._slice_chunk(*chunk)
+                if chunk is None:
+                    continue
+            out.setdefault(term, []).append(chunk)
+
+    def _materialize_from_table(self, t: "pa.Table") -> None:
+        """Eager bulk load of one full segment table (chunks of a term from
+        LATER files merge in when their file is reached — locator order)."""
+        acc: dict[str, list] = {}
+        self._chunks_from_rows(t, acc)
+        for term, ch in acc.items():
+            prev = self._records.get(term)
+            if prev is not None:
+                # merge with already-materialized earlier chunks
+                pm = prev[5]
+                ch = [(prev[3], prev[4], pm["last_doc"], pm["max_tf"],
+                       pm["doc_off"], pm["tf_off"], pm["count"])] + ch
+            self._record_from_chunks(term, ch)
+
+    def _materialize(self, term: str) -> tuple:
+        """Lazy per-term load: term-filtered, row-group-pruned reads of
+        exactly the files whose locators name this term."""
+        acc: dict[str, list] = {}
+        for fidx, _row in self._locators[term]:
+            t = pq.read_table(self._seg_files[fidx],
+                              filters=[("term", "==", term)])
+            self._chunks_from_rows(t, acc)
+        ch = acc.get(term)
+        if ch is None:
+            # every chunk fell outside this shard's doc range: an empty
+            # record keeps df/cf/idf global while postings stay vacant
+            rec = (self._df_glob[term], self._cf_glob[term],
+                   idf_fn(self.doc_total, self._df_glob[term]), b"", b"",
+                   {"last_doc": [], "max_tf": [], "doc_off": [0],
+                    "tf_off": [0], "count": []})
+            self._records[term] = rec
+            return rec
+        return self._record_from_chunks(term, ch)
 
     def loaded_postings_bytes(self) -> int:
-        """Resident posting-list bytes (encoded doc+tf buffers) — the range
-        test asserts a shard's slice is a fraction of the full load."""
-        return sum(len(rec[3]) + len(rec[4]) for rec in self._dict.values())
+        """RESIDENT posting-list bytes (encoded doc+tf buffers of the
+        records materialized so far) — the range test asserts an eager
+        shard's slice is a fraction of the full load; on a lazy engine this
+        grows with the touched vocabulary."""
+        return sum(len(rec[3]) + len(rec[4])
+                   for rec in self._records.values())
 
     # -- stage 1 -----------------------------------------------------------
 
@@ -335,10 +480,12 @@ class QueryEngine:
         return out
 
     def term_stats(self, term: str) -> tuple[int, int, float] | None:
-        rec = self._dict.get(term)
-        if rec is None:
+        # answered from the eager vocabulary pass — no posting-buffer
+        # materialization (vocab-wide stats sweeps stay IO-free)
+        df = self._df_glob.get(term)
+        if df is None:
             return None
-        return rec[0], rec[1], rec[2]
+        return df, self._cf_glob[term], idf_fn(self.doc_total, df)
 
     def score_terms(self, terms: list[str], *, candidate_limit: int | None = None,
                     doc_range: tuple[int, int] | None = None
@@ -460,7 +607,7 @@ class QueryEngine:
         if ctx is None:
             return None
         terms = sorted(set(ctx["query_terms"]))
-        sum_df = sum((self._dict[t][0] for t in terms if t in self._dict))
+        sum_df = sum(self._df_glob.get(t, 0) for t in terms)
         if (sum_df * 8 < self.doc_total and not len(self._tomb_lo)
                 and self._range is None):
             return (self._wand(terms, ctx["candidate_limit"]), ctx)
@@ -604,19 +751,14 @@ class QueryEngine:
     # -- stage 2 -----------------------------------------------------------
 
     def doc_meta(self, doc_id: int) -> dict:
-        d = self._docs
-        if d is None:
-            raise RuntimeError(
-                "doc_meta/search need document metadata but this engine "
-                "was constructed with load_docs=False (stage-1 scoring "
-                "only); rebuild it with load_docs=True")
+        d = self._docs if self._docs is not None else self._ensure_docs()
         i = doc_id - self._base
         return {
-            "conv_id": d["conv_id"][i],
+            "conv_id": d["conv_id"][i].as_py(),
             "turn_idx": int(d["turn_idx"][i]),
-            "role": d["role"][i],
-            "text": d["text"][i],
-            "tool": d["tool"][i],
+            "role": d["role"][i].as_py(),
+            "text": d["text"][i].as_py(),
+            "tool": d["tool"][i].as_py(),
         }
 
     def facet_counts_terms(self, sorted_terms: list[str],
@@ -627,17 +769,22 @@ class QueryEngine:
         candidate page — Elasticsearch-aggregation semantics): ``({field:
         {value: n_docs}}, match_count)``.  Vectorized: one np.unique over
         the metadata column per field, no per-doc Python loop."""
-        d = self._docs
-        if d is None:
+        if not self._docs_enabled:
             raise RuntimeError("facet_counts needs document metadata; this "
                                "engine was built with load_docs=False")
+        d = self._docs if self._docs is not None else self._ensure_docs()
         rows = self.score_terms(list(sorted_terms))
         ids = np.fromiter((r[0] for r in rows), dtype=np.int64,
                           count=len(rows)) - self._base
         out: dict = {}
         for f in fields:
             if len(ids):
-                col = d[f][ids]
+                col_a = d[f]
+                if isinstance(col_a, pa.Array):
+                    col = col_a.take(pa.array(ids)).to_numpy(
+                        zero_copy_only=False)
+                else:
+                    col = col_a[ids]
                 if col.dtype == object:
                     # coalesce None -> "" (doc_meta's `or ""` convention);
                     # np.unique would raise sorting None against str, and

@@ -427,12 +427,15 @@ def test_range_sliced_shard_load(tmp_path):
                        block_size=16)
     build_index(ray.data.from_arrow(table).repartition(4), cfg,
                 source_desc="rng")
-    full = QueryEngine(cfg.index_dir)
+    # eager=True: the resident-bytes evidence needs every record
+    # materialized (the default engine is LAZY — cold start reads only the
+    # vocabulary columns and would report ~0 resident bytes here)
+    full = QueryEngine(cfg.index_dir, eager=True)
     n = full.doc_total
     total = full.loaded_postings_bytes()
     mid = n // 2
     for lo, hi in ((0, mid), (mid, n)):
-        shard = QueryEngine(cfg.index_dir, doc_range=(lo, hi))
+        shard = QueryEngine(cfg.index_dir, doc_range=(lo, hi), eager=True)
         assert shard.loaded_postings_bytes() < 0.6 * total, (lo, hi)
         for q in ("word0001 word0002", "the and of", "word0005"):
             terms = sorted(set(q.split()))
