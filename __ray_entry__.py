@@ -29,15 +29,77 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the driver's correctness gate covers roughly the FIRST
-    # 50 entries, so the window is spent on (a) entries that had no external
-    # CORRECTNESS row yet as of round 3, (b) entries whose implementation
-    # changed this round, and (c) the flagship search path.  Entries with a
-    # green round-3 driver row and no code change this round sit at the
-    # tail; they remain covered by scripts/check_driver.py full sweeps.
+    # 50 entries, so the window is spent on (a) entries whose implementation
+    # changed this round — the round-5 structural work (fused positional
+    # build, sharded-path oracle, LAZY QueryEngine load + 32-row segment row
+    # groups, snippet hash-join cutover, vectorized SimHash/anti-join, ANN
+    # pinning) touches every engine-backed search entry — and (b) the
+    # entries whose last external green is OLDEST (round 2).  Entries with a
+    # green round-3/4 driver row and no code change sit at the tail; they
+    # remain covered by scripts/check_driver.py full sweeps.
     return {
-        # -- never driver-verified before round 4 ----------------------------
-        "ann_pq_topk": Q.ann_pq_topk,
+        # -- round 5 NEW: one-scan fused build parity + sharded-path oracle --
+        "search_phrase_fused": Q.search_phrase_fused,
+        "search_sharded": Q.search_sharded,
+        # -- positional readers changed (tombstone filter; snippets now run
+        #    the distributed hash-join plan) ---------------------------------
+        "search_phrase": Q.search_phrase,
+        "term_positions": Q.term_positions,
+        "search_snippets": Q.search_snippets,
+        "search_proximity": Q.search_proximity,
+        # -- every engine-backed entry re-verified over the LAZY load + new
+        #    segment row-group layout ----------------------------------------
+        "search_stage1": Q.search_stage1,
+        "search_reference": Q.search_reference,
+        "search_bm25_plain": Q.search_bm25_plain,
+        "search_bm25_stemmed": Q.search_bm25_stemmed,
+        "search_bm25": Q.search_bm25,
+        "search_plain": Q.search_plain,
+        "search_stemmed": Q.search_stemmed,
+        "search_news": Q.search_news,
+        "search_facets": Q.search_facets,
+        "more_like_this": Q.more_like_this,
+        "hybrid_rrf": Q.hybrid_rrf,
+        "search_boolean": Q.search_boolean,
+        "prefix_search": Q.prefix_search,
+        "corpus_stats": Q.corpus_stats,
+        "term_stats": Q.term_stats,
+        # -- ANN entries re-pinned to explicit layout constants (the library
+        #    defaults are now auto-√N) + SemDeDup unchanged-pin check --------
+        "ann_ivf_topk": Q.ann_ivf_topk,
+        "ann_lsh_topk": Q.ann_lsh_topk,
         "semdedup_flags": Q.semdedup_flags,
+        # -- vectorization changes this round --------------------------------
+        "simhash_fingerprints": Q.simhash_fingerprints,
+        "simhash_near_pairs": Q.simhash_near_pairs,
+        "customers_without_orders": Q.customers_without_orders,
+        "transcript_tool_stats": Q.transcript_tool_stats,
+        # -- oldest external green (round 2) — refresh the rows --------------
+        "spellcheck_suggestions": Q.spellcheck_suggestions,
+        "ann_topk": Q.ann_topk,
+        "embedding_near_dups": Q.embedding_near_dups,
+        "embedding_near_dups_aug": Q.embedding_near_dups_aug,
+        "lineitem_agg": Q.lineitem_agg,
+        "topk_orders": Q.topk_orders,
+        "validate_turns": Q.validate_turns,
+        "media_features": Q.media_features,
+        "word_counts": Q.word_counts,
+        "doc_frequencies": Q.doc_frequencies,
+        "spellcheck_dictionary": Q.spellcheck_dictionary,
+        "text_stats": Q.text_stats,
+        "lang_id": Q.lang_id,
+        "freshness": Q.freshness,
+        "graph_inlinks": Q.graph_inlinks,
+        "graph_pagerank": Q.graph_pagerank,
+        "events_window": Q.events_window,
+        "sessionize": Q.sessionize,
+        "join_orders_customers": Q.join_orders_customers,
+        "dedup_exact_groups": Q.dedup_exact_groups,
+        "dedup_exact_survivors": Q.dedup_exact_survivors,
+        "minhash_near_dups": Q.minhash_near_dups,
+        # ---- driver window boundary (exactly 50 above) ----------------------
+        # -- green r4 driver rows, unchanged since ----------------------------
+        "ann_pq_topk": Q.ann_pq_topk,
         "decontaminate": Q.decontaminate,
         "bloom_decontaminate": Q.bloom_decontaminate,
         "dsir_logweights": Q.dsir_logweights,
@@ -45,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": Q.span_dedup,
         "gopher_quality": Q.gopher_quality,
         "gopher_repetition": Q.gopher_repetition,
-        "transcript_tool_stats": Q.transcript_tool_stats,
         "embed_documents": Q.embed_documents,
         "pii_redact": Q.pii_redact,
         "lm_perplexity": Q.lm_perplexity,
@@ -53,95 +114,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": Q.curate_corpus,
         "bpe_merges": Q.bpe_merges,
         "bpe_token_counts": Q.bpe_token_counts,
-        # -- new this round: K4/K6 scheduling caps ---------------------------
         "schedule_fetch_batch": Q.schedule_fetch_batch,
-        # -- new this round: rolling ROWS-window aggregates --------------------
         "events_rolling": Q.events_rolling,
-        # -- new this round: legacy SymSpell delete-variant path --------------
         "symspell_deletes": Q.symspell_deletes,
         "symspell_suggestions": Q.symspell_suggestions,
-        # -- new this round: M2/M3 normalizers, externally oracled ------------
         "url_normalize": Q.url_normalize,
-        # -- new this round: chunking / tf-idf / NFC / incremental dedup ------
         "chunk_documents": Q.chunk_documents,
         "tfidf_top_terms": Q.tfidf_top_terms,
         "nfc_normalize": Q.nfc_normalize,
         "incremental_dedup": Q.incremental_dedup,
         "domain_stats": Q.domain_stats,
-        # -- new this round: positional postings + phrase search --------------
-        "search_phrase": Q.search_phrase,
-        # -- round 5: one-scan fused build (BM25 segments + positional
-        #    artifact from the SAME tokenize pass); same oracle as
-        #    search_phrase -> externally pins fused == standalone
-        "search_phrase_fused": Q.search_phrase_fused,
-        # -- round 5: SHARDED serving path (doc-range shard actors + k-way
-        #    merge) against the search_reference SQL mirror
-        "search_sharded": Q.search_sharded,
-        "term_positions": Q.term_positions,
-        # -- new this round: CCNet-style NB quality classifier -----------------
         "quality_classifier": Q.quality_classifier,
-        # -- new this round: dictionary prefix (wildcard) expansion ------------
-        "prefix_search": Q.prefix_search,
-        # -- new this round: PMI collocation extraction ------------------------
         "pmi_collocations": Q.pmi_collocations,
-        # -- new this round: KWIC snippets off the positional index ------------
-        "search_snippets": Q.search_snippets,
-        # -- new this round: HITS hubs/authorities -----------------------------
         "graph_hits": Q.graph_hits,
-        # -- new this round: hybrid lexical+semantic RRF -----------------------
-        "hybrid_rrf": Q.hybrid_rrf,
-        # -- new this round: boolean AND/NOT retrieval -------------------------
-        "search_boolean": Q.search_boolean,
-        # -- round-4 session-3 additions (never driver-verified) -------------
-        "search_proximity": Q.search_proximity,
         "events_funnel": Q.events_funnel,
         "events_retention": Q.events_retention,
         "domain_quality_gate": Q.domain_quality_gate,
-        "search_facets": Q.search_facets,
-        "more_like_this": Q.more_like_this,
-        # -- green in round 2 only; refresh the external row -----------------
-        "embedding_near_dups_aug": Q.embedding_near_dups_aug,
-        # -- implementation touched in round 4 (re-verify) -------------------
-        "simhash_fingerprints": Q.simhash_fingerprints,
-        "simhash_near_pairs": Q.simhash_near_pairs,
         "line_dedup": Q.line_dedup,
-        # -- flagship index/search path (SURVEY.md §2.4 A1/A2, A6/K1/K2) -----
-        "search_stage1": Q.search_stage1,
-        "search_bm25_plain": Q.search_bm25_plain,
-        "search_bm25_stemmed": Q.search_bm25_stemmed,
-        "search_reference": Q.search_reference,
-        # ---- driver window boundary (exactly 50 above) ----------------------
-        # -- green r3 driver rows, unchanged since (demoted for the session-3
-        #    proximity/funnel/retention/quantile-gate/facet entries) ----------
-        "corpus_stats": Q.corpus_stats,
-        "term_stats": Q.term_stats,
-        "search_plain": Q.search_plain,
-        "search_stemmed": Q.search_stemmed,
+        # -- green r3 driver rows, unchanged since ----------------------------
         "c4_clean": Q.c4_clean,
         "c4_survivors": Q.c4_survivors,
-        # -- green r2/r3 driver rows, unchanged since (demoted for the new
-        #    positional-phrase entries) ----------------------------------------
-        "lineitem_agg": Q.lineitem_agg,
-        "topk_orders": Q.topk_orders,
-        "customers_without_orders": Q.customers_without_orders,
-        "validate_turns": Q.validate_turns,
-        "spellcheck_suggestions": Q.spellcheck_suggestions,
-        "ann_topk": Q.ann_topk,
-        "ann_lsh_topk": Q.ann_lsh_topk,
-        "ann_ivf_topk": Q.ann_ivf_topk,
-        "embedding_near_dups": Q.embedding_near_dups,
-        # -- green round-2 driver row, unchanged since (demoted for the new
-        #    events_rolling entry) --------------------------------------------
-        "media_features": Q.media_features,
-        # -- green round-3 driver rows, unchanged this round ------------------
-        "search_bm25": Q.search_bm25,
-        "search_news": Q.search_news,
-        "word_counts": Q.word_counts,
-        "doc_frequencies": Q.doc_frequencies,
-        "spellcheck_dictionary": Q.spellcheck_dictionary,
-        "minhash_near_dups": Q.minhash_near_dups,
-        "dedup_exact_groups": Q.dedup_exact_groups,
-        "dedup_exact_survivors": Q.dedup_exact_survivors,
         "ngram_jaccard_near_dups": Q.ngram_jaccard_near_dups,
         "minhash_clusters": Q.minhash_clusters,
         "near_dedup_survivors": Q.near_dedup_survivors,
@@ -162,15 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cms_registers": Q.events_cms_registers,
         "events_cms_heavy_hitters": Q.events_cms_heavy_hitters,
         "events_sample_weighted": Q.events_sample_weighted,
-        "text_stats": Q.text_stats,
-        "lang_id": Q.lang_id,
-        "freshness": Q.freshness,
         "rolling_fingerprints": Q.rolling_fingerprints,
-        "graph_inlinks": Q.graph_inlinks,
-        "graph_pagerank": Q.graph_pagerank,
-        "events_window": Q.events_window,
-        "sessionize": Q.sessionize,
-        "join_orders_customers": Q.join_orders_customers,
     }
 
 

@@ -1794,24 +1794,23 @@ def transcript_tool_stats(sf_dir: str) -> "ray.data.Dataset":
     turns = transcripts_from_documents(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
-        # vectorized per-batch combine (C-speed pandas groupby — this runs
-        # over every turn, so no per-row Python)
-        import pandas as pd
-        df = pd.DataFrame({
-            "role": b.column("role").to_pandas(),
-            "tool": b.column("tool").to_pandas(),
-            "conv_id": b.column("conv_id").to_pandas(),
+        # vectorized per-batch combine — pa.TableGroupBy stays Arrow-native
+        # (no pandas copy of the batch's string columns)
+        t = pa.table({
+            "role": b.column("role"),
+            "tool": b.column("tool"),
+            "conv_id": b.column("conv_id"),
             "chars": pc.utf8_length(
-                pc.fill_null(b.column("text"), "")).to_pandas(),
+                pc.fill_null(b.column("text"), "")).cast(pa.int64()),
         })
-        g = df.groupby(["role", "tool", "conv_id"], sort=False).agg(
-            turns=("chars", "size"), chars=("chars", "sum")).reset_index()
+        g = pa.TableGroupBy(t, ["role", "tool", "conv_id"]).aggregate(
+            [("chars", "count"), ("chars", "sum")])
         return pa.table({
-            "role": pa.array(g["role"], pa.string()),
-            "tool": pa.array(g["tool"], pa.string()),
-            "conv_id": pa.array(g["conv_id"], pa.string()),
-            "turns": pa.array(g["turns"].to_numpy(), pa.int64()),
-            "chars": pa.array(g["chars"].to_numpy(), pa.int64()),
+            "role": g.column("role"),
+            "tool": g.column("tool"),
+            "conv_id": g.column("conv_id"),
+            "turns": g.column("chars_count").cast(pa.int64()),
+            "chars": g.column("chars_sum").cast(pa.int64()),
         })
 
     per_conv = turns.select_columns(
