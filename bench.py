@@ -162,6 +162,14 @@ def run_once(num_cpus: int, sf_dir: str, mult: int = 1,
     qe = QueryEngine(index_dir)
     queries["engine_load"] = round(time.time() - t0, 3)
 
+    # the LAZY engine defers posting/doc materialization to first touch:
+    # one untimed pass records that warm-up separately so query_set stays
+    # comparable with the pre-lazy rounds (whose eager load pre-paid it)
+    t0 = time.time()
+    for q in QUERY_SET[:10]:
+        qe.search(q, limit=20)
+    queries["engine_warmup"] = round(time.time() - t0, 3)
+
     lat = []
     for q in QUERY_SET:
         t0 = time.time()

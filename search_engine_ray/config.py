@@ -110,5 +110,8 @@ class EngineConfig:
     # phrase/NEAR artifact) — one corpus scan for both artifacts instead of
     # the standalone builder's second scan (stages/positions.py).
     build_positions: bool = False
-    positions_docs_per_bucket: int = 65536
+    # None -> derived at build time: bucket count targets ~2x the worker
+    # pool so the compaction + query fan-out parallelize (clamped to
+    # [4096, 65536] docs per bucket)
+    positions_docs_per_bucket: int | None = None
     positions_row_group_size: int = 4096

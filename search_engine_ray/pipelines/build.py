@@ -85,9 +85,23 @@ def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
            f"R={cfg.range_splits}|block={cfg.block_size}")
     if cfg.build_positions:
         # a fused build is NOT resume-compatible with a plain one: a plain
-        # full-skip would leave the positional artifact unbuilt
-        key += f"|pos=dpb{cfg.positions_docs_per_bucket}"
+        # full-skip would leave the positional artifact unbuilt.  'auto'
+        # resolves deterministically from corpus size, so same corpus ->
+        # same layout -> resume-safe.
+        key += f"|pos=dpb{cfg.positions_docs_per_bucket or 'auto'}"
     return f"{hash64(key):016x}"
+
+
+def _resolve_pos_dpb(cfg: EngineConfig, n: int) -> int:
+    """Positional docs_per_bucket: explicit cfg value, or derived so the
+    bucket count is ~2x the worker pool (compaction tasks and query fan-out
+    parallelize across the cluster), clamped to [4096, 65536]."""
+    if cfg.positions_docs_per_bucket is not None:
+        return int(cfg.positions_docs_per_bucket)
+    import math
+    target_buckets = max(1, default_pool_max() * 2)
+    dpb = 2 ** math.ceil(math.log2(max(1.0, n / target_buckets)))
+    return int(min(65536, max(4096, dpb)))
 
 
 def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
@@ -188,7 +202,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             os.makedirs(os.path.join(index_dir, "positions"), exist_ok=True)
             compact_position_fragments(
                 os.path.join(index_dir, "positions"),
-                docs_per_bucket=cfg.positions_docs_per_bucket,
+                docs_per_bucket=_resolve_pos_dpb(cfg, 0),
                 input_fingerprint=fp)
         return {"index_dir": index_dir, "doc_total": 0, "stats": stats,
                 "manifest": manifest}
@@ -286,7 +300,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             build_positional_index(
                 ray.data.read_parquet(docs_dir, columns=["doc_id", "text"]),
                 os.path.join(index_dir, "positions"),
-                docs_per_bucket=cfg.positions_docs_per_bucket,
+                docs_per_bucket=_resolve_pos_dpb(cfg, n),
                 row_group_size=cfg.positions_row_group_size)
     else:
         # 2b) FUSED: the doc-store write runs on a side thread while the
@@ -320,9 +334,10 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             # positional fragments while feeding the segment shuffle
             from ..stages.positions import (compact_position_fragments,
                                             make_fused_pos_tokenize_fn)
+            pos_dpb = _resolve_pos_dpb(cfg, n)
             pre_map = make_fused_pos_tokenize_fn(
                 os.path.join(pos_dir, "fragments"),
-                docs_per_bucket=cfg.positions_docs_per_bucket,
+                docs_per_bucket=pos_dpb,
                 do_stem=cfg.do_stem, drop_stopwords=cfg.drop_stopwords)
         else:
             pre_map = make_tokenize_fn(do_stem=cfg.do_stem,
@@ -339,7 +354,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         _mark("segments_pipeline")
         if cfg.build_positions:
             compact_position_fragments(
-                pos_dir, docs_per_bucket=cfg.positions_docs_per_bucket,
+                pos_dir, docs_per_bucket=pos_dpb,
                 row_group_size=cfg.positions_row_group_size,
                 input_fingerprint=fp)
             _mark("positions_compact")

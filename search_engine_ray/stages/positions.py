@@ -239,7 +239,11 @@ def write_position_fragments(pos_tbl: pa.Table, frag_root: str) -> None:
                    f"{int(ids.sum())}")
         path = os.path.join(d, f"frag-{h:016x}.parquet")
         tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(part, tmp, compression="zstd")
+        # lz4, not zstd: fragments are TRANSIENT (read once by compaction,
+        # then deleted) and this write sits on the fused build's critical
+        # path inside the tokenize task — trade bytes for CPU; the final
+        # bucket files keep zstd
+        pq.write_table(part, tmp, compression="lz4")
         os.replace(tmp, path)
 
 

@@ -761,6 +761,29 @@ class QueryEngine:
             "tool": d["tool"][i].as_py(),
         }
 
+    def doc_meta_many(self, doc_ids) -> list[dict]:
+        """Batched candidate-metadata fetch: ONE Arrow take + to_pylist per
+        column for the whole candidate set (the stage-2 hot path), instead
+        of per-candidate scalar conversions.  Routes through per-row
+        ``doc_meta`` when that method is overridden on the instance or a
+        subclass (keeps the decode-error fallback contract testable)."""
+        if (self.__dict__.get("doc_meta") is not None
+                or type(self).doc_meta is not QueryEngine.doc_meta):
+            return [self.doc_meta(d) for d in doc_ids]
+        d = self._docs if self._docs is not None else self._ensure_docs()
+        idx = np.fromiter((int(i) - self._base for i in doc_ids),
+                          dtype=np.int64, count=len(doc_ids))
+        take = pa.array(idx)
+        cols = {n: d[n].take(take).to_pylist()
+                for n in ("conv_id", "role", "text", "tool")}
+        tis = d["turn_idx"][idx]
+        return [
+            {"conv_id": c, "turn_idx": int(ti), "role": r, "text": x,
+             "tool": t}
+            for c, r, x, t, ti in zip(cols["conv_id"], cols["role"],
+                                      cols["text"], cols["tool"], tis)
+        ]
+
     def facet_counts_terms(self, sorted_terms: list[str],
                            fields: tuple[str, ...] = ("role", "tool")
                            ) -> tuple[dict, int]:
@@ -838,8 +861,9 @@ class QueryEngine:
         cands, ctx = res
         ranked = []
         try:
-            for doc_id, token_score, matched_terms in cands:
-                meta = self.doc_meta(doc_id)
+            metas = self.doc_meta_many([c[0] for c in cands])
+            for (doc_id, token_score, matched_terms), meta in zip(cands,
+                                                                  metas):
                 url = f"{meta['conv_id']}#{meta['turn_idx']}"
                 score = intent_score(
                     token_score=token_score, matched_terms=matched_terms,

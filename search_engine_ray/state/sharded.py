@@ -37,9 +37,12 @@ class _ShardActor:
                  b: float = 0.75):
         # range-sliced load: only the blocks/doclens/doc-meta intersecting
         # [lo, hi) become resident (see QueryEngine doc_range) — per-shard
-        # memory scales with the range fraction, not the corpus
+        # memory scales with the range fraction, not the corpus.
+        # eager=True: serving actors are LONG-LIVED; paying the slice load
+        # in __init__ keeps first-query latency warm (the lazy default is
+        # for cold tooling/driver paths where start-up dominates)
         self._eng = QueryEngine(index_dir, scoring=scoring, k1=k1, b=b,
-                                doc_range=(lo, hi))
+                                doc_range=(lo, hi), eager=True)
         self._lo, self._hi = lo, hi
 
     def loaded_postings_bytes(self) -> int:
@@ -72,8 +75,8 @@ class _ShardActor:
         rows = self._eng.score_terms(sorted_terms, candidate_limit=cl)
         out = []
         try:
-            for doc_id, score, matched in rows:
-                meta = self._eng.doc_meta(doc_id)
+            metas = self._eng.doc_meta_many([r[0] for r in rows])
+            for (doc_id, score, matched), meta in zip(rows, metas):
                 row = [doc_id, score, matched, meta["conv_id"],
                        meta["turn_idx"], meta["role"], meta["tool"],
                        meta["text"]]
