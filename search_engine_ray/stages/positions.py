@@ -234,9 +234,14 @@ def write_position_fragments(pos_tbl: pa.Table, frag_root: str) -> None:
         bucket = int(sb[a])
         d = os.path.join(frag_root, f"bucket={bucket:06d}")
         os.makedirs(d, exist_ok=True)
+        # content-derived name: hash the full (doc_id, npos) buffers so a
+        # retried identical batch lands on the SAME file (atomic replace,
+        # idempotent) and distinct batches cannot collide via summary stats
         ids = part.column("doc_id").to_numpy(zero_copy_only=False)
-        h = hash64(f"{bucket}|{ids[0]}|{ids[-1]}|{part.num_rows}|"
-                   f"{int(ids.sum())}")
+        nps = part.column("npos").to_numpy(zero_copy_only=False)
+        h = hash64(f"{bucket}|".encode()
+                   + np.ascontiguousarray(ids).tobytes()
+                   + np.ascontiguousarray(nps).tobytes())
         path = os.path.join(d, f"frag-{h:016x}.parquet")
         tmp = path + f".tmp{os.getpid()}"
         # lz4, not zstd: fragments are TRANSIENT (read once by compaction,
