@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_positions": Q.term_positions,
         "search_snippets": Q.search_snippets,
         "search_proximity": Q.search_proximity,
+        # -- round 5 NEW: ordered "A BEFORE B within n" (directed NEAR) ------
+        "search_before": Q.search_before,
         # -- every engine-backed entry re-verified over the LAZY load + new
         #    segment row-group layout ----------------------------------------
         "search_stage1": Q.search_stage1,
@@ -96,8 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": Q.join_orders_customers,
         "dedup_exact_groups": Q.dedup_exact_groups,
         "dedup_exact_survivors": Q.dedup_exact_survivors,
-        "minhash_near_dups": Q.minhash_near_dups,
         # ---- driver window boundary (exactly 50 above) ----------------------
+        "minhash_near_dups": Q.minhash_near_dups,
         # -- green r4 driver rows, unchanged since ----------------------------
         "ann_pq_topk": Q.ann_pq_topk,
         "decontaminate": Q.decontaminate,
@@ -2954,6 +2956,24 @@ def oracle_sql() -> dict[str, str]:
     JOIN pairs p ON a.term = p.term_a AND b.term = p.term_b
     GROUP BY 1, 2, 3
     HAVING min(abs(a.pos - b.pos)) <= {Q.PROX_MAX_DIST}
+    ORDER BY 1, 2, 3
+    """
+
+    # DIRECTED variant: b strictly AFTER a (ordered span semantics)
+    sql["search_before"] = f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(text),
+                   '\\b[a-zA-Z0-9]{{2,}}\\b') AS toks FROM documents)
+    ),
+    pairs(term_a, term_b) AS (VALUES {_prox_vals})
+    SELECT p.term_a, p.term_b, a.doc_id,
+           min(b.pos - a.pos) AS min_dist
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos > a.pos
+    JOIN pairs p ON a.term = p.term_a AND b.term = p.term_b
+    GROUP BY 1, 2, 3
+    HAVING min(b.pos - a.pos) <= {Q.PROX_MAX_DIST}
     ORDER BY 1, 2, 3
     """
 

@@ -565,6 +565,14 @@ def compact_index(cfg: EngineConfig, *, source_desc: str = "compact") -> dict:
     from ..state.tombstones import load_tombstones, mask_tombstoned
 
     index_dir = cfg.index_dir
+    # artifact-preserving compaction: an index whose live layout includes
+    # the positional artifact keeps it through the rebuild even when the
+    # caller's cfg doesn't say so (the artifact's EXISTENCE is the index's
+    # property; dropping it would silently break phrase/NEAR serving after
+    # the standard maintenance cycle)
+    if not cfg.build_positions and os.path.exists(
+            os.path.join(index_dir, "positions", "manifest.json")):
+        cfg = dc_replace(cfg, build_positions=True)
     lo, hi = load_tombstones(index_dir)
     docs = ray.data.read_parquet(os.path.join(index_dir, "docs"))
     if len(lo):

@@ -2068,6 +2068,15 @@ def search_proximity(sf_dir: str) -> "ray.data.Dataset":
     return pair_proximity(idx, PROX_PAIRS, max_dist=PROX_MAX_DIST)
 
 
+def search_before(sf_dir: str) -> "ray.data.Dataset":
+    """DIRECTED proximity retrieval ("A BEFORE B within 4"): min strictly-
+    following distance per doc over the same pair set — the ordered
+    variant of NEAR (Lucene SpanNearQuery inOrder=true semantics)."""
+    from ..stages.positions import pair_before
+    idx = get_positional_index(sf_dir)
+    return pair_before(idx, PROX_PAIRS, max_dist=PROX_MAX_DIST)
+
+
 MLT_SEEDS = [3, 40, 77]
 MLT_TERMS = 5
 MLT_K = 15

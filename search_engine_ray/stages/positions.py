@@ -873,6 +873,58 @@ def proximity_pair_core(by_term: dict, ta: str, tb: str, max_dist: int
     return [(int(d), int(m)) for d, m in zip(cand[keep], mind[keep])]
 
 
+def before_pair_core(by_term: dict, ta: str, tb: str, max_dist: int
+                     ) -> list[tuple[int, int]]:
+    """DIRECTED proximity ("ta BEFORE tb within n"): min (pos_b - pos_a)
+    over occurrence pairs with pos_b STRICTLY after pos_a, per doc.  Same
+    vectorized shape as :func:`proximity_pair_core` but only the
+    right-neighbor branch: each a-occurrence's nearest FOLLOWING
+    b-occurrence is its ``searchsorted(..., side='right')`` successor in
+    the doc-prefixed sorted b key array.  Returns [(doc_id, min_dist)]
+    with 1 <= min_dist <= max_dist."""
+    if ta not in by_term or tb not in by_term:
+        return []
+    docs_a, bufs_a, npos_a = by_term[ta]
+    docs_b, bufs_b, npos_b = by_term[tb]
+    cand = docs_a[np.isin(docs_a, docs_b)]
+    if len(cand) == 0:
+        return []
+    big = np.int64(1) << np.int64(62)
+    base = int(cand[0])
+    ia = np.searchsorted(docs_a, cand)
+    ib = np.searchsorted(docs_b, cand)
+    ca = np.asarray(npos_a, dtype=np.int64)[ia]
+    cb = np.asarray(npos_b, dtype=np.int64)[ib]
+    pos_a = decode_positions_many([bufs_a[j] for j in ia], ca)
+    pos_b = decode_positions_many([bufs_b[j] for j in ib], cb)
+    top = int(max(pos_a.max() if len(pos_a) else 0,
+                  pos_b.max() if len(pos_b) else 0)) + 2
+    scale = np.int64(1 << top.bit_length())
+    span = int(cand[-1]) - base + 1
+    if span * int(scale) >= (1 << 62):
+        out = []
+        for j, d in enumerate(cand):
+            pa_p = decode_positions(bufs_a[int(ia[j])]).astype(np.int64)
+            pb_p = decode_positions(bufs_b[int(ib[j])]).astype(np.int64)
+            i2 = np.searchsorted(pb_p, pa_p, side="right")
+            r2 = np.where(i2 < len(pb_p),
+                          pb_p[np.minimum(i2, len(pb_p) - 1)] - pa_p, big)
+            m2 = int(r2.min())
+            if m2 <= max_dist:
+                out.append((int(d), m2))
+        return out
+    ka = np.repeat(cand - base, ca) * scale + pos_a
+    kb = np.repeat(cand - base, cb) * scale + pos_b
+    i = np.searchsorted(kb, ka, side="right")
+    ri = np.minimum(i, len(kb) - 1)
+    right = np.where((i < len(kb)) & (kb[ri] // scale == ka // scale),
+                     kb[ri] - ka, big)
+    starts = np.concatenate(([0], np.cumsum(ca)[:-1])).astype(np.int64)
+    mind = np.minimum.reduceat(right, starts)
+    keep = mind <= max_dist
+    return [(int(d), int(m)) for d, m in zip(cand[keep], mind[keep])]
+
+
 def _proximity_group(group: pa.Table, *, pairs: list[tuple[str, str]],
                      max_dist: int) -> pa.Table:
     """Per-bucket proximity evaluation — packages
@@ -902,6 +954,54 @@ def _proximity_group(group: pa.Table, *, pairs: list[tuple[str, str]],
             "min_dist": pa.array([], pa.int64()),
         })
     return pa.concat_tables(tabs)
+
+
+def _before_group(group: pa.Table, *, pairs: list[tuple[str, str]],
+                  max_dist: int) -> pa.Table:
+    """Per-bucket DIRECTED proximity evaluation (A BEFORE B within n)."""
+    group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    by_term = postings_map_from_sorted(
+        group.column("term").to_pylist(),
+        group.column("doc_id").to_numpy(zero_copy_only=False),
+        group.column("pos_buf").to_pylist(),
+        group.column("npos").to_numpy(zero_copy_only=False))
+    tabs = []
+    for ta, tb in pairs:
+        hits = before_pair_core(by_term, ta, tb, max_dist)
+        if hits:
+            tabs.append(pa.table({
+                "term_a": pa.array([ta] * len(hits), pa.string()),
+                "term_b": pa.array([tb] * len(hits), pa.string()),
+                "doc_id": pa.array([h[0] for h in hits], pa.int64()),
+                "min_dist": pa.array([h[1] for h in hits], pa.int64()),
+            }))
+    if not tabs:
+        return pa.table({
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "min_dist": pa.array([], pa.int64()),
+        })
+    return pa.concat_tables(tabs)
+
+
+def pair_before(index_dir: str, pairs: list[tuple[str, str]], *,
+                max_dist: int = 4) -> "ray.data.Dataset":
+    """Ordered "A BEFORE B within n" retrieval over the positional index:
+    (term_a, term_b, doc_id, min_dist) for docs where some occurrence of
+    ``term_b`` follows an occurrence of ``term_a`` within ``max_dist``
+    surface positions (min over qualifying ordered pairs, >= 1).  Same
+    zero-shuffle per-bucket-file plan as :func:`pair_proximity`; the
+    directed kernel keeps only the right-neighbor branch."""
+    union_toks = sorted({t for p in pairs for t in p})
+    empty = pa.schema([("term_a", pa.string()), ("term_b", pa.string()),
+                      ("doc_id", pa.int64()), ("min_dist", pa.int64())])
+    if not union_toks:
+        return ray.data.from_arrow(empty.empty_table())
+    import functools
+    fn = functools.partial(_before_group, pairs=list(pairs),
+                           max_dist=max_dist)
+    return _map_bucket_files(index_dir, union_toks, fn, empty)
 
 
 def pair_proximity(index_dir: str, pairs: list[tuple[str, str]], *,

@@ -500,3 +500,96 @@ def test_term_snippets_join_path_equals_broadcast(pos_index):
         for r in term_snippets(idx, docs, terms, window=2,
                                max_broadcast_rows=0).take_all())
     assert broadcast and joined == broadcast
+
+
+def test_compact_index_preserves_positional_artifact(tmp_path):
+    """compact_index on a FUSED index keeps the positional artifact live
+    (even when the compaction caller's cfg doesn't set build_positions) and
+    folds tombstones: post-compact phrase hits equal a clean fused rebuild
+    of the live corpus."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import (build_index,
+                                                   compact_index,
+                                                   extend_index)
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    full = generate_transcripts(40, seed=29)
+    cfg = EngineConfig(index_dir=str(tmp_path / "cmp"), num_partitions=4,
+                       build_positions=True, positions_docs_per_bucket=64)
+    build_index(ray.data.from_arrow(full).repartition(3), cfg,
+                source_desc="cmp-pos")
+    reconv = full.filter(pc.equal(full.column("conv_id"), "conv-000003"))
+    recrawl = reconv.set_column(
+        reconv.schema.get_field_index("text"), "text",
+        pa.array(["zzfresh phrase body here"] * reconv.num_rows,
+                 pa.string()))
+    extend_index(ray.data.from_arrow(recrawl), cfg,
+                 source_desc="cmp-pos-re", allow_out_of_order=True)
+
+    # compact with a cfg that does NOT claim build_positions — the artifact
+    # on disk is the property that must survive
+    plain_cfg = EngineConfig(index_dir=cfg.index_dir, num_partitions=4,
+                             positions_docs_per_bucket=64)
+    compact_index(plain_cfg)
+    assert os.path.exists(os.path.join(cfg.index_dir, "positions",
+                                       "manifest.json"))
+
+    live = pa.concat_tables([
+        full.filter(pc.not_equal(full.column("conv_id"), "conv-000003")),
+        recrawl]).sort_by("conv_id")
+    cfg2 = EngineConfig(index_dir=str(tmp_path / "clean"), num_partitions=4,
+                        build_positions=True, positions_docs_per_bucket=64)
+    build_index(ray.data.from_arrow(live).repartition(3), cfg2,
+                source_desc="cmp-pos-clean")
+    phrases = ["word0001 word0002", "zzfresh phrase body", "the word0003"]
+
+    def urls(index_dir):
+        import pyarrow.parquet as pq
+        hits = phrase_match(os.path.join(index_dir, "positions"),
+                            phrases).take_all()
+        docs = pq.read_table(os.path.join(index_dir, "docs"),
+                             columns=["doc_id", "conv_id", "turn_idx"])
+        u = {d: f"{c}#{t}" for d, c, t in zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("conv_id").to_pylist(),
+            docs.column("turn_idx").to_pylist())}
+        return {(r["phrase"], u[r["doc_id"]], r["n_matches"]) for r in hits}
+
+    got, want = urls(cfg.index_dir), urls(cfg2.index_dir)
+    assert got == want
+    assert any(p == "zzfresh phrase body" for p, _, _ in got)
+
+
+def test_pair_before_equals_naive_directed_min_distance(pos_index):
+    """Directed BEFORE/n (b strictly after a): distributed result equals
+    the brute-force min over ordered occurrence pairs, incl. the same-term
+    pair (consecutive-occurrence gap) and pairs with no qualifying order."""
+    from search_engine_ray.stages.positions import pair_before
+
+    idx, _ = pos_index
+    pairs = [("sort", "merge"), ("merge", "sort"), ("the", "end"),
+             ("end", "the"), ("batch", "batch"), ("absent", "batch"),
+             ("small", "part")]
+    dist = 3
+    got = {}
+    for r in pair_before(idx, pairs, max_dist=dist).take_all():
+        got[(r["term_a"], r["term_b"], r["doc_id"])] = r["min_dist"]
+
+    want = {}
+    for doc_id, text in DOCS:
+        toks = tokenize_positions(text or "")
+        for ta, tb in pairs:
+            best = None
+            for i, t in enumerate(toks):
+                if t != ta:
+                    continue
+                for j in range(i + 1, len(toks)):
+                    if toks[j] == tb:
+                        d = j - i
+                        best = d if best is None else min(best, d)
+                        break
+            if best is not None and best <= dist:
+                want[(ta, tb, doc_id)] = best
+    assert got == want
