@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_proximity": Q.search_proximity,
         # -- round 5 NEW: ordered "A BEFORE B within n" (directed NEAR) ------
         "search_before": Q.search_before,
+        # -- round 5 NEW: MOSS winnowing fingerprints ------------------------
+        "winnow_fingerprints": Q.winnow_fingerprints,
         # -- every engine-backed entry re-verified over the LAZY load + new
         #    segment row-group layout ----------------------------------------
         "search_stage1": Q.search_stage1,
@@ -97,8 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": Q.sessionize,
         "join_orders_customers": Q.join_orders_customers,
         "dedup_exact_groups": Q.dedup_exact_groups,
-        "dedup_exact_survivors": Q.dedup_exact_survivors,
         # ---- driver window boundary (exactly 50 above) ----------------------
+        "dedup_exact_survivors": Q.dedup_exact_survivors,
         "minhash_near_dups": Q.minhash_near_dups,
         # -- green r4 driver rows, unchanged since ----------------------------
         "ann_pq_topk": Q.ann_pq_topk,
@@ -2957,6 +2959,41 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2, 3
     HAVING min(abs(a.pos - b.pos)) <= {Q.PROX_MAX_DIST}
     ORDER BY 1, 2, 3
+    """
+
+    # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): per-window
+    # min gram hash, RIGHTMOST on ties — encoded as one minimized key
+    # h*(n+1) + (n-pos) per gram so a single window-min selects both the
+    # hash and the rightmost tying position; signed-64 wrap matches the
+    # engine's int64 view.
+    sql["winnow_fingerprints"] = """
+    WITH lt AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos, md5_number_lower(substr(t, i, 8)) AS h,
+             greatest(length(t) - 8 + 1, 0) AS n
+      FROM lt, unnest(range(1, greatest(length(t) - 8 + 2, 1))) AS r(i)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, n,
+             CAST(h AS HUGEINT) * (n + 1) + (n - pos) AS key
+      FROM g
+    ),
+    wins AS (
+      SELECT doc_id, n,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      FROM keyed
+      QUALIFY pos <= n - 4 + 1
+    )
+    SELECT DISTINCT doc_id,
+           CAST(n - (mk % (n + 1)) AS BIGINT) AS pos,
+           CAST(CASE WHEN mk // (n + 1)
+                          >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN mk // (n + 1)
+                          - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE mk // (n + 1) END AS BIGINT) AS fp
+    FROM wins ORDER BY doc_id, pos
     """
 
     # DIRECTED variant: b strictly AFTER a (ordered span semantics)

@@ -937,6 +937,16 @@ def rolling_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return rf(_docs_with_ids(sf_dir))
 
 
+def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    guaranteed-coverage local-minimum sampling of char-8-gram hashes with
+    rightmost-tie selection over 4-gram windows — (doc_id, pos, fp)."""
+    from ..stages.dedup import winnow_fingerprints as wf
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return wf(docs, k=8, w=4)
+
+
 # -- positional index / phrase search ----------------------------------------
 
 # Fixed phrase set for the driver entry: 2-4 token phrases over the testdata

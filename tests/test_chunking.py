@@ -146,3 +146,52 @@ def test_domain_stats_cross_batch_merge():
     assert got["example.com"][2] == 0          # doc_id 0 uses template 0
     assert got["example.co.uk"][2] == 1
     assert all(v[1] > 0 for v in got.values())
+
+
+def test_winnow_fingerprints_guarantee_and_ties():
+    """Winnowing (MOSS): (a) engine batch output is selected-minimum
+    correct vs a brute-force reference incl. RIGHTMOST tie-break, (b) the
+    coverage guarantee holds — two docs sharing a substring of length
+    >= k + w - 1 share at least one (relative-position-aligned) selected
+    hash, (c) docs with < w grams emit nothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.functions.hashing import md5_hash64
+    from search_engine_ray.stages.dedup import _winnow_batch
+
+    K, W = 8, 4
+    shared = "zzcommon shared span of text zz"
+    texts = ["prefix one " + shared + " suffix alpha",
+             "totally different head " + shared + " tail omega",
+             "aaaaaaaaaaaaaaaa", "tiny", ""]
+    ids = list(range(len(texts)))
+    out = _winnow_batch(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}), k=K, w=W)
+    by_doc: dict = {}
+    for d, p, f in zip(out.column("doc_id").to_pylist(),
+                       out.column("pos").to_pylist(),
+                       out.column("fp").to_pylist()):
+        by_doc.setdefault(d, set()).add((p, f))
+
+    def ref(text):
+        lt = text.lower()
+        grams = [lt[i:i + K] for i in range(max(0, len(lt) - K + 1))]
+        hs = [md5_hash64(g) for g in grams]          # UNSIGNED comparison
+        sel = set()
+        for s in range(len(grams) - W + 1):
+            win = hs[s:s + W]
+            m = min(win)
+            j = max(i for i, v in enumerate(win) if v == m)
+            sel.add((s + j + 1, int(np.uint64(m).view(np.int64))))
+        return sel
+
+    for d, t in zip(ids, texts):
+        assert by_doc.get(d, set()) == ref(t), d
+    assert 2 not in by_doc or by_doc[2]          # tie-heavy doc still works
+    assert 3 not in by_doc and 4 not in by_doc   # < w grams -> nothing
+    # coverage guarantee: aligned shared fingerprint between docs 0 and 1
+    fps0 = {f for _, f in by_doc[0]}
+    fps1 = {f for _, f in by_doc[1]}
+    assert fps0 & fps1
