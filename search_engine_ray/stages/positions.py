@@ -103,7 +103,6 @@ def _tok_positions_task(batch: pa.Table, *, docs_per_bucket: int) -> pa.Table:
     # factorize token strings once per batch (Arrow dictionary encode)
     codes_arr = pa.array(all_tokens, pa.string()).dictionary_encode()
     codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = codes_arr.dictionary.to_pylist()
 
     # stable sort by (doc, term-code): ties keep token order -> positions
     # ascending within each (doc, term) run
@@ -124,20 +123,27 @@ def _tok_positions_task(batch: pa.Table, *, docs_per_bucket: int) -> pa.Table:
     buf, sizes = vb_encode_with_sizes(gaps)
     byte_ends = np.cumsum(sizes)
     byte_starts = byte_ends - sizes
-    mv = memoryview(buf)
 
     run_doc = doc_ids_in[s_doc[run_starts]]
     npos = (run_ends - run_starts).astype(np.int32)
-    bufs = [bytes(mv[byte_starts[a]:byte_ends[b - 1]])
-            for a, b in zip(run_starts, run_ends)]
-    terms = [vocab[c] for c in s_code[run_starts]]
+    # zero-copy per-run buffers: runs TILE the varbyte stream contiguously
+    # (run i ends where run i+1 starts), so the binary column is the whole
+    # encode buffer + an int32 offsets vector — no per-run bytes() copies
+    offs = np.empty(len(run_starts) + 1, dtype=np.int32)
+    offs[:-1] = byte_starts[run_starts]
+    offs[-1] = byte_ends[-1]
+    pos_buf_arr = pa.Array.from_buffers(
+        pa.binary(), len(run_starts),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)])
+    terms_arr = codes_arr.dictionary.take(
+        pa.array(s_code[run_starts], pa.int64())).cast(pa.string())
 
     return pa.table({
         "bucket": pa.array((run_doc // docs_per_bucket).astype(np.int32)),
-        "term": pa.array(terms, pa.string()),
+        "term": terms_arr,
         "doc_id": pa.array(run_doc, pa.int64()),
         "npos": pa.array(npos),
-        "pos_buf": pa.array(bufs, pa.binary()),
+        "pos_buf": pos_buf_arr,
     })
 
 
