@@ -93,14 +93,17 @@ def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
 
 
 def _resolve_pos_dpb(cfg: EngineConfig, n: int) -> int:
-    """Positional docs_per_bucket: explicit cfg value, or derived so the
-    bucket count is ~2x the worker pool (compaction tasks and query fan-out
-    parallelize across the cluster), clamped to [4096, 65536]."""
+    """Positional docs_per_bucket: explicit cfg value, or derived from
+    CORPUS SIZE ONLY (target ~128 buckets, clamped to [4096, 65536] docs
+    per bucket).  Deliberately independent of the cluster's CPU count: a
+    crashed build resumed on a different-sized cluster must re-derive the
+    SAME bucket layout, or attempt-1 and attempt-2 fragments of one doc
+    land in different buckets and compaction's per-bucket dedup cannot see
+    the duplicate."""
     if cfg.positions_docs_per_bucket is not None:
         return int(cfg.positions_docs_per_bucket)
     import math
-    target_buckets = max(1, default_pool_max() * 2)
-    dpb = 2 ** math.ceil(math.log2(max(1.0, n / target_buckets)))
+    dpb = 2 ** math.ceil(math.log2(max(1.0, n / 128)))
     return int(min(65536, max(4096, dpb)))
 
 
@@ -295,13 +298,29 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             # checkpoint mode tokenizes from the triples artifact, which
             # has no surface positions — the positional artifact needs its
             # own (doc-store) scan here; the FUSED default path below is
-            # the one-scan plan
+            # the one-scan plan.  Fingerprint-gated so a resume of an
+            # already-complete build doesn't pay a full positional rebuild.
             from ..stages.positions import build_positional_index
-            build_positional_index(
-                ray.data.read_parquet(docs_dir, columns=["doc_id", "text"]),
-                os.path.join(index_dir, "positions"),
-                docs_per_bucket=_resolve_pos_dpb(cfg, n),
-                row_group_size=cfg.positions_row_group_size)
+            ckpt_pos_dir = os.path.join(index_dir, "positions")
+            ckpt_pm = os.path.join(ckpt_pos_dir, "manifest.json")
+            ckpt_done = False
+            if resume and os.path.exists(ckpt_pm):
+                import json as _json
+                try:
+                    with open(ckpt_pm) as f:
+                        ckpt_done = _json.load(f).get(
+                            "input_fingerprint") == fp
+                except Exception:
+                    ckpt_done = False
+            if not ckpt_done:
+                shutil.rmtree(ckpt_pos_dir, ignore_errors=True)
+                build_positional_index(
+                    ray.data.read_parquet(docs_dir,
+                                          columns=["doc_id", "text"]),
+                    ckpt_pos_dir,
+                    docs_per_bucket=_resolve_pos_dpb(cfg, n),
+                    row_group_size=cfg.positions_row_group_size,
+                    input_fingerprint=fp)
     else:
         # 2b) FUSED: the doc-store write runs on a side thread while the
         # main thread streams tokenize -> combiner -> one shuffle -> writer
@@ -335,6 +354,28 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             from ..stages.positions import (compact_position_fragments,
                                             make_fused_pos_tokenize_fn)
             pos_dpb = _resolve_pos_dpb(cfg, n)
+            # resume staleness guard: an existing positional artifact built
+            # from a DIFFERENT corpus/layout (fingerprint or bucket-size
+            # mismatch, or bucket files with no manifest at all) must be
+            # cleared BEFORE compaction, or its stale bucket rows merge
+            # into the new artifact and phrase search serves mixed-corpus
+            # hits (rows aren't exact (term, doc) duplicates, so the
+            # compaction dedup cannot drop them)
+            pos_valid = False
+            if resume and os.path.isdir(pos_dir):
+                import json as _json
+                pm = os.path.join(pos_dir, "manifest.json")
+                if os.path.exists(pm):
+                    try:
+                        with open(pm) as f:
+                            m = _json.load(f)
+                        pos_valid = (
+                            m.get("input_fingerprint") == fp
+                            and m.get("docs_per_bucket") == pos_dpb)
+                    except Exception:
+                        pos_valid = False
+                if not pos_valid:
+                    shutil.rmtree(pos_dir, ignore_errors=True)
             pre_map = make_fused_pos_tokenize_fn(
                 os.path.join(pos_dir, "fragments"),
                 docs_per_bucket=pos_dpb,
@@ -350,7 +391,11 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             with_doclens=True, range_splits=cfg.range_splits,
             pre_map=pre_map,
             pre_batch_size=cfg.fused_batch_size,
-            pre_concurrency=cfg.tokenize_concurrency)
+            pre_concurrency=cfg.tokenize_concurrency,
+            # a cleared/invalid positional artifact needs the pre_map to
+            # RUN so fragments regenerate — a segments full-skip would
+            # otherwise publish an empty positions manifest
+            allow_full_skip=pos_valid if cfg.build_positions else True)
         _mark("segments_pipeline")
         if cfg.build_positions:
             compact_position_fragments(

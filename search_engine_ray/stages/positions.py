@@ -128,13 +128,22 @@ def _tok_positions_task(batch: pa.Table, *, docs_per_bucket: int) -> pa.Table:
     npos = (run_ends - run_starts).astype(np.int32)
     # zero-copy per-run buffers: runs TILE the varbyte stream contiguously
     # (run i ends where run i+1 starts), so the binary column is the whole
-    # encode buffer + an int32 offsets vector — no per-run bytes() copies
-    offs = np.empty(len(run_starts) + 1, dtype=np.int32)
-    offs[:-1] = byte_starts[run_starts]
-    offs[-1] = byte_ends[-1]
-    pos_buf_arr = pa.Array.from_buffers(
-        pa.binary(), len(run_starts),
-        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)])
+    # encode buffer + an int32 offsets vector — no per-run bytes() copies.
+    # binary() offsets are int32; a >2 GiB per-batch stream (absurd batch
+    # size x doc length, but silent wrap would corrupt positions) falls
+    # back to per-run byte slices.
+    if int(byte_ends[-1]) <= np.iinfo(np.int32).max:
+        offs = np.empty(len(run_starts) + 1, dtype=np.int32)
+        offs[:-1] = byte_starts[run_starts]
+        offs[-1] = byte_ends[-1]
+        pos_buf_arr = pa.Array.from_buffers(
+            pa.binary(), len(run_starts),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)])
+    else:  # pragma: no cover - requires a >2 GiB single-batch stream
+        mv = memoryview(buf)
+        pos_buf_arr = pa.array(
+            [bytes(mv[byte_starts[a]:byte_ends[b - 1]])
+             for a, b in zip(run_starts, run_ends)], pa.binary())
     terms_arr = codes_arr.dictionary.take(
         pa.array(s_code[run_starts], pa.int64())).cast(pa.string())
 
@@ -176,7 +185,8 @@ def _write_bucket_group(group: pa.Table, *, index_dir: str,
 def build_positional_index(docs: "ray.data.Dataset", index_dir: str, *,
                            docs_per_bucket: int = 65536,
                            row_group_size: int = 4096,
-                           batch_size: int = 1024) -> dict:
+                           batch_size: int = 1024,
+                           input_fingerprint: str = "") -> dict:
     """docs (doc_id, text) -> positional index at ``index_dir``.
 
     Returns the manifest (also written to ``index_dir/manifest.json``).
@@ -199,6 +209,7 @@ def build_positional_index(docs: "ray.data.Dataset", index_dir: str, *,
         "buckets": sorted(int(r["bucket"]) for r in stats),
         "rows": int(sum(r["rows"] for r in stats)),
         "files": sorted(r["path"] for r in stats),
+        "input_fingerprint": input_fingerprint,
     }
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
@@ -294,7 +305,10 @@ def _compact_one_bucket(batch: pa.Table, *, pos_dir: str,
         t = pa.concat_tables(tabs).sort_by(
             [("term", "ascending"), ("doc_id", "ascending")])
         t = _dedup_sorted_term_doc(t.combine_chunks())
-        tmp = path + ".tmp"
+        # pid-suffixed tmp (same retry discipline as the fragment writer):
+        # a concurrently retried task must not truncate the file the
+        # original attempt is still writing
+        tmp = path + f".tmp{os.getpid()}"
         pq.write_table(t, tmp, row_group_size=row_group_size,
                        compression="zstd")
         os.replace(tmp, path)
@@ -324,24 +338,24 @@ def compact_position_fragments(pos_dir: str, *, docs_per_bucket: int,
     touched = sorted(
         int(d.split("=", 1)[1]) for d in os.listdir(frag_root)
         if d.startswith("bucket=")) if os.path.isdir(frag_root) else []
-    old: dict = {}
-    if os.path.exists(os.path.join(pos_dir, "manifest.json")):
-        m = load_manifest(pos_dir)
-        if m.get("docs_per_bucket") == docs_per_bucket:
-            old = {int(b): r for b, r in
-                   zip(m["buckets"], m.get("bucket_rows",
-                                           [0] * len(m["buckets"])))}
-    rows_by_bucket = dict(old)
     if touched:
         fn = functools.partial(_compact_one_bucket, pos_dir=pos_dir,
                                row_group_size=row_group_size)
-        stats = ray.data.from_items(
+        ray.data.from_items(
             [{"bucket": b} for b in touched],
             override_num_blocks=len(touched)).map_batches(
             fn, batch_format="pyarrow").take_all()
-        for r in stats:
-            rows_by_bucket[int(r["bucket"])] = int(r["rows"])
     shutil.rmtree(frag_root, ignore_errors=True)
+    # manifest derives from the bucket files ACTUALLY ON DISK (footer-read
+    # row counts), never from a prior manifest: a crash between per-bucket
+    # publication and the manifest write would otherwise permanently drop
+    # populated buckets from the artifact on the resumed run
+    rows_by_bucket: dict[int, int] = {}
+    for f in os.listdir(pos_dir):
+        if f.startswith("bucket-") and f.endswith(".parquet"):
+            b = int(f[len("bucket-"):-len(".parquet")])
+            rows_by_bucket[b] = pq.read_metadata(
+                os.path.join(pos_dir, f)).num_rows
     manifest = {
         "docs_per_bucket": docs_per_bucket,
         "buckets": sorted(rows_by_bucket),
@@ -771,8 +785,11 @@ def term_snippets(index_dir: str, docs: "ray.data.Dataset",
       on doc_id, and the window slicing runs inside the joined batches.
       Property-pinned equal to the broadcast path by
       ``test_term_snippets_join_path_equals_broadcast``."""
+    # materialize once: count() would otherwise execute the filtered scan
+    # and the consumer below (take_all or the join pipeline) would execute
+    # it AGAIN from scratch — 2x the query's positional IO
     rows_ds = read_term_rows(index_dir, terms).select_columns(
-        ["term", "doc_id", "npos", "pos_buf"])
+        ["term", "doc_id", "npos", "pos_buf"]).materialize()
     n_rows = rows_ds.count()
     import functools
     if n_rows > max_broadcast_rows:

@@ -634,7 +634,8 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
                    range_base_n: int | None = None,
                    new_doc_base: int | None = None,
                    pre_map=None, pre_batch_size: int | None = None,
-                   pre_concurrency=None) -> dict:
+                   pre_concurrency=None,
+                   allow_full_skip: bool = True) -> dict:
     """Posting triples -> segment files + committed manifest.
 
     ``with_doclens=True`` (fused build): the input still carries kind==1
@@ -670,9 +671,12 @@ def build_segments(combined: "ray.data.Dataset", *, index_dir: str,
 
     # full-skip: a previously COMPLETED identical build whose parts are all
     # still present needs no pass at all (fused mode would otherwise pay a
-    # full re-tokenize just to drop every run)
+    # full re-tokenize just to drop every run).  ``allow_full_skip=False``
+    # forces the pass even then — the fused-positions caller needs the
+    # pre_map to re-run when the positional artifact must be regenerated
+    # (segments complete but positions crashed pre-manifest).
     completed = manifest.get("completed_parts")
-    if (resume and completed is not None
+    if (allow_full_skip and resume and completed is not None
             and manifest.get("input_fingerprint") == input_fingerprint
             and all(p in done for p in completed)):
         return manifest

@@ -235,27 +235,42 @@ class QueryEngine:
         # into ~wall/16 (eager mode reads the FULL tables here once and
         # reuses them below — no second pass)
         from concurrent.futures import ThreadPoolExecutor
-        vocab_cols = None if eager else ["term", "df", "cf"]
-        tables: list = []
-        if self._seg_files:
-            with ThreadPoolExecutor(
-                    min(16, len(self._seg_files))) as ex:
-                tables = list(ex.map(
-                    lambda f: pq.read_table(f, columns=vocab_cols),
-                    self._seg_files))
-        for fidx, t in enumerate(tables):
-            terms = t.column("term").to_pylist()
-            dfs = t.column("df").to_pylist()
-            cfs = t.column("cf").to_pylist()
-            for i, term in enumerate(terms):
-                df_glob[term] = df_glob.get(term, 0) + dfs[i]
-                cf_glob[term] = cf_glob.get(term, 0) + cfs[i]
-                self._locators.setdefault(term, []).append((fidx, i))
-        self._df_glob, self._cf_glob = df_glob, cf_glob
+        # Pass 1 (always): vocabulary columns only — df/cf MUST be complete
+        # over every file before ANY record is built (a doc-range shard's
+        # record built mid-scan would miss df contributions from later
+        # files whose chunks are out of this shard's range, inflating idf
+        # — the sharded-vs-single score identity breaks).
+        CHUNK = 16
         self._dict = _LazyTermDict(self)
+        for c0 in range(0, len(self._seg_files), CHUNK):
+            chunk_files = self._seg_files[c0:c0 + CHUNK]
+            with ThreadPoolExecutor(min(16, len(chunk_files))) as ex:
+                tables = list(ex.map(
+                    lambda f: pq.read_table(
+                        f, columns=["term", "df", "cf"]),
+                    chunk_files))
+            for off, t in enumerate(tables):
+                fidx = c0 + off
+                terms = t.column("term").to_pylist()
+                dfs = t.column("df").to_pylist()
+                cfs = t.column("cf").to_pylist()
+                for i, term in enumerate(terms):
+                    df_glob[term] = df_glob.get(term, 0) + dfs[i]
+                    cf_glob[term] = cf_glob.get(term, 0) + cfs[i]
+                    self._locators.setdefault(term, []).append((fidx, i))
+        self._df_glob, self._cf_glob = df_glob, cf_glob
         if eager:
-            for t in tables:
-                self._materialize_from_table(t)
+            # Pass 2: full tables, chunked so at most CHUNK segment tables
+            # are transiently resident beside the records dict (unbounded
+            # list(ex.map(...)) would double the postings volume per
+            # engine, multiplied by co-located shard actors).  rb-ascending
+            # file order preserved, so multi-chunk terms merge correctly.
+            for c0 in range(0, len(self._seg_files), CHUNK):
+                chunk_files = self._seg_files[c0:c0 + CHUNK]
+                with ThreadPoolExecutor(min(16, len(chunk_files))) as ex:
+                    tables = list(ex.map(pq.read_table, chunk_files))
+                for t in tables:
+                    self._materialize_from_table(t)
 
         # tombstone mask (delete support over immutable artifacts;
         # state/tombstones.py) — empty arrays when no deletes exist

@@ -593,3 +593,72 @@ def test_pair_before_equals_naive_directed_min_distance(pos_index):
             if best is not None and best <= dist:
                 want[(ta, tb, doc_id)] = best
     assert got == want
+
+
+def test_fused_resume_with_changed_corpus_rebuilds_positions(tmp_path):
+    """resume=True over a CHANGED corpus must not merge the previous
+    corpus's positional buckets into the new artifact: phrases that exist
+    only in corpus A must return zero hits after the rebuild with corpus
+    B (review finding: stale bucket rows survived the (term, doc_id)
+    dedup and served mixed-corpus phrase hits)."""
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+
+    marker = "qqstalemarker unique phrase body"
+    a = pa.table({
+        "conv_id": pa.array([f"conv-{i:06d}" for i in range(8)]),
+        "turn_idx": pa.array([0] * 8, pa.int32()),
+        "role": pa.array(["user"] * 8),
+        "text": pa.array([marker + f" extra {i}" for i in range(8)]),
+        "tool": pa.array([""] * 8),
+        "ts": pa.array([0] * 8, pa.timestamp("us")),
+    })
+    b = a.set_column(a.schema.get_field_index("text"), "text",
+                     pa.array([f"fresh other words {i}" for i in range(8)]))
+    cfg = EngineConfig(index_dir=str(tmp_path / "sr"), num_partitions=4,
+                       build_positions=True, positions_docs_per_bucket=4)
+    build_index(ray.data.from_arrow(a), cfg, source_desc="corpus-a")
+    assert phrase_match(os.path.join(cfg.index_dir, "positions"),
+                        ["qqstalemarker unique"]).count() == 8
+    # resume=True, different source fingerprint -> full rebuild; the
+    # positional artifact must be regenerated, not merged
+    build_index(ray.data.from_arrow(b), cfg, source_desc="corpus-b",
+                resume=True)
+    assert phrase_match(os.path.join(cfg.index_dir, "positions"),
+                        ["qqstalemarker unique"]).count() == 0
+    assert phrase_match(os.path.join(cfg.index_dir, "positions"),
+                        ["fresh other words"]).count() == 8
+
+
+def test_fused_positions_crash_window_resume(tmp_path):
+    """Crash between bucket publication and the positions manifest write:
+    a resumed build must republish a COMPLETE artifact, not an empty
+    manifest over populated bucket files (review finding: the old manifest
+    rebuild trusted prior manifest rows + touched fragments only)."""
+    import json
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+
+    table = generate_transcripts(30, seed=41)
+    cfg = EngineConfig(index_dir=str(tmp_path / "cw"), num_partitions=4,
+                       build_positions=True, positions_docs_per_bucket=32)
+    build_index(ray.data.from_arrow(table).repartition(3), cfg,
+                source_desc="cw")
+    pos_dir = os.path.join(cfg.index_dir, "positions")
+    before = load_manifest(pos_dir)
+    assert before["rows"] > 0
+    hits_before = sorted(map(tuple, phrase_match(
+        pos_dir, ["word0001 word0002"]).to_pandas().values.tolist()))
+
+    # simulate the crash window: manifest gone, bucket files present
+    os.remove(os.path.join(pos_dir, "manifest.json"))
+    build_index(ray.data.from_arrow(table).repartition(3), cfg,
+                source_desc="cw", resume=True)
+    after = load_manifest(pos_dir)
+    assert after["rows"] == before["rows"]
+    assert after["files"] == before["files"]
+    hits_after = sorted(map(tuple, phrase_match(
+        pos_dir, ["word0001 word0002"]).to_pandas().values.tolist()))
+    assert hits_after == hits_before
