@@ -92,6 +92,26 @@ def _fingerprint(source_desc: str, cfg: EngineConfig) -> str:
     return f"{hash64(key):016x}"
 
 
+def _pos_manifest_valid(pos_dir: str, fp: str,
+                        dpb: int | None = None) -> bool:
+    """True iff ``pos_dir`` holds a positional manifest stamped with THIS
+    build's fingerprint (and bucket size, when given) — the single
+    validation rule shared by every resume path, so the checks can't
+    drift apart."""
+    import json
+    pm = os.path.join(pos_dir, "manifest.json")
+    if not os.path.exists(pm):
+        return False
+    try:
+        with open(pm) as f:
+            m = json.load(f)
+    except Exception:
+        return False
+    if m.get("input_fingerprint") != fp:
+        return False
+    return dpb is None or m.get("docs_per_bucket") == dpb
+
+
 def _resolve_pos_dpb(cfg: EngineConfig, n: int) -> int:
     """Positional docs_per_bucket: explicit cfg value, or derived from
     CORPUS SIZE ONLY (target ~128 buckets, clamped to [4096, 65536] docs
@@ -200,6 +220,12 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         write_stats(index_dir, stats)
         manifest["docs_fingerprint"] = fp
         save_manifest(index_dir, manifest)
+        # an empty corpus has no positional rows BY DEFINITION: clear any
+        # pre-existing artifact (a resume path could otherwise launder a
+        # previous corpus's bucket files into a manifest stamped with the
+        # new fingerprint) before publishing the empty-but-valid manifest
+        shutil.rmtree(os.path.join(index_dir, "positions"),
+                      ignore_errors=True)
         if cfg.build_positions:
             from ..stages.positions import compact_position_fragments
             os.makedirs(os.path.join(index_dir, "positions"), exist_ok=True)
@@ -220,6 +246,14 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
         return add_doc_ids_with_offsets(src, offsets_ref)
 
     needs_docs = not (resume and manifest.get("docs_fingerprint") == fp)
+
+    if resume and needs_docs and not cfg.build_positions:
+        # the corpus/source changed under a resume but THIS build doesn't
+        # maintain the positional artifact: clear it rather than leave
+        # rows keyed by the previous corpus's doc ids (the fused path has
+        # its own fingerprint-gated guard below)
+        shutil.rmtree(os.path.join(index_dir, "positions"),
+                      ignore_errors=True)
 
     def _doc_store_plan():
         # fan the read out so parquet ENCODE parallelizes across cores (a
@@ -302,16 +336,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             # already-complete build doesn't pay a full positional rebuild.
             from ..stages.positions import build_positional_index
             ckpt_pos_dir = os.path.join(index_dir, "positions")
-            ckpt_pm = os.path.join(ckpt_pos_dir, "manifest.json")
-            ckpt_done = False
-            if resume and os.path.exists(ckpt_pm):
-                import json as _json
-                try:
-                    with open(ckpt_pm) as f:
-                        ckpt_done = _json.load(f).get(
-                            "input_fingerprint") == fp
-                except Exception:
-                    ckpt_done = False
+            ckpt_done = resume and _pos_manifest_valid(ckpt_pos_dir, fp)
             if not ckpt_done:
                 shutil.rmtree(ckpt_pos_dir, ignore_errors=True)
                 build_positional_index(
@@ -363,17 +388,7 @@ def build_index(transcripts: "ray.data.Dataset", cfg: EngineConfig, *,
             # compaction dedup cannot drop them)
             pos_valid = False
             if resume and os.path.isdir(pos_dir):
-                import json as _json
-                pm = os.path.join(pos_dir, "manifest.json")
-                if os.path.exists(pm):
-                    try:
-                        with open(pm) as f:
-                            m = _json.load(f)
-                        pos_valid = (
-                            m.get("input_fingerprint") == fp
-                            and m.get("docs_per_bucket") == pos_dpb)
-                    except Exception:
-                        pos_valid = False
+                pos_valid = _pos_manifest_valid(pos_dir, fp, pos_dpb)
                 if not pos_valid:
                     shutil.rmtree(pos_dir, ignore_errors=True)
             pre_map = make_fused_pos_tokenize_fn(

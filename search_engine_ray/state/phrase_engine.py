@@ -21,7 +21,8 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from ..stages.positions import (load_manifest, match_one_phrase,
+from ..stages.positions import (_tombstone_filter, load_manifest,
+                                match_one_phrase,
                                 postings_map_from_sorted,
                                 proximity_pair_core, tokenize_positions)
 
@@ -30,6 +31,11 @@ class PhraseEngine:
     def __init__(self, index_dir: str, *, buckets: list[int] | None = None):
         manifest = load_manifest(index_dir)
         want = None if buckets is None else set(buckets)
+        # same tombstone mask as the distributed positional readers: a
+        # FUSED artifact inherits its parent index's recrawl tombstones, so
+        # serving phrase()/near() must drop the same doc ids phrase_match
+        # and the BM25 engine drop
+        tomb = _tombstone_filter(index_dir)
         terms: list[str] = []
         doc_parts: list[np.ndarray] = []
         npos_parts: list[np.ndarray] = []
@@ -41,6 +47,8 @@ class PhraseEngine:
                     continue
             t = pq.read_table(os.path.join(index_dir, path),
                               columns=["term", "doc_id", "npos", "pos_buf"])
+            if tomb is not None:
+                t = tomb(t)
             terms.extend(t.column("term").to_pylist())
             doc_parts.append(
                 t.column("doc_id").to_numpy(zero_copy_only=False))

@@ -235,6 +235,15 @@ class QueryEngine:
         # into ~wall/16 (eager mode reads the FULL tables here once and
         # reuses them below — no second pass)
         from concurrent.futures import ThreadPoolExecutor
+        # Legacy-layout guard: lazy per-term materialization relies on
+        # row-group pruning over term-sorted 32-row groups; a segment file
+        # written before that layout (one coarse row group) would make
+        # every term-filtered read decompress ~the whole file, repeatedly.
+        # Detect it once and load eagerly instead (the pre-lazy behavior).
+        if not eager and self._seg_files:
+            md = pq.read_metadata(self._seg_files[0])
+            if md.num_row_groups <= 1 and md.num_rows > 64:
+                eager = True
         # Pass 1 (always): vocabulary columns only — df/cf MUST be complete
         # over every file before ANY record is built (a doc-range shard's
         # record built mid-scan would miss df contributions from later

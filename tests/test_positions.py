@@ -662,3 +662,58 @@ def test_fused_positions_crash_window_resume(tmp_path):
     hits_after = sorted(map(tuple, phrase_match(
         pos_dir, ["word0001 word0002"]).to_pandas().values.tolist()))
     assert hits_after == hits_before
+
+
+def test_phrase_engine_respects_tombstones_and_plain_resume_clears(tmp_path):
+    """(a) The serving PhraseEngine applies the same tombstone mask as the
+    distributed positional readers — a recrawled conversation's OLD turns
+    must not appear in phrase()/near() results; (b) a resume=True rebuild
+    with build_positions=False over a CHANGED corpus clears the stale
+    positional artifact instead of leaving doc-id-stale rows."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index, extend_index
+    from search_engine_ray.sources.transcripts import generate_transcripts
+    from search_engine_ray.state.phrase_engine import PhraseEngine
+
+    full = generate_transcripts(30, seed=47)
+    cfg = EngineConfig(index_dir=str(tmp_path / "pt"), num_partitions=4,
+                       build_positions=True, positions_docs_per_bucket=32)
+    build_index(ray.data.from_arrow(full).repartition(3), cfg,
+                source_desc="pt")
+    pos_dir = os.path.join(cfg.index_dir, "positions")
+
+    # doc ids of conv-000002 BEFORE the recrawl (they will be tombstoned)
+    import pyarrow.parquet as pq
+    docs = pq.read_table(os.path.join(cfg.index_dir, "docs"),
+                         columns=["doc_id", "conv_id"])
+    old_ids = {d for d, c in zip(docs.column("doc_id").to_pylist(),
+                                 docs.column("conv_id").to_pylist())
+               if c == "conv-000002"}
+    assert old_ids
+
+    reconv = full.filter(pc.equal(full.column("conv_id"), "conv-000002"))
+    recrawl = reconv.set_column(
+        reconv.schema.get_field_index("text"), "text",
+        pa.array(["zzserving fresh body"] * reconv.num_rows, pa.string()))
+    extend_index(ray.data.from_arrow(recrawl), cfg,
+                 source_desc="pt-re", allow_out_of_order=True)
+
+    pe = PhraseEngine(pos_dir)
+    new_hits = pe.phrase("zzserving fresh body", limit=100)
+    assert new_hits and all(h["doc_id"] not in old_ids for h in new_hits)
+    # any phrase result anywhere must exclude the tombstoned old ids
+    for q in ("word0001 word0002", "the word0003"):
+        for h in pe.phrase(q, limit=1000):
+            assert h["doc_id"] not in old_ids, q
+    for h in pe.near("word0001", "word0002", max_dist=5, limit=1000):
+        assert h["doc_id"] not in old_ids
+
+    # (b) plain (build_positions=False) resume over a CHANGED corpus: the
+    # stale positional artifact must be cleared, not left behind
+    other = generate_transcripts(20, seed=48)
+    cfg_plain = EngineConfig(index_dir=cfg.index_dir, num_partitions=4)
+    build_index(ray.data.from_arrow(other).repartition(2), cfg_plain,
+                source_desc="pt-other", resume=True)
+    assert not os.path.exists(os.path.join(pos_dir, "manifest.json"))
