@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_before": Q.search_before,
         # -- round 5 NEW: MOSS winnowing fingerprints ------------------------
         "winnow_fingerprints": Q.winnow_fingerprints,
+        "winnow_containment": Q.winnow_containment,
         # -- every engine-backed entry re-verified over the LAZY load + new
         #    segment row-group layout ----------------------------------------
         "search_stage1": Q.search_stage1,
@@ -98,8 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": Q.events_window,
         "sessionize": Q.sessionize,
         "join_orders_customers": Q.join_orders_customers,
-        "dedup_exact_groups": Q.dedup_exact_groups,
         # ---- driver window boundary (exactly 50 above) ----------------------
+        "dedup_exact_groups": Q.dedup_exact_groups,
         "dedup_exact_survivors": Q.dedup_exact_survivors,
         "minhash_near_dups": Q.minhash_near_dups,
         # -- green r4 driver rows, unchanged since ----------------------------
@@ -2994,6 +2995,22 @@ def oracle_sql() -> dict[str, str]:
                           - CAST(18446744073709551616 AS HUGEINT)
                      ELSE mk // (n + 1) END AS BIGINT) AS fp
     FROM wins ORDER BY doc_id, pos
+    """
+
+    # MOSS containment: pairs sharing >= 3 fingerprints each held by <= 3
+    # docs (the rarity rule).  Reuses the winnowing SELECT as a subquery.
+    sql["winnow_containment"] = f"""
+    WITH wf AS ({sql["winnow_fingerprints"]}),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wf),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN rare r ON r.fp = a.fp
+    )
+    SELECT doc_a, doc_b, count(*) AS shared_fps
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY 1, 2
     """
 
     # DIRECTED variant: b strictly AFTER a (ordered span semantics)

@@ -947,6 +947,17 @@ def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return wf(docs, k=8, w=4)
 
 
+def winnow_containment(sf_dir: str) -> "ray.data.Dataset":
+    """MOSS containment candidates: doc pairs sharing >= 3 RARE winnowing
+    fingerprints (rarity rule: fp held by <= 3 docs — over-common
+    fingerprints are boilerplate AND the structural bound on per-fp pair
+    fan-out)."""
+    from ..stages.dedup import winnow_containment_pairs
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    return winnow_containment_pairs(docs, k=8, w=4, max_df=3, min_shared=3)
+
+
 # -- positional index / phrase search ----------------------------------------
 
 # Fixed phrase set for the driver entry: 2-4 token phrases over the testdata

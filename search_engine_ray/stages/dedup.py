@@ -835,3 +835,71 @@ def winnow_fingerprints(docs: "ray.data.Dataset", *, k: int = 8, w: int = 4
     import functools
     return docs.select_columns(["doc_id", "text"]).map_batches(
         functools.partial(_winnow_batch, k=k, w=w), batch_format="pyarrow")
+
+
+def _distinct_doc_fp(b: pa.Table) -> pa.Table:
+    """(doc_id, pos, fp) winnow rows -> DISTINCT (doc_id, fp).  A doc's
+    rows never span batches (one doc = one input row), so per-batch
+    dedup IS global dedup."""
+    d = b.column("doc_id").to_numpy(zero_copy_only=False)
+    f = b.column("fp").to_numpy(zero_copy_only=False)
+    u = np.unique(np.stack([d, f], axis=1), axis=0)
+    return pa.table({
+        "doc_id": pa.array(u[:, 0], pa.int64()),
+        "fp": pa.array(u[:, 1], pa.int64()),
+    })
+
+
+def _winnow_pair_group(group: pa.Table, *, max_df: int) -> pa.Table:
+    """One fp's docs -> ordered candidate pairs; groups wider than
+    ``max_df`` are DROPPED (the MOSS rarity rule: a fingerprint shared by
+    many documents is boilerplate, not evidence of copying — and the rule
+    doubles as the bucket-width bound that keeps the pair fan-out
+    O(max_df^2) per fingerprint at any corpus size)."""
+    n = group.num_rows
+    if n < 2 or n > max_df:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+    ia, ib = np.triu_indices(n, k=1)
+    return pa.table({
+        "doc_a": pa.array(ids[ia], pa.int64()),
+        "doc_b": pa.array(ids[ib], pa.int64()),
+    })
+
+
+def winnow_containment_pairs(docs: "ray.data.Dataset", *, k: int = 8,
+                             w: int = 4, max_df: int = 3,
+                             min_shared: int = 3) -> "ray.data.Dataset":
+    """Containment / partial-plagiarism candidate pairs via winnowing
+    (the MOSS pipeline): docs sharing >= ``min_shared`` RARE selected
+    fingerprints (each held by <= ``max_df`` docs) — shared substrings of
+    length >= k + w - 1 guarantee a shared fingerprint, rarity filters
+    boilerplate.  Output: (doc_a, doc_b, shared_fps), doc_a < doc_b.
+
+    Shape: fingerprint -> distinct (doc, fp) -> groupby(fp) pair emission
+    (bounded by the rarity rule) -> keyed pair count.  No all-pairs stage;
+    every exchange keys on fp or the pair."""
+    import functools
+
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    dfp = fps.map_batches(_distinct_doc_fp, batch_format="pyarrow")
+    pairs = dfp.groupby("fp").map_groups(
+        functools.partial(_winnow_pair_group, max_df=max_df),
+        batch_format="pyarrow")
+    agg = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_a" not in b.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "shared_fps": pa.array([], pa.int64())})
+        keep = pc.greater_equal(b.column("count()"), min_shared)
+        b = b.filter(keep)
+        return pa.table({
+            "doc_a": b.column("doc_a"),
+            "doc_b": b.column("doc_b"),
+            "shared_fps": b.column("count()").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -195,3 +195,56 @@ def test_winnow_fingerprints_guarantee_and_ties():
     fps0 = {f for _, f in by_doc[0]}
     fps1 = {f for _, f in by_doc[1]}
     assert fps0 & fps1
+
+
+def test_winnow_containment_pairs_vs_brute_force():
+    """MOSS containment pipeline == brute force over the same rarity rule:
+    pairs sharing >= min_shared fingerprints each held by <= max_df docs;
+    a planted shared span must surface, boilerplate shared by ALL docs
+    must not."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.stages.dedup import (_winnow_batch,
+                                                winnow_containment_pairs)
+
+    common = "boilerplate header shared by every single document here"
+    span = "zzneedle copied span of several words zz"
+    texts = [
+        common + " alpha unique body " + span,
+        common + " beta other words " + span + " tail",
+        common + " gamma totally different first body",
+        common + " delta entirely separate second payload",
+    ]
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    K, W, MAX_DF, MIN_SHARED = 8, 4, 2, 2
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["shared_fps"])
+        for r in winnow_containment_pairs(
+            ray.data.from_arrow(tbl).repartition(2), k=K, w=W,
+            max_df=MAX_DF, min_shared=MIN_SHARED).take_all())
+
+    wf = _winnow_batch(tbl, k=K, w=W)
+    by_doc: dict = {}
+    for d, f in zip(wf.column("doc_id").to_pylist(),
+                    wf.column("fp").to_pylist()):
+        by_doc.setdefault(d, set()).add(f)
+    df_count: dict = {}
+    for d, fps in by_doc.items():
+        for f in fps:
+            df_count[f] = df_count.get(f, 0) + 1
+    want = []
+    for a, b in itertools.combinations(ids, 2):
+        shared = [f for f in by_doc[a] & by_doc[b]
+                  if df_count[f] <= MAX_DF]
+        if len(shared) >= MIN_SHARED:
+            want.append((a, b, len(shared)))
+    assert got == sorted(want)
+    assert any(p[:2] == (0, 1) for p in got)          # planted span pair
+    # the all-docs boilerplate alone must NOT connect the unrelated docs
+    assert not any(p[:2] == (2, 3) for p in got)
