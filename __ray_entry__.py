@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round 5 NEW: MOSS winnowing fingerprints ------------------------
         "winnow_fingerprints": Q.winnow_fingerprints,
         "winnow_containment": Q.winnow_containment,
+        "grep_documents": Q.grep_documents,
         # -- every engine-backed entry re-verified over the LAZY load + new
         #    segment row-group layout ----------------------------------------
         "search_stage1": Q.search_stage1,
@@ -98,8 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": Q.graph_pagerank,
         "events_window": Q.events_window,
         "sessionize": Q.sessionize,
-        "join_orders_customers": Q.join_orders_customers,
         # ---- driver window boundary (exactly 50 above) ----------------------
+        "join_orders_customers": Q.join_orders_customers,
         "dedup_exact_groups": Q.dedup_exact_groups,
         "dedup_exact_survivors": Q.dedup_exact_survivors,
         "minhash_near_dups": Q.minhash_near_dups,
@@ -2995,6 +2996,21 @@ def oracle_sql() -> dict[str, str]:
                           - CAST(18446744073709551616 AS HUGEINT)
                      ELSE mk // (n + 1) END AS BIGINT) AS fp
     FROM wins ORDER BY doc_id, pos
+    """
+
+    # Distributed grep: RE2 on both sides (pyarrow count_substring_regex
+    # == DuckDB len(regexp_extract_all)) so counts agree exactly
+    # DuckDB single-quoted literals are RAW (no backslash escapes): only
+    # quotes need doubling, backslashes pass through to RE2 verbatim
+    _grep_vals = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in Q.GREP_PATTERNS)
+    sql["grep_documents"] = f"""
+    SELECT p.pattern, d.doc_id,
+           len(regexp_extract_all(coalesce(d.text, ''), p.pattern))
+             AS n_matches
+    FROM documents d, (VALUES {_grep_vals}) p(pattern)
+    WHERE len(regexp_extract_all(coalesce(d.text, ''), p.pattern)) > 0
+    ORDER BY 1, 2
     """
 
     # MOSS containment: pairs sharing >= 3 fingerprints each held by <= 3

@@ -947,6 +947,43 @@ def winnow_fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return wf(docs, k=8, w=4)
 
 
+GREP_PATTERNS = ["window [a-z]+", "vector|batch", "[0-9]+",
+                 "key (order|sort)", "(join|merge) [a-z]{4,}",
+                 "\\bscans?\\b"]
+
+
+def grep_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus regex scan (the 'distributed grep' primitive every
+    training-data pipeline needs for targeted filtering/auditing):
+    (pattern, doc_id, n_matches) for docs with >= 1 non-overlapping match.
+    Fully vectorized — one RE2 ``pc.count_substring_regex`` kernel per
+    pattern per batch, no per-row Python; DuckDB's regexp_extract_all is
+    RE2 too, so the mirror counts identically."""
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column("text"), "")
+        outs = []
+        for p in GREP_PATTERNS:
+            n = pc.count_substring_regex(text, p)
+            keep = pc.greater(n, 0)
+            sel = b.filter(keep)
+            if sel.num_rows:
+                outs.append(pa.table({
+                    "pattern": pa.array([p] * sel.num_rows, pa.string()),
+                    "doc_id": sel.column("doc_id"),
+                    "n_matches": pc.filter(n, keep).cast(pa.int64()),
+                }))
+        if not outs:
+            return pa.table({"pattern": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def winnow_containment(sf_dir: str) -> "ray.data.Dataset":
     """MOSS containment candidates: doc pairs sharing >= 3 RARE winnowing
     fingerprints (rarity rule: fp held by <= 3 docs — over-common
