@@ -3018,14 +3018,16 @@ def oracle_sql() -> dict[str, str]:
     sql["winnow_containment"] = f"""
     WITH wf AS ({sql["winnow_fingerprints"]}),
     fps AS (SELECT DISTINCT doc_id, fp FROM wf),
-    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 3),
+    rare AS (SELECT fp FROM fps GROUP BY fp
+             HAVING count(*) <= {Q.WINNOW_MAX_DF}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
       JOIN rare r ON r.fp = a.fp
     )
     SELECT doc_a, doc_b, count(*) AS shared_fps
-    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= {Q.WINNOW_MIN_SHARED}
     ORDER BY 1, 2
     """
 

@@ -964,15 +964,18 @@ def grep_documents(sf_dir: str) -> "ray.data.Dataset":
 
     def fn(b: pa.Table) -> pa.Table:
         text = pc.fill_null(b.column("text"), "")
+        doc_ids = b.column("doc_id")
         outs = []
         for p in GREP_PATTERNS:
             n = pc.count_substring_regex(text, p)
             keep = pc.greater(n, 0)
-            sel = b.filter(keep)
-            if sel.num_rows:
+            # filter only the columns we emit — filtering the whole batch
+            # would copy the matched rows' text strings 6x for nothing
+            ids = pc.filter(doc_ids, keep)
+            if len(ids):
                 outs.append(pa.table({
-                    "pattern": pa.array([p] * sel.num_rows, pa.string()),
-                    "doc_id": sel.column("doc_id"),
+                    "pattern": pa.array([p] * len(ids), pa.string()),
+                    "doc_id": ids,
                     "n_matches": pc.filter(n, keep).cast(pa.int64()),
                 }))
         if not outs:
@@ -984,15 +987,23 @@ def grep_documents(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+# single source of truth for the containment entry's knobs — the SQL
+# mirror interpolates these, so the two sides can't drift
+WINNOW_MAX_DF = 3
+WINNOW_MIN_SHARED = 3
+
+
 def winnow_containment(sf_dir: str) -> "ray.data.Dataset":
-    """MOSS containment candidates: doc pairs sharing >= 3 RARE winnowing
-    fingerprints (rarity rule: fp held by <= 3 docs — over-common
-    fingerprints are boilerplate AND the structural bound on per-fp pair
-    fan-out)."""
+    """MOSS containment candidates: doc pairs sharing >= WINNOW_MIN_SHARED
+    RARE winnowing fingerprints (rarity rule: fp held by <= WINNOW_MAX_DF
+    docs — over-common fingerprints are boilerplate AND the structural
+    bound on per-fp pair fan-out)."""
     from ..stages.dedup import winnow_containment_pairs
     docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                               columns=["doc_id", "text"])
-    return winnow_containment_pairs(docs, k=8, w=4, max_df=3, min_shared=3)
+    return winnow_containment_pairs(docs, k=8, w=4,
+                                    max_df=WINNOW_MAX_DF,
+                                    min_shared=WINNOW_MIN_SHARED)
 
 
 # -- positional index / phrase search ----------------------------------------

@@ -837,13 +837,20 @@ def winnow_fingerprints(docs: "ray.data.Dataset", *, k: int = 8, w: int = 4
         functools.partial(_winnow_batch, k=k, w=w), batch_format="pyarrow")
 
 
-def _distinct_doc_fp(b: pa.Table) -> pa.Table:
-    """(doc_id, pos, fp) winnow rows -> DISTINCT (doc_id, fp).  A doc's
-    rows never span batches (one doc = one input row), so per-batch
-    dedup IS global dedup."""
+def _winnow_distinct_batch(batch: pa.Table, *, k: int, w: int) -> pa.Table:
+    """(doc_id, text) batch -> DISTINCT (doc_id, fp) winnow fingerprints.
+
+    Fingerprinting and the per-doc dedup are COMPOSED into one batch fn so
+    the "one doc = one input row" invariant genuinely holds for the dedup
+    (a separate map_batches stage would see fingerprint ROWS, many per
+    doc, and any re-blocking between the stages could split a doc across
+    batches — emitting self-pairs and double-counted shared_fps
+    downstream)."""
+    b = _winnow_batch(batch, k=k, w=w)
     d = b.column("doc_id").to_numpy(zero_copy_only=False)
     f = b.column("fp").to_numpy(zero_copy_only=False)
-    u = np.unique(np.stack([d, f], axis=1), axis=0)
+    u = (np.unique(np.stack([d, f], axis=1), axis=0)
+         if len(d) else np.zeros((0, 2), dtype=np.int64))
     return pa.table({
         "doc_id": pa.array(u[:, 0], pa.int64()),
         "fp": pa.array(u[:, 1], pa.int64()),
@@ -882,8 +889,10 @@ def winnow_containment_pairs(docs: "ray.data.Dataset", *, k: int = 8,
     every exchange keys on fp or the pair."""
     import functools
 
-    fps = winnow_fingerprints(docs, k=k, w=w)
-    dfp = fps.map_batches(_distinct_doc_fp, batch_format="pyarrow")
+    import functools as _ft
+    dfp = docs.select_columns(["doc_id", "text"]).map_batches(
+        _ft.partial(_winnow_distinct_batch, k=k, w=w),
+        batch_format="pyarrow")
     pairs = dfp.groupby("fp").map_groups(
         functools.partial(_winnow_pair_group, max_df=max_df),
         batch_format="pyarrow")

@@ -248,3 +248,36 @@ def test_winnow_containment_pairs_vs_brute_force():
     assert any(p[:2] == (0, 1) for p in got)          # planted span pair
     # the all-docs boilerplate alone must NOT connect the unrelated docs
     assert not any(p[:2] == (2, 3) for p in got)
+
+
+def test_grep_documents_match_counts(tmp_path):
+    """grep_documents: per-pattern non-overlapping RE2 match counts equal
+    Python re.findall over the same patterns; zero-match (pattern, doc)
+    rows are absent; None text is empty."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines import queries as Q
+
+    texts = ["the window opens a window view", "vector batch vector",
+             "a1 b22 c333", None, "", "key order and key sort here",
+             "deep join merge paths scan scans"]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f"{sf}/documents.parquet")
+
+    got = sorted(
+        (r["pattern"], r["doc_id"], r["n_matches"])
+        for r in Q.grep_documents(sf).take_all())
+    want = []
+    for p in Q.GREP_PATTERNS:
+        rx = _re.compile(p)
+        for i, t in enumerate(texts):
+            n = len(rx.findall(t or ""))
+            if n:
+                want.append((p, i, n))
+    assert got == sorted(want)
+    assert any(p == "\\bscans?\\b" for p, _, _ in got)   # \b exercised
